@@ -1,0 +1,781 @@
+"""Spec → Spark Column expressions (the set-oriented evaluator core).
+
+The reference evaluates one instance at a time with a recursive interpreter
+(_evaluate_subschema, /root/reference/lib/JSON/Schema/Modern.pm:691-856).
+This compiler inverts the loop: each keyword becomes ONE whole-column
+vectorized expression over a typed DataFrame, so a million rows evaluate in
+a single codegen'd pass instead of a million tree walks.
+
+Mapping decisions (documented deviations from pure JSON-document semantics):
+
+- A SQL ``NULL`` in a column/struct-field means *the property is absent*
+  (so ``required`` fails on NULL, and value keywords are vacuously true —
+  matching how the reference skips keywords for absent properties).
+  A NULL *array element* is a JSON ``null`` value (present, type null).
+- Instance types are static: the DataFrame schema decides them at compile
+  time, so the reference's per-value ``get_type`` checks
+  (Utilities.pm:104-164) constant-fold.  The one runtime case kept:
+  ``type: integer`` on a fractional column checks ``x == floor(x)``
+  (integer ⊂ number, and 2.0 is an integer — Utilities.pm:152-156).
+- Error message templates mirror the reference's E() call sites
+  (V/Validation.pm, V/Applicator.pm) so violation rows are comparable.
+
+Violation rows carry the same three location fields the reference's
+ResultNode does (ResultNode.pm:27-96): instance_location (JSON pointer into
+the row), keyword_location (pointer through the schema *as evaluated*,
+including $ref hops), absolute_keyword_location (canonical URI).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from json_schema_modern_spark.functions.formats import format_predicate
+from json_schema_modern_spark.spec.resolver import (
+    SchemaRegistry,
+    SpecError,
+    json_pointer_escape,
+    spec_fingerprint,
+)
+
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("instance_location", T.StringType()),
+        T.StructField("keyword_location", T.StringType()),
+        T.StructField("absolute_keyword_location", T.StringType()),
+        T.StructField("keyword", T.StringType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("offending_value", T.StringType()),
+    ]
+)
+_VIOL_ARR = T.ArrayType(VIOLATION_SCHEMA)
+
+
+def _empty_viols() -> Column:
+    return F.lit([]).cast(_VIOL_ARR)
+
+
+@dataclass
+class CompileOptions:
+    validate_formats: bool = False
+    max_depth: int = 64          # reference default is 50 (Modern.pm:76-80)
+    collect_leaf_errors: bool = True
+
+
+@dataclass
+class SetCheck:
+    """A cross-row check lifted out of the row-local plan (x-* keywords)."""
+
+    kind: str                    # 'unique' | 'ref' | 'drift'
+    keyword_location: str
+    params: dict[str, Any]
+
+
+@dataclass
+class Compiled:
+    ok: Column
+    viols: list[Column] = dc_field(default_factory=list)
+
+
+# --- targets ---------------------------------------------------------------
+
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _json_type_of(dtype: T.DataType) -> str:
+    if isinstance(dtype, (T.StructType, T.MapType)):
+        return "object"
+    if isinstance(dtype, T.ArrayType):
+        return "array"
+    if isinstance(dtype, T.StringType):
+        return "string"
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, _INTEGRAL_TYPES):
+        return "integer"
+    if isinstance(dtype, _NUMERIC_TYPES):
+        return "number"
+    if isinstance(dtype, (T.DateType, T.TimestampType, T.BinaryType)):
+        return "string"  # serialized forms; length/pattern apply post-cast
+    raise SpecError(f"unsupported column type for validation: {dtype}")
+
+
+@dataclass
+class Target:
+    """A JSON value located somewhere in the row."""
+
+    col: Column | None           # None only for the virtual root object
+    dtype: T.DataType | None     # None only for the virtual root object
+    ptr: Column                  # instance_location (string column)
+    present: Column              # is the value present (non-NULL / row root)
+    root_schema: T.StructType | None = None   # set for the virtual root
+
+    @property
+    def is_root(self) -> bool:
+        return self.root_schema is not None
+
+    def json_type(self) -> str:
+        return "object" if self.is_root else _json_type_of(self.dtype)
+
+    def field_names(self) -> list[str]:
+        if self.is_root:
+            return [f.name for f in self.root_schema.fields]
+        if isinstance(self.dtype, T.StructType):
+            return [f.name for f in self.dtype.fields]
+        return []
+
+    def get_property(self, name: str) -> "Target | None":
+        """Child target for a named property; None if statically absent."""
+        if self.is_root:
+            if name not in self.root_schema.fieldNames():
+                return None
+            f = self.root_schema[name]
+            col = F.col("`" + name.replace("`", "``") + "`")
+            return Target(
+                col=col, dtype=f.dataType,
+                ptr=F.concat(self.ptr, F.lit("/" + json_pointer_escape(name))),
+                present=col.isNotNull(),
+            )
+        if isinstance(self.dtype, T.StructType):
+            if name not in self.dtype.fieldNames():
+                return None
+            f = self.dtype[name]
+            col = self.col.getField(name)
+            return Target(
+                col=col, dtype=f.dataType,
+                ptr=F.concat(self.ptr, F.lit("/" + json_pointer_escape(name))),
+                present=self.present & col.isNotNull(),
+            )
+        return None
+
+    def value_col(self) -> Column:
+        """The value as a comparable/printable column."""
+        if self.is_root:
+            raise SpecError("root object has no single value column")
+        return self.col
+
+    def offending_json(self) -> Column:
+        if self.is_root:
+            return F.lit("{...row...}")
+        if isinstance(self.dtype, (T.StructType, T.ArrayType, T.MapType)):
+            return F.to_json(self.col)
+        return self.col.cast("string")
+
+
+# --- the compiler ----------------------------------------------------------
+
+_APPLY_TO = {
+    # keyword → set of json types it asserts on (vacuous elsewhere);
+    # mirrors the `return 1 if not is_type(...)` guards in V/Validation.pm
+    "multipleOf": {"number", "integer"},
+    "maximum": {"number", "integer"},
+    "exclusiveMaximum": {"number", "integer"},
+    "minimum": {"number", "integer"},
+    "exclusiveMinimum": {"number", "integer"},
+    "maxLength": {"string"},
+    "minLength": {"string"},
+    "pattern": {"string"},
+    "format": {"string"},
+    "maxItems": {"array"},
+    "minItems": {"array"},
+    "uniqueItems": {"array"},
+    "items": {"array"},
+    "prefixItems": {"array"},
+    "contains": {"array"},
+    "unevaluatedItems": {"array"},
+    "maxProperties": {"object"},
+    "minProperties": {"object"},
+    "required": {"object"},
+    "dependentRequired": {"object"},
+    "dependentSchemas": {"object"},
+    "properties": {"object"},
+    "patternProperties": {"object"},
+    "additionalProperties": {"object"},
+    "propertyNames": {"object"},
+    "unevaluatedProperties": {"object"},
+}
+
+_METADATA_KEYWORDS = {
+    "title", "description", "default", "deprecated", "readOnly", "writeOnly",
+    "examples", "$comment", "$defs", "definitions", "$anchor",
+    "$dynamicAnchor", "$vocabulary", "$schema", "$id", "format_annotation",
+    "contentEncoding", "contentMediaType", "contentSchema",
+}
+
+
+class _Ctx:
+    def __init__(self, registry: SchemaRegistry, options: CompileOptions):
+        self.registry = registry
+        self.options = options
+        self.set_checks: list[SetCheck] = []
+        self.depth = 0
+
+
+def _num_str(v: Any) -> str:
+    """Format a schema number the way the reference's sprintf_num does."""
+    if isinstance(v, bool):
+        return json.dumps(v)
+    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return str(v)
+
+
+def _viol(
+    ok: Column, ptr: Column, kloc: str, akloc: str, keyword: str,
+    error: Column | str, offending: Column,
+) -> Column:
+    err = F.lit(error) if isinstance(error, str) else error
+    return F.when(ok, _empty_viols()).otherwise(
+        F.array(
+            F.struct(
+                ptr.cast("string").alias("instance_location"),
+                F.lit(kloc).alias("keyword_location"),
+                F.lit(akloc).alias("absolute_keyword_location"),
+                F.lit(keyword).alias("keyword"),
+                err.alias("error"),
+                offending.cast("string").alias("offending_value"),
+            )
+        )
+    )
+
+
+def _merge_viols(cols: list[Column]) -> Column:
+    if not cols:
+        return _empty_viols()
+    if len(cols) == 1:
+        return cols[0]
+    return F.flatten(F.array(*cols))
+
+
+def _lit_value(v: Any, dtype: T.DataType) -> Column | None:
+    """Literal for enum/const comparison against a column of ``dtype``;
+    None when the schema value can never equal a value of this type
+    (type-strict equality — Utilities.pm:242-299)."""
+    jt = _json_type_of(dtype)
+    if isinstance(v, bool):
+        return F.lit(v) if jt == "boolean" else None
+    if isinstance(v, (int, float)):
+        if jt in ("integer", "number"):
+            if jt == "integer" and isinstance(v, float) and v != int(v):
+                return None
+            return F.lit(v).cast(dtype)
+        return None
+    if isinstance(v, str):
+        return F.lit(v) if jt == "string" else None
+    if v is None:
+        return None  # present values are never JSON null under our mapping
+    if isinstance(v, list) and isinstance(dtype, T.ArrayType):
+        elems = [_lit_value(x, dtype.elementType) for x in v]
+        if any(e is None for e in elems):
+            return None
+        return F.array(*elems).cast(dtype)
+    return None
+
+
+class ColumnCompiler:
+    """Compiles one schema document against one DataFrame schema."""
+
+    def __init__(
+        self,
+        spec: Any,
+        df_schema: T.StructType,
+        options: CompileOptions | None = None,
+        registry: SchemaRegistry | None = None,
+    ):
+        self.options = options or CompileOptions()
+        self.registry = registry or SchemaRegistry()
+        self.root_uri = self.registry.add_schema(spec, "")
+        self.spec = spec
+        self.df_schema = df_schema
+        self.ctx = _Ctx(self.registry, self.options)
+        self.fingerprint = spec_fingerprint(spec)
+
+    def compile(self) -> "CompiledPlan":
+        root_target = Target(
+            col=None, dtype=None, ptr=F.lit(""), present=F.lit(True),
+            root_schema=self.df_schema,
+        )
+        compiled = self._node(self.spec, root_target, kloc="", base=self.root_uri, abs_ptr="")
+        return CompiledPlan(
+            ok=compiled.ok,
+            viols=_merge_viols(compiled.viols),
+            set_checks=self.ctx.set_checks,
+            fingerprint=self.fingerprint,
+            root_uri=self.root_uri,
+        )
+
+    # -- node dispatch ------------------------------------------------------
+
+    def _node(self, schema: Any, t: Target, kloc: str, base: str, abs_ptr: str) -> Compiled:
+        self.ctx.depth += 1
+        try:
+            if self.ctx.depth > self.options.max_depth:
+                raise SpecError(
+                    f"EXCEPTION: maximum evaluation depth {self.options.max_depth} exceeded"
+                )
+            if schema is True or schema == {}:
+                return Compiled(ok=F.lit(True))
+            if schema is False:
+                akloc = self._akloc(base, abs_ptr)
+                ok = ~t.present
+                off = t.offending_json() if not t.is_root else F.lit("{...row...}")
+                return Compiled(ok=ok, viols=[_viol(ok, t.ptr, kloc, akloc, "", "subschema is false", off)])
+            if not isinstance(schema, dict):
+                raise SpecError(f"invalid subschema at {kloc or '/'}")
+            return self._object_schema(schema, t, kloc, base, abs_ptr)
+        finally:
+            self.ctx.depth -= 1
+
+    def _akloc(self, base: str, abs_ptr: str) -> str:
+        if not base:
+            return abs_ptr or ""
+        return f"{base}#{abs_ptr}" if abs_ptr else base
+
+    def _object_schema(self, schema: dict, t: Target, kloc: str, base: str, abs_ptr: str) -> Compiled:
+        # track $id scope changes for absolute keyword locations / ref bases
+        if "$id" in schema:
+            res = None
+            try:
+                res = self.registry.resolve(schema["$id"], base)
+            except SpecError:
+                pass
+            if res is not None and res.node is schema:
+                base, abs_ptr = res.canonical_uri, ""
+
+        oks: list[Column] = []
+        viols: list[Column] = []
+        jt = t.json_type()
+
+        def add(c: Compiled) -> None:
+            oks.append(c.ok)
+            viols.extend(c.viols)
+
+        def sub(kw: str, node: Any, target: Target, suffix: str = "") -> Compiled:
+            kp = f"{kloc}/{json_pointer_escape(kw)}{suffix}"
+            ap = f"{abs_ptr}/{json_pointer_escape(kw)}{suffix}"
+            return self._node(node, target, kp, base, ap)
+
+        def E(kw: str, ok: Column, error: Column | str, off: Column | None = None, suffix: str = "") -> Compiled:
+            kp = f"{kloc}/{json_pointer_escape(kw)}{suffix}"
+            ap = f"{abs_ptr}/{json_pointer_escape(kw)}{suffix}"
+            offending = off if off is not None else (
+                t.offending_json() if not t.is_root else F.lit(None).cast("string")
+            )
+            ok = F.when(t.present, ok).otherwise(F.lit(True))
+            return Compiled(ok=ok, viols=[_viol(ok, t.ptr, kp, self._akloc(base, ap), kw, error, offending)])
+
+        def applies(kw: str) -> bool:
+            want = _APPLY_TO.get(kw)
+            return want is None or jt in want or (jt == "integer" and "number" in want)
+
+        # ---- Core: $ref / $dynamicRef ------------------------------------
+        if "$ref" in schema:
+            res = self.registry.resolve(schema["$ref"], base)
+            child = self._node(
+                res.node, t, kloc=f"{kloc}/$ref", base=res.base_uri,
+                abs_ptr=res.pointer if res.canonical_uri == res.base_uri else "",
+            )
+            add(child)
+        if "$dynamicRef" in schema:
+            # static fallback: resolve like $ref (correct whenever the
+            # dynamic scope introduces no overriding $dynamicAnchor — the
+            # column backend rejects genuinely dynamic cases at compile)
+            res = self.registry.resolve(schema["$dynamicRef"], base)
+            child = self._node(res.node, t, kloc=f"{kloc}/$dynamicRef", base=res.base_uri, abs_ptr="")
+            add(child)
+
+        # ---- Validation vocabulary ---------------------------------------
+        if "type" in schema:
+            add(self._type_kw(schema["type"], t, E))
+
+        if "enum" in schema and not t.is_root:
+            lits = [c for c in (_lit_value(v, t.dtype) for v in schema["enum"]) if c is not None]
+            ok = F.lit(False)
+            for c in lits:
+                ok = ok | (t.value_col() == c)
+            add(E("enum", ok, "value does not match"))
+        if "const" in schema and not t.is_root:
+            c = _lit_value(schema["const"], t.dtype)
+            ok = F.lit(False) if c is None else (t.value_col() == c)
+            add(E("const", ok, "value does not match"))
+
+        if "multipleOf" in schema and applies("multipleOf"):
+            m = schema["multipleOf"]
+            if not isinstance(m, (int, float)) or isinstance(m, bool) or m <= 0:
+                raise SpecError("multipleOf value is not a positive number")
+            v = t.value_col()
+            if isinstance(t.dtype, _INTEGRAL_TYPES) and float(m).is_integer():
+                ok = (v % F.lit(int(m))) == 0
+            else:
+                # bignum-exact float modulo (V/Validation.pm:119-123) →
+                # fixed-point decimal pmod; exact within 38 digits
+                dec = "decimal(38,12)"
+                ok = F.pmod(v.cast(dec), F.lit(m).cast(dec)) == F.lit(0).cast(dec)
+            add(E("multipleOf", ok, f"value is not a multiple of {_num_str(m)}"))
+
+        for kw, op, msg in (
+            ("maximum", "le", "value is greater than %s"),
+            ("exclusiveMaximum", "lt", "value is greater than or equal to %s"),
+            ("minimum", "ge", "value is less than %s"),
+            ("exclusiveMinimum", "gt", "value is less than or equal to %s"),
+        ):
+            if kw in schema and applies(kw):
+                b = schema[kw]
+                v = t.value_col()
+                ok = {"le": v <= b, "lt": v < b, "ge": v >= b, "gt": v > b}[op]
+                add(E(kw, ok, msg % _num_str(b)))
+
+        if "maxLength" in schema and applies("maxLength"):
+            n = schema["maxLength"]
+            add(E("maxLength", F.length(t.value_col().cast("string")) <= n, f"length is greater than {n}"))
+        if "minLength" in schema and applies("minLength"):
+            n = schema["minLength"]
+            add(E("minLength", F.length(t.value_col().cast("string")) >= n, f"length is less than {n}"))
+        if "pattern" in schema and applies("pattern"):
+            # partial match, like the reference's =~ (V/Validation.pm:217-228);
+            # Java regex dialect — same deviation class the reference accepts
+            # vs ECMA-262 (t/zzz-acceptance-draft2020-12.t:54-60)
+            add(E("pattern", t.value_col().cast("string").rlike(schema["pattern"]), "pattern does not match"))
+
+        if "format" in schema and self.options.validate_formats and applies("format"):
+            pred = format_predicate(schema["format"], t.value_col().cast("string"))
+            if pred is not None:
+                add(E("format", pred, f"not a valid {schema['format']}"))
+
+        if "maxItems" in schema and applies("maxItems"):
+            n = schema["maxItems"]
+            add(E("maxItems", F.size(t.value_col()) <= n, f"array has more than {n} item{'s' if n != 1 else ''}"))
+        if "minItems" in schema and applies("minItems"):
+            n = schema["minItems"]
+            add(E("minItems", F.size(t.value_col()) >= n, f"array has fewer than {n} item{'s' if n != 1 else ''}"))
+        if schema.get("uniqueItems") is True and applies("uniqueItems"):
+            v = t.value_col()
+            add(E("uniqueItems", F.size(F.array_distinct(v)) == F.size(v), "items are not unique"))
+
+        # ---- array applicators -------------------------------------------
+        n_prefix = 0
+        if "prefixItems" in schema and applies("prefixItems"):
+            subs = schema["prefixItems"]
+            n_prefix = len(subs)
+            for i, s in enumerate(subs):
+                elem = self._elem_target(t, F.lit(i))
+                present_i = t.present & (F.size(t.value_col()) > i)
+                elem = Target(col=elem.col, dtype=elem.dtype, ptr=elem.ptr, present=present_i)
+                add(sub("prefixItems", s, elem, suffix=f"/{i}"))
+
+        if "items" in schema and applies("items"):
+            items = schema["items"]
+            if isinstance(items, list):
+                raise SpecError('array form of "items" not supported in draft2020-12')
+            add(self._items_kw(items, t, n_prefix, kloc, base, abs_ptr))
+
+        has_contains = "contains" in schema and applies("contains")
+        if has_contains or (("minContains" in schema or "maxContains" in schema) and jt == "array"):
+            add(self._contains_kw(schema, t, kloc, base, abs_ptr))
+
+        # ---- object keywords ---------------------------------------------
+        if "required" in schema and applies("required"):
+            add(self._required_kw(schema["required"], t, E))
+        if "dependentRequired" in schema and applies("dependentRequired"):
+            for prop, deps in schema["dependentRequired"].items():
+                pt = t.get_property(prop)
+                if pt is None:
+                    continue
+                dep_ok = F.lit(True)
+                missing = []
+                for d in deps:
+                    dt_ = t.get_property(d)
+                    present = dt_.present if dt_ is not None else F.lit(False)
+                    dep_ok = dep_ok & present
+                    missing.append(F.when(~present, F.lit(d)))
+                ok = F.when(pt.present, dep_ok).otherwise(F.lit(True))
+                add(E("dependentRequired", ok, "not all dependencies are satisfied"))
+        if "dependentSchemas" in schema and applies("dependentSchemas"):
+            for prop, s in schema["dependentSchemas"].items():
+                pt = t.get_property(prop)
+                if pt is None:
+                    continue
+                child = sub("dependentSchemas", s, t, suffix=f"/{json_pointer_escape(prop)}")
+                ok = F.when(pt.present, child.ok).otherwise(F.lit(True))
+                gated = [F.when(pt.present, v).otherwise(_empty_viols()) for v in child.viols]
+                add(Compiled(ok=ok, viols=gated))
+
+        if "maxProperties" in schema and applies("maxProperties"):
+            n = schema["maxProperties"]
+            add(E("maxProperties", self._prop_count(t) <= n,
+                  f"object has more than {n} propert{'ies' if n != 1 else 'y'}"))
+        if "minProperties" in schema and applies("minProperties"):
+            n = schema["minProperties"]
+            add(E("minProperties", self._prop_count(t) >= n,
+                  f"object has fewer than {n} propert{'ies' if n != 1 else 'y'}"))
+
+        matched_names: set[str] = set()
+        if "properties" in schema and applies("properties"):
+            for name, s in schema["properties"].items():
+                pt = t.get_property(name)
+                matched_names.add(name)
+                if pt is None:
+                    if isinstance(t.dtype, T.MapType):
+                        pt = self._map_value_target(t, name)
+                    else:
+                        continue
+                add(sub("properties", s, pt, suffix=f"/{json_pointer_escape(name)}"))
+
+        pattern_res: list[str] = []
+        if "patternProperties" in schema and applies("patternProperties"):
+            for pat, s in schema["patternProperties"].items():
+                pattern_res.append(pat)
+                for name in t.field_names():
+                    if re.search(pat, name):
+                        matched_names.add(name)
+                        pt = t.get_property(name)
+                        add(sub("patternProperties", s, pt, suffix=f"/{json_pointer_escape(pat)}"))
+
+        if "additionalProperties" in schema and applies("additionalProperties"):
+            s = schema["additionalProperties"]
+            extras = [n for n in t.field_names() if n not in matched_names
+                      and not any(re.search(p, n) for p in pattern_res)]
+            for name in extras:
+                pt = t.get_property(name)
+                add(sub("additionalProperties", s, pt))
+
+        if "propertyNames" in schema and applies("propertyNames"):
+            s = schema["propertyNames"]
+            for name in t.field_names():
+                nt = Target(col=F.lit(name), dtype=T.StringType(), ptr=t.ptr, present=t.present)
+                add(sub("propertyNames", s, nt))
+
+        # ---- in-place applicators ----------------------------------------
+        if "allOf" in schema:
+            children = [sub("allOf", s, t, suffix=f"/{i}") for i, s in enumerate(schema["allOf"])]
+            for c in children:
+                add(c)
+        if "anyOf" in schema:
+            children = [sub("anyOf", s, t, suffix=f"/{i}") for i, s in enumerate(schema["anyOf"])]
+            any_ok = F.lit(False)
+            for c in children:
+                any_ok = any_ok | c.ok
+            any_ok = F.when(t.present, any_ok).otherwise(F.lit(True))
+            gated = [F.when(any_ok, _empty_viols()).otherwise(v) for c in children for v in c.viols]
+            gated.append(_viol(any_ok, t.ptr, f"{kloc}/anyOf", self._akloc(base, f"{abs_ptr}/anyOf"),
+                               "anyOf", "no subschemas are valid", F.lit(None).cast("string")))
+            add(Compiled(ok=any_ok, viols=gated))
+        if "oneOf" in schema:
+            children = [sub("oneOf", s, t, suffix=f"/{i}") for i, s in enumerate(schema["oneOf"])]
+            count = sum((c.ok.cast("int") for c in children), F.lit(0))
+            ok = F.when(t.present, count == 1).otherwise(F.lit(True))
+            valid_ids = F.concat_ws(", ", F.array_compact(F.array(
+                *[F.when(c.ok, F.lit(str(i))) for i, c in enumerate(children)])))
+            msg = F.when(count == 0, F.lit("no subschemas are valid")).otherwise(
+                F.concat(F.lit("multiple subschemas are valid: "), valid_ids))
+            gated = [F.when(count != 0, _empty_viols()).otherwise(v) for c in children for v in c.viols]
+            gated.append(_viol(ok, t.ptr, f"{kloc}/oneOf", self._akloc(base, f"{abs_ptr}/oneOf"),
+                               "oneOf", msg, F.lit(None).cast("string")))
+            add(Compiled(ok=ok, viols=gated))
+        if "not" in schema:
+            child = sub("not", schema["not"], t)
+            ok = F.when(t.present, ~child.ok).otherwise(F.lit(True))
+            # inner errors are discarded (V/Applicator.pm:133-145)
+            add(Compiled(ok=ok, viols=[_viol(ok, t.ptr, f"{kloc}/not",
+                self._akloc(base, f"{abs_ptr}/not"), "not", "subschema is valid",
+                F.lit(None).cast("string"))]))
+        if "if" in schema:
+            if_c = self._node(schema["if"], t, f"{kloc}/if", base, f"{abs_ptr}/if")
+            then_c = sub("then", schema["then"], t) if "then" in schema else Compiled(ok=F.lit(True))
+            else_c = sub("else", schema["else"], t) if "else" in schema else Compiled(ok=F.lit(True))
+            ok = F.when(~t.present, F.lit(True)).when(if_c.ok, then_c.ok).otherwise(else_c.ok)
+            gated = [F.when(if_c.ok, v).otherwise(_empty_viols()) for v in then_c.viols]
+            gated += [F.when(if_c.ok, _empty_viols()).otherwise(v) for v in else_c.viols]
+            gated = [F.when(t.present, v).otherwise(_empty_viols()) for v in gated]
+            add(Compiled(ok=ok, viols=gated))
+
+        # ---- x-* extension keywords (set-oriented; runner executes) -------
+        for kw in ("x-unique", "x-ref", "x-drift"):
+            if kw in schema:
+                self.ctx.set_checks.append(SetCheck(
+                    kind=kw[2:], keyword_location=f"{kloc}/{kw}", params={"value": schema[kw]},
+                ))
+
+        ok_all = F.lit(True)
+        for o in oks:
+            ok_all = ok_all & o
+        return Compiled(ok=ok_all, viols=viols)
+
+    # -- helpers ------------------------------------------------------------
+
+    def _type_kw(self, want: Any, t: Target, E) -> Compiled:
+        wants = want if isinstance(want, list) else [want]
+        if not wants:
+            raise SpecError("type array is empty")
+        for w in wants:
+            if w not in ("null", "boolean", "object", "array", "string", "number", "integer"):
+                raise SpecError(f'unrecognized type "{w}"')
+        jt = t.json_type()
+        got = jt
+        if jt in wants or (jt == "integer" and "number" in wants):
+            return Compiled(ok=F.lit(True))
+        if jt == "number" and "integer" in wants and not isinstance(t.dtype, T.DecimalType):
+            # fractional column: 2.0 is an integer (Utilities.pm:152-156)
+            v = t.value_col()
+            ok = v == F.floor(v).cast(t.dtype)
+            return E("type", ok, f"got number, not integer")
+        if jt == "number" and "integer" in wants:
+            v = t.value_col()
+            ok = v == F.floor(v).cast(t.dtype)
+            return E("type", ok, f"got number, not integer")
+        plural = "one of " if len(wants) > 1 else ""
+        return E("type", F.lit(False), f"got {got}, not {plural}{', '.join(wants)}")
+
+    def _prop_count(self, t: Target) -> Column:
+        if t.is_root:
+            return sum((F.col(n).isNotNull().cast("int") for n in t.field_names()), F.lit(0))
+        if isinstance(t.dtype, T.MapType):
+            return F.size(t.value_col())
+        if isinstance(t.dtype, T.StructType):
+            return sum((t.col.getField(n).isNotNull().cast("int") for n in t.field_names()), F.lit(0))
+        return F.lit(0)
+
+    def _required_kw(self, names: list[str], t: Target, E) -> Compiled:
+        missing_flags = []
+        ok = F.lit(True)
+        for name in names:
+            pt = t.get_property(name)
+            if pt is None and isinstance(t.dtype, T.MapType):
+                present = F.map_contains_key(t.value_col(), F.lit(name))
+            else:
+                present = pt.present if pt is not None else F.lit(False)
+            ok = ok & present
+            missing_flags.append(F.when(~present, F.lit(name)))
+        missing = F.array_compact(F.array(*missing_flags))
+        msg = F.concat(
+            F.lit("object is missing propert"),
+            F.when(F.size(missing) > 1, F.lit("ies: ")).otherwise(F.lit("y: ")),
+            F.concat_ws(", ", missing),
+        )
+        return E("required", ok, msg)
+
+    def _elem_target(self, t: Target, idx: Column, col: Column | None = None) -> Target:
+        et = t.dtype.elementType
+        c = col if col is not None else F.get(t.value_col(), idx)
+        return Target(
+            col=c, dtype=et,
+            ptr=F.concat(t.ptr, F.lit("/"), idx.cast("string")),
+            present=t.present,  # element exists; NULL element = JSON null value
+        )
+
+    def _map_value_target(self, t: Target, name: str) -> Target:
+        vt = t.dtype.valueType
+        col = F.element_at(t.value_col(), F.lit(name))
+        return Target(
+            col=col, dtype=vt,
+            ptr=F.concat(t.ptr, F.lit("/" + json_pointer_escape(name))),
+            present=t.present & F.map_contains_key(t.value_col(), F.lit(name)),
+        )
+
+    def _items_kw(self, items_schema: Any, t: Target, n_prefix: int,
+                  kloc: str, base: str, abs_ptr: str) -> Compiled:
+        """items (2020-12): every element after prefixItems validates.
+
+        ok path: F.forall over the slice — stays in whole-stage codegen.
+        Violations: transform-with-index building per-element violation
+        arrays, flattened (only evaluated for rows that fail).
+        """
+        arr = t.value_col()
+        et = t.dtype.elementType
+        kp, ap = f"{kloc}/items", f"{abs_ptr}/items"
+
+        def elem_compiled(x: Column, i: Column) -> Compiled:
+            idx = i + F.lit(n_prefix)
+            elem = Target(col=x, dtype=et,
+                          ptr=F.concat(t.ptr, F.lit("/"), idx.cast("string")),
+                          present=F.lit(True))
+            return self._node(items_schema, elem, kp, base, ap)
+
+        rest = arr if n_prefix == 0 else F.slice(arr, n_prefix + 1, F.greatest(F.size(arr) - n_prefix, F.lit(0)))
+        ok_inner = F.forall(rest, lambda x: elem_compiled(x, F.lit(0)).ok)
+        ok = F.when(t.present, F.coalesce(ok_inner, F.lit(True))).otherwise(F.lit(True))
+
+        def viols_of(x: Column, i: Column) -> Column:
+            return _merge_viols(elem_compiled(x, i).viols)
+
+        leaf = F.flatten(F.transform(rest, viols_of))
+        leaf = F.when(ok, _empty_viols()).otherwise(leaf)
+        summary = _viol(ok, t.ptr, kp, self._akloc(base, ap), "items",
+                        "subschema is not valid against all items", F.lit(None).cast("string"))
+        return Compiled(ok=ok, viols=[leaf, summary])
+
+    def _contains_kw(self, schema: dict, t: Target, kloc: str, base: str, abs_ptr: str) -> Compiled:
+        arr = t.value_col()
+        et = t.dtype.elementType
+        contains_schema = schema.get("contains", True)
+
+        def elem_ok(x: Column) -> Column:
+            elem = Target(col=x, dtype=et, ptr=t.ptr, present=F.lit(True))
+            return self._node(contains_schema, elem, f"{kloc}/contains", base, f"{abs_ptr}/contains").ok
+
+        matches = F.size(F.filter(arr, elem_ok))
+        min_c = schema.get("minContains", 1)
+        max_c = schema.get("maxContains")
+        out_oks = []
+        out_viols = []
+
+        def loc(kw: str) -> tuple[str, str]:
+            return f"{kloc}/{kw}", self._akloc(base, f"{abs_ptr}/{kw}")
+
+        if "contains" in schema:
+            if min_c == 0:
+                ok = F.lit(True)
+            else:
+                ok = F.when(t.present, matches >= 1).otherwise(F.lit(True))
+            out_oks.append(ok)
+            kp, ap = loc("contains")
+            out_viols.append(_viol(ok, t.ptr, kp, ap, "contains",
+                                   "subschema is not valid against any item", F.lit(None).cast("string")))
+        if max_c is not None:
+            ok = F.when(t.present, matches <= max_c).otherwise(F.lit(True))
+            out_oks.append(ok)
+            kp, ap = loc("maxContains")
+            out_viols.append(_viol(ok, t.ptr, kp, ap, "maxContains",
+                                   f"array contains more than {max_c} matching item{'s' if max_c != 1 else ''}",
+                                   F.lit(None).cast("string")))
+        if "minContains" in schema and "contains" in schema and min_c > 1:
+            ok = F.when(t.present, matches >= min_c).otherwise(F.lit(True))
+            out_oks.append(ok)
+            kp, ap = loc("minContains")
+            out_viols.append(_viol(ok, t.ptr, kp, ap, "minContains",
+                                   f"array contains fewer than {min_c} matching item{'s' if min_c != 1 else ''}",
+                                   F.lit(None).cast("string")))
+        ok_all = F.lit(True)
+        for o in out_oks:
+            ok_all = ok_all & o
+        return Compiled(ok=ok_all, viols=out_viols)
+
+
+@dataclass
+class CompiledPlan:
+    ok: Column
+    viols: Column
+    set_checks: list[SetCheck]
+    fingerprint: str
+    root_uri: str
+
+
+def compile_spec(
+    spec: Any,
+    df_schema: T.StructType,
+    options: CompileOptions | None = None,
+    registry: SchemaRegistry | None = None,
+) -> CompiledPlan:
+    return ColumnCompiler(spec, df_schema, options, registry).compile()

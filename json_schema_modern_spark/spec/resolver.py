@@ -1,0 +1,211 @@
+"""Schema resource index + $ref resolution (the traverse phase).
+
+Reproduces the static-analysis half of the reference evaluator: the
+reference walks every subschema once at document-add time, collecting
+``$id``/``$anchor`` identifiers into a ``resource_index`` (URI → schema
+node) that later ``$ref`` hops resolve through
+(/root/reference/lib/JSON/Schema/Modern/Document.pm:64-90,152-230 and
+Modern.pm:858-874,1114-1174).  This module is the pure-Python equivalent:
+it runs once on the driver, produces a symbol table, and the compilers
+flatten ``$ref`` edges through it.
+
+No Spark imports here — unit-testable standalone.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any
+from urllib.parse import urldefrag, urljoin
+
+# Keywords whose values are (or contain) subschemas, used by the walker.
+_SUBSCHEMA_KEYWORDS = {
+    "additionalProperties", "contains", "else", "if", "items", "not",
+    "propertyNames", "then", "unevaluatedItems", "unevaluatedProperties",
+    "contentSchema",
+}
+_SUBSCHEMA_LIST_KEYWORDS = {"allOf", "anyOf", "oneOf", "prefixItems"}
+_SUBSCHEMA_MAP_KEYWORDS = {
+    "$defs", "definitions", "dependentSchemas", "patternProperties",
+    "properties",
+}
+
+_ANCHOR_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9._-]*$")
+
+
+class SpecError(ValueError):
+    """Raised for malformed specs (the reference's traverse-time errors)."""
+
+
+def json_pointer_escape(token: str) -> str:
+    return token.replace("~", "~0").replace("/", "~1")
+
+
+def json_pointer_unescape(token: str) -> str:
+    return token.replace("~1", "/").replace("~0", "~")
+
+
+def canonical_json(obj: Any) -> str:
+    """Sorted-key compact JSON — the engine's deep-equality / fingerprint
+    encoding (mirrors the reference's is_equal semantics: order-insensitive
+    objects, order-sensitive arrays; Utilities.pm:242-299)."""
+    return json.dumps(obj, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+
+
+def spec_fingerprint(schema: Any) -> str:
+    """Stable identity of a compiled plan (reference dedups documents by
+    MD5 of canonical JSON, Modern.pm:186-197)."""
+    return hashlib.md5(canonical_json(schema).encode("utf-8")).hexdigest()
+
+
+@dataclass
+class Resource:
+    """One addressable schema resource (an $id scope or an anchor)."""
+
+    node: Any                      # the schema dict/bool
+    canonical_uri: str             # absolute URI of this resource
+    base_uri: str                  # base for resolving refs found inside
+    pointer: str                   # JSON pointer from the document root
+
+
+@dataclass
+class SchemaRegistry:
+    """Symbol table for one or more schema documents.
+
+    ``add_schema(schema, uri)`` walks the document and registers every
+    ``$id`` resource and ``$anchor``; ``resolve(ref, base_uri)`` returns the
+    target node plus the base URI in force at the target (needed to resolve
+    refs found inside the target).
+    """
+
+    resources: dict[str, Resource] = field(default_factory=dict)
+    anchors: dict[tuple[str, str], Resource] = field(default_factory=dict)
+    dynamic_anchors: dict[tuple[str, str], Resource] = field(default_factory=dict)
+    roots: dict[str, Any] = field(default_factory=dict)
+
+    def add_schema(self, schema: Any, default_uri: str = "") -> str:
+        """Register a schema document; returns its canonical root URI."""
+        if isinstance(schema, bool):
+            root_uri = default_uri
+            self.roots[root_uri] = schema
+            self.resources[root_uri] = Resource(schema, root_uri, root_uri, "")
+            return root_uri
+        if not isinstance(schema, dict):
+            raise SpecError(f"schema must be object or boolean, got {type(schema).__name__}")
+        root_id = schema.get("$id")
+        root_uri = urljoin(default_uri, root_id) if root_id else default_uri
+        root_uri, frag = urldefrag(root_uri)
+        if frag:
+            raise SpecError("root $id must not carry a fragment")
+        self.roots[root_uri] = schema
+        self._walk(schema, base_uri=root_uri, pointer="")
+        return root_uri
+
+    def _register(self, uri: str, res: Resource) -> None:
+        if uri in self.resources and self.resources[uri].node is not res.node:
+            raise SpecError(f"duplicate canonical URI: {uri!r}")
+        self.resources[uri] = res
+
+    def _walk(self, node: Any, base_uri: str, pointer: str) -> None:
+        if isinstance(node, bool):
+            return
+        if not isinstance(node, dict):
+            raise SpecError(f"invalid subschema at {pointer or '/'}: not object/boolean")
+
+        this_base = base_uri
+        if "$id" in node:
+            v = node["$id"]
+            if not isinstance(v, str):
+                raise SpecError(f"$id at {pointer or '/'} is not a string")
+            new_uri, frag = urldefrag(urljoin(base_uri, v))
+            if frag:
+                raise SpecError(f"$id at {pointer or '/'} must not carry a fragment")
+            this_base = new_uri
+            self._register(new_uri, Resource(node, new_uri, new_uri, pointer))
+        elif pointer == "":
+            self._register(base_uri, Resource(node, base_uri, base_uri, ""))
+
+        for kw, table in (("$anchor", self.anchors), ("$dynamicAnchor", self.dynamic_anchors)):
+            if kw in node:
+                name = node[kw]
+                if not isinstance(name, str) or not _ANCHOR_RE.match(name):
+                    raise SpecError(f"invalid {kw} value at {pointer or '/'}: {name!r}")
+                key = (this_base, name)
+                if key in table:
+                    raise SpecError(f"duplicate {kw} {name!r} in resource {this_base!r}")
+                table[key] = Resource(node, f"{this_base}#{name}", this_base, pointer)
+                if kw == "$dynamicAnchor":
+                    # a $dynamicAnchor is also addressable as a plain anchor
+                    self.anchors.setdefault(key, table[key])
+
+        for kw, val in node.items():
+            p = f"{pointer}/{json_pointer_escape(kw)}"
+            if kw in _SUBSCHEMA_KEYWORDS and (isinstance(val, (dict, bool))):
+                self._walk(val, this_base, p)
+            elif kw == "items" and isinstance(val, list):  # pre-2020-12 array form
+                for i, sub in enumerate(val):
+                    self._walk(sub, this_base, f"{p}/{i}")
+            elif kw in _SUBSCHEMA_LIST_KEYWORDS and isinstance(val, list):
+                for i, sub in enumerate(val):
+                    self._walk(sub, this_base, f"{p}/{i}")
+            elif kw in _SUBSCHEMA_MAP_KEYWORDS and isinstance(val, dict):
+                for name, sub in val.items():
+                    self._walk(sub, this_base, f"{p}/{json_pointer_escape(name)}")
+
+    # -- resolution -------------------------------------------------------
+
+    def _pointer_get(self, root: Any, pointer: str) -> Any:
+        node = root
+        if pointer in ("", "/"):
+            return node if pointer == "" else self._step(node, "")
+        for raw in pointer.lstrip("/").split("/"):
+            node = self._step(node, json_pointer_unescape(raw))
+        return node
+
+    @staticmethod
+    def _step(node: Any, token: str) -> Any:
+        if isinstance(node, list):
+            try:
+                return node[int(token)]
+            except (ValueError, IndexError) as exc:
+                raise SpecError(f"bad pointer index {token!r}") from exc
+        if isinstance(node, dict):
+            if token not in node:
+                raise SpecError(f"pointer token {token!r} not found")
+            return node[token]
+        raise SpecError(f"cannot index {type(node).__name__} with {token!r}")
+
+    def resolve(self, ref: str, base_uri: str) -> Resource:
+        """Resolve a $ref value against the base URI in force."""
+        target = urljoin(base_uri, ref)
+        uri, frag = urldefrag(target)
+        if frag and not frag.startswith("/"):
+            res = self.anchors.get((uri, frag))
+            if res is None:
+                raise SpecError(f"unresolvable anchor ref {ref!r} (base {base_uri!r})")
+            return res
+        base = self.resources.get(uri)
+        if base is None:
+            raise SpecError(f"unresolvable $ref {ref!r} (base {base_uri!r})")
+        if not frag:
+            return base
+        node = self._pointer_get(base.node, frag)
+        # base URI in force at the target: nearest enclosing $id wins; a
+        # pointer hop cannot cross into a nested $id'd resource without the
+        # target itself carrying the $id, which _walk registered — re-derive.
+        inner_base = base.canonical_uri
+        if isinstance(node, dict) and "$id" in node:
+            inner_base, _ = urldefrag(urljoin(base.base_uri, node["$id"]))
+        return Resource(node, f"{base.canonical_uri}#{frag}", inner_base, frag)
+
+    def resolve_dynamic(self, name: str, dynamic_scope: list[str]) -> Resource | None:
+        """$dynamicRef: the *outermost* resource in the dynamic scope that
+        declares $dynamicAnchor ``name`` wins (V/Core.pm:327-361 semantics)."""
+        for base in dynamic_scope:
+            res = self.dynamic_anchors.get((base, name))
+            if res is not None:
+                return res
+        return None

@@ -1,0 +1,98 @@
+"""High-level validation API: spec + DataFrame → violations / flag / stats.
+
+Output model mirrors the reference's Result object
+(/root/reference/lib/JSON/Schema/Modern/Result.pm): a boolean ``valid``
+flag plus a collection of error nodes, each carrying instance_location /
+keyword_location / absolute_keyword_location (ResultNode.pm:27-96).
+Here the collection is a DataFrame, the flag an EXISTS-shaped job, and the
+per-partition rollup the distributed analogue of Result's validity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_modern_spark.compiler.column_compiler import (
+    CompiledPlan,
+    CompileOptions,
+    SetCheck,
+    compile_spec,
+)
+
+
+@dataclass
+class ValidationResult:
+    """Lazy handles over one validation run (nothing executed yet)."""
+
+    annotated: DataFrame          # input + _valid + _viols columns
+    violations: DataFrame         # exploded violation rows (+ id columns)
+    plan: CompiledPlan
+    id_cols: list[str]
+
+    def flag(self) -> bool:
+        """Global pass/fail — the reference's `flag` output format.
+
+        Short-circuit shape: no violation assembly, just an existence probe
+        (filter → limit 1), the set-oriented analogue of the reference's
+        short_circuit mode (Modern.pm:69-74)."""
+        return self.annotated.filter(~F.col("_valid")).limit(1).isEmpty()
+
+    def partition_results(self) -> DataFrame:
+        """Per-partition pass/fail rollup (partition_id, valid, doc_count,
+        error_count) — the north-rule per-partition output."""
+        return (
+            self.annotated
+            .select(
+                F.spark_partition_id().alias("partition_id"),
+                F.col("_valid").cast("int").alias("_v"),
+                F.size("_viols").alias("_n"),
+            )
+            .groupBy("partition_id")
+            .agg(
+                (F.min("_v") == 1).alias("valid"),
+                F.count(F.lit(1)).alias("doc_count"),
+                F.sum("_n").alias("error_count"),
+            )
+        )
+
+
+class Validator:
+    """Compile once, validate many DataFrames (broadcast-plan analogue)."""
+
+    def __init__(self, spec: Any, options: CompileOptions | None = None):
+        self.spec = spec
+        self.options = options or CompileOptions()
+        self._plan_cache: dict[str, CompiledPlan] = {}
+
+    def compile_for(self, df: DataFrame) -> CompiledPlan:
+        key = df.schema.simpleString()
+        if key not in self._plan_cache:
+            self._plan_cache[key] = compile_spec(self.spec, df.schema, self.options)
+        return self._plan_cache[key]
+
+    @property
+    def set_checks(self) -> list[SetCheck]:
+        if not self._plan_cache:
+            raise RuntimeError("compile_for must run before set_checks")
+        return next(iter(self._plan_cache.values())).set_checks
+
+    def validate(self, df: DataFrame, id_cols: list[str] | None = None) -> ValidationResult:
+        plan = self.compile_for(df)
+        id_cols = id_cols or ([df.columns[0]] if df.columns else [])
+        annotated = df.withColumns({"_valid": plan.ok, "_viols": plan.viols})
+        violations = (
+            annotated
+            .filter(F.size("_viols") > 0)          # codegen'd predicate; valid
+            .select(*id_cols, F.explode("_viols").alias("v"))  # rows never explode
+            .select(*id_cols, "v.*")
+        )
+        return ValidationResult(
+            annotated=annotated, violations=violations, plan=plan, id_cols=id_cols
+        )
+
+    def valid_col(self, df: DataFrame) -> Column:
+        return self.compile_for(df).ok
