@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship constraint-validation query at sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB-equivalent SQL for the correctness gate.
+
+Every Spark query here drives the real engine (json_schema_modern_spark);
+each oracle recomputes the same result in ANSI-ish DuckDB SQL over the same
+parquet views. Column names/aliases match exactly (the driver's compare
+sorts columns by name before hashing).
 """
 
 from __future__ import annotations
@@ -12,27 +15,746 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# flagship spec (documents table, draft2020-12 keywords)
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_SPEC = {
+    "$id": "https://example.org/specs/documents",
+    "type": "object",
+    "required": ["doc_id", "text", "lang", "source", "n_chars"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 60},
+        "lang": {"enum": ["en", "es", "fr", "de", "zh"]},
+        "source": {"type": "string", "pattern": "^src[0-9]+$"},
+        "n_chars": {"type": "integer", "minimum": 1, "maximum": 600},
+    },
+}
+
+_VCOLS = ["instance_location", "keyword_location", "keyword", "error", "offending_value"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _validate(spark, sf_dir, table, spec, id_cols) -> DataFrame:
+    from json_schema_modern_spark import Validator
+
+    df = _read(spark, sf_dir, table)
+    res = Validator(spec).validate(df, id_cols=id_cols)
+    return res.violations.select(*id_cols, *_VCOLS)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compile FLAGSHIP_SPEC, validate sf0.001 documents, return
+    the violation rows (driver collects)."""
+    return _validate(spark, "/root/testdata/sf0.001", "documents", FLAGSHIP_SPEC, ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_flagship(spark, sf_dir):
+    return _validate(spark, sf_dir, "documents", FLAGSHIP_SPEC, ["doc_id"])
+
+
+def _q_kw_min_max(spark, sf_dir):
+    spec = {"type": "object",
+            "properties": {"l_quantity": {"minimum": 5, "maximum": 45}}}
+    return _validate(spark, sf_dir, "lineitem", spec, ["l_orderkey", "l_linenumber"])
+
+
+def _q_kw_exclusive(spark, sf_dir):
+    spec = {"type": "object",
+            "properties": {"p_retailprice": {"exclusiveMinimum": 905, "exclusiveMaximum": 995}}}
+    return _validate(spark, sf_dir, "part", spec, ["p_partkey"])
+
+
+def _q_kw_length(spark, sf_dir):
+    spec = {"type": "object", "properties": {"text": {"minLength": 100, "maxLength": 500}}}
+    return _validate(spark, sf_dir, "documents", spec, ["doc_id"])
+
+
+def _q_kw_pattern(spark, sf_dir):
+    spec = {"type": "object", "properties": {"c_name": {"pattern": "^Customer#00000[0-4]"}}}
+    return _validate(spark, sf_dir, "customer", spec, ["c_custkey"])
+
+
+def _q_kw_enum(spark, sf_dir):
+    spec = {"type": "object", "properties": {"o_orderstatus": {"enum": ["O", "F"]}}}
+    return _validate(spark, sf_dir, "orders", spec, ["o_orderkey"])
+
+
+def _q_kw_const(spark, sf_dir):
+    spec = {"type": "object", "properties": {"r_name": {"const": "AFRICA"}}}
+    return _validate(spark, sf_dir, "region", spec, ["r_regionkey"])
+
+
+def _q_kw_multipleof(spark, sf_dir):
+    spec = {"type": "object", "properties": {"p_size": {"multipleOf": 5}}}
+    return _validate(spark, sf_dir, "part", spec, ["p_partkey"])
+
+
+def _q_kw_required(spark, sf_dir):
+    spec = {"type": "object", "required": ["event_id", "ts", "user_id", "event_type", "value", "props"]}
+    return _validate(spark, sf_dir, "events", spec, ["event_id"])
+
+
+def _q_kw_items(spark, sf_dir):
+    spec = {"type": "object",
+            "properties": {"embedding": {"type": "array", "items": {"minimum": -0.4}}}}
+    return _validate(spark, sf_dir, "embeddings", spec, ["vec_id"]).drop("offending_value")
+
+
+def _q_kw_minmaxitems(spark, sf_dir):
+    spec = {"type": "object",
+            "properties": {"embedding": {"minItems": 65, "maxItems": 2048}}}
+    return _validate(spark, sf_dir, "embeddings", spec, ["vec_id"]).drop("offending_value")
+
+
+def _q_kw_contains(spark, sf_dir):
+    spec = {"type": "object",
+            "properties": {"embedding": {"contains": {"minimum": 0.42}, "maxContains": 2}}}
+    return _validate(spark, sf_dir, "embeddings", spec, ["vec_id"]).drop("offending_value")
+
+
+def _q_kw_prefixitems(spark, sf_dir):
+    spec = {"type": "object",
+            "properties": {"embedding": {"prefixItems": [{"minimum": 0.0}, {"maximum": 0.0}]}}}
+    return _validate(spark, sf_dir, "embeddings", spec, ["vec_id"]).drop("offending_value")
+
+
+def _q_kw_oneof(spark, sf_dir):
+    spec = {"type": "object",
+            "oneOf": [
+                {"properties": {"l_quantity": {"minimum": 30}}},
+                {"properties": {"l_discount": {"maximum": 0.04}}},
+            ]}
+    return _validate(spark, sf_dir, "lineitem", spec, ["l_orderkey", "l_linenumber"]) \
+        .filter(F.col("keyword") == "oneOf").drop("offending_value")
+
+
+def _q_kw_ifthenelse(spark, sf_dir):
+    spec = {"type": "object",
+            "if": {"properties": {"o_orderstatus": {"const": "O"}}},
+            "then": {"properties": {"o_totalprice": {"minimum": 50000}}},
+            "else": {"properties": {"o_totalprice": {"maximum": 400000}}}}
+    return _validate(spark, sf_dir, "orders", spec, ["o_orderkey"])
+
+
+def _q_kw_anyof_not(spark, sf_dir):
+    spec = {"type": "object",
+            "allOf": [
+                {"anyOf": [
+                    {"properties": {"c_acctbal": {"minimum": 0}}},
+                    {"properties": {"c_mktsegment": {"const": "BUILDING"}}},
+                ]},
+                {"not": {"properties": {"c_acctbal": {"minimum": 9999.98}}}},
+            ]}
+    return _validate(spark, sf_dir, "customer", spec, ["c_custkey"]) \
+        .filter(F.col("keyword").isin("anyOf", "not")).drop("offending_value")
+
+
+def _q_stats(spark, sf_dir):
+    from json_schema_modern_spark.operators.stats import column_stats
+
+    df = _read(spark, sf_dir, "lineitem")
+    return column_stats(df, ["l_orderkey", "l_quantity", "l_returnflag"], exact_distinct=True) \
+        .withColumn("null_fraction", F.round("null_fraction", 9))
+
+
+def _q_hist(spark, sf_dir):
+    from json_schema_modern_spark.operators.stats import numeric_histogram
+
+    df = _read(spark, sf_dir, "documents")
+    return numeric_histogram(df, "n_chars", 0.0, 600.0, 12) \
+        .select("bucket", F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"), "cnt")
+
+
+def _dup_docs(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.unionAll(d.filter(F.col("doc_id") % 97 == 0))
+
+
+def _q_unique(spark, sf_dir):
+    from json_schema_modern_spark.operators.uniqueness import duplicate_keys
+
+    return duplicate_keys(_dup_docs(spark, sf_dir), ["doc_id"]).select("doc_id", "dup_count")
+
+
+def _q_ref_broadcast(spark, sf_dir):
+    from json_schema_modern_spark.operators.referential import referential_violations
+
+    orders = _read(spark, sf_dir, "orders")
+    dim = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 != 0)
+    return referential_violations(orders, "o_custkey", dim, "c_custkey",
+                                  id_col="o_orderkey", strategy="broadcast") \
+        .select(F.col("doc_id").cast("long").alias("o_orderkey"), "instance_location",
+                "keyword_location", "keyword", "error", "offending_value")
+
+
+def _q_ref_sortmerge(spark, sf_dir):
+    from json_schema_modern_spark.operators.referential import missing_references
+
+    li = _read(spark, sf_dir, "lineitem")
+    dim = _read(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 3 != 0)
+    out = missing_references(li, "l_suppkey", dim, "s_suppkey", strategy="sortmerge")
+    return out.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def _q_drift(spark, sf_dir):
+    from json_schema_modern_spark.operators.drift import ks_drift
+
+    df = _read(spark, sf_dir, "documents")
+    return ks_drift(df, "n_chars", "source", 0.0, 600.0, 600, alpha=0.01) \
+        .select("source", "n_group", "n_global",
+                F.round("ks_d", 6).alias("ks_d"),
+                F.round("threshold", 6).alias("threshold"), "drifted")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from json_schema_modern_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_dup_docs(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    from json_schema_modern_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _dup_docs(spark, sf_dir)
+    return ngram_jaccard_pairs(d, threshold=0.9).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_minhash_buckets(spark, sf_dir):
+    """MinHash signature + banding portability: (doc_id, band, bkey)."""
+    from json_schema_modern_spark.operators.dedup import minhash_signature
+
+    d = _read(spark, sf_dir, "documents")
+    sig = minhash_signature(F.col("text"), num_hashes=8, shingle_n=2, seed=42)
+    rows = d.select(F.col("doc_id"), sig.alias("sig"))
+    out = rows.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.concat_ws(",", F.element_at("sig", 2 * i + 1).cast("string"),
+                                 F.element_at("sig", 2 * i + 2).cast("string")).alias("bkey"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select("doc_id", "b.band", "b.bkey")
+    return out
+
+
+def _q_dedup_minhash_pairs(spark, sf_dir):
+    from json_schema_modern_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_dup_docs(spark, sf_dir), num_hashes=32, bands=8)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from json_schema_modern_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_dup_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_text_quality(spark, sf_dir):
+    from json_schema_modern_spark.operators.text import quality_features
+
+    return quality_features(_read(spark, sf_dir, "documents"))
+
+
+def _q_text_langid(spark, sf_dir):
+    from json_schema_modern_spark.operators.text import language_id
+
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from json_schema_modern_spark.operators.text import fingerprint
+
+    fp = fingerprint(_dup_docs(spark, sf_dir))
+    return fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")) \
+        .filter(F.col("n_docs") > 1)
+
+
+def _q_token_counts(spark, sf_dir):
+    from json_schema_modern_spark.operators.text import token_count, whitespace_token_count
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens_bpe"),
+        whitespace_token_count(F.col("text")).alias("n_tokens_ws"),
+    )
+
+
+def _q_ann_bruteforce(spark, sf_dir):
+    from json_schema_modern_spark.operators.similarity import cosine_topk, query_vector
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = query_vector(64, seed=42)
+    return cosine_topk(emb, q, k=10)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from json_schema_modern_spark.operators.similarity import hyperplanes, lsh_bucket_ids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = hyperplanes(64, 6, seed=42)
+    return emb.select(lsh_bucket_ids(F.col("embedding"), planes).alias("bucket")) \
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _q_neardup_cosine(spark, sf_dir):
+    from json_schema_modern_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.5, exact=True)
+
+
+def _q_events_window(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "event_type", "n", "total_value")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_violations": _q_flagship,
+        "kw_min_max": _q_kw_min_max,
+        "kw_exclusive": _q_kw_exclusive,
+        "kw_length": _q_kw_length,
+        "kw_pattern": _q_kw_pattern,
+        "kw_enum": _q_kw_enum,
+        "kw_const": _q_kw_const,
+        "kw_multipleof": _q_kw_multipleof,
+        "kw_required": _q_kw_required,
+        "kw_items": _q_kw_items,
+        "kw_minmaxitems": _q_kw_minmaxitems,
+        "kw_contains": _q_kw_contains,
+        "kw_prefixitems": _q_kw_prefixitems,
+        "kw_oneof": _q_kw_oneof,
+        "kw_ifthenelse": _q_kw_ifthenelse,
+        "kw_anyof_not": _q_kw_anyof_not,
+        "stats_lineitem": _q_stats,
+        "hist_n_chars": _q_hist,
+        "unique_doc_ids": _q_unique,
+        "ref_broadcast": _q_ref_broadcast,
+        "ref_sortmerge_salted": _q_ref_sortmerge,
+        "drift_ks_n_chars": _q_drift,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "minhash_bands": _q_minhash_buckets,
+        "dedup_minhash_lsh": _q_dedup_minhash_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_token_counts": _q_token_counts,
+        "ann_bruteforce_topk": _q_ann_bruteforce,
+        "ann_lsh_buckets": _q_ann_lsh,
+        "neardup_cosine": _q_neardup_cosine,
+        "events_window_counts": _q_events_window,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+
+def _viol_row(id_expr: str, iloc: str, kloc: str, kw: str, err: str, off: str,
+              table: str, cond: str, extra_id: str = "") -> str:
+    return (
+        f"SELECT {id_expr}{extra_id}, {iloc} AS instance_location, '{kloc}' AS keyword_location, "
+        f"'{kw}' AS keyword, {err} AS error, {off} AS offending_value FROM {table} WHERE {cond}"
+    )
+
+
+_FLAGSHIP_ORACLE = " UNION ALL ".join([
+    _viol_row("doc_id", "'/doc_id'", "/properties/doc_id/minimum",
+              "minimum", "'value is less than 0'", "CAST(doc_id AS VARCHAR)", "documents",
+              "doc_id IS NOT NULL AND doc_id < 0"),
+    _viol_row("doc_id", "'/text'", "/properties/text/minLength", "minLength",
+              "'length is less than 60'", "CAST(text AS VARCHAR)", "documents",
+              "text IS NOT NULL AND length(text) < 60"),
+    _viol_row("doc_id", "'/lang'", "/properties/lang/enum", "enum",
+              "'value does not match'", "lang", "documents",
+              "lang IS NOT NULL AND lang NOT IN ('en','es','fr','de','zh')"),
+    _viol_row("doc_id", "'/source'", "/properties/source/pattern", "pattern",
+              "'pattern does not match'", "source", "documents",
+              "source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+')"),
+    _viol_row("doc_id", "'/n_chars'", "/properties/n_chars/minimum", "minimum",
+              "'value is less than 1'", "CAST(n_chars AS VARCHAR)", "documents",
+              "n_chars IS NOT NULL AND n_chars < 1"),
+    _viol_row("doc_id", "'/n_chars'", "/properties/n_chars/maximum", "maximum",
+              "'value is greater than 600'", "CAST(n_chars AS VARCHAR)", "documents",
+              "n_chars IS NOT NULL AND n_chars > 600"),
+    _viol_row("doc_id", "''", "/required", "required",
+              "concat('object is missing propert', CASE WHEN "
+              "((doc_id IS NULL)::int + (text IS NULL)::int + (lang IS NULL)::int + (source IS NULL)::int + (n_chars IS NULL)::int) > 1 "
+              "THEN 'ies: ' ELSE 'y: ' END, concat_ws(', ', CASE WHEN doc_id IS NULL THEN 'doc_id' END, "
+              "CASE WHEN text IS NULL THEN 'text' END, CASE WHEN lang IS NULL THEN 'lang' END, "
+              "CASE WHEN source IS NULL THEN 'source' END, CASE WHEN n_chars IS NULL THEN 'n_chars' END))",
+              "NULL", "documents",
+              "doc_id IS NULL OR text IS NULL OR lang IS NULL OR source IS NULL OR n_chars IS NULL"),
+])
+
+# the flagship carries absolute locations via $id
+_FLAGSHIP_ORACLE_ABS = _FLAGSHIP_ORACLE
+
+
+def _simple_range_oracle() -> dict[str, str]:
+    o = {}
+    o["kw_min_max"] = " UNION ALL ".join([
+        _viol_row("l_orderkey", "'/l_quantity'", "/properties/l_quantity/minimum", "minimum",
+                  "'value is less than 5'", "CAST(l_quantity AS VARCHAR)", "lineitem",
+                  "l_quantity IS NOT NULL AND l_quantity < 5", extra_id=", l_linenumber"),
+        _viol_row("l_orderkey", "'/l_quantity'", "/properties/l_quantity/maximum", "maximum",
+                  "'value is greater than 45'", "CAST(l_quantity AS VARCHAR)", "lineitem",
+                  "l_quantity IS NOT NULL AND l_quantity > 45", extra_id=", l_linenumber"),
+    ])
+    o["kw_exclusive"] = " UNION ALL ".join([
+        _viol_row("p_partkey", "'/p_retailprice'", "/properties/p_retailprice/exclusiveMinimum",
+                  "exclusiveMinimum", "'value is less than or equal to 905'",
+                  "CAST(p_retailprice AS VARCHAR)", "part",
+                  "p_retailprice IS NOT NULL AND p_retailprice <= 905"),
+        _viol_row("p_partkey", "'/p_retailprice'", "/properties/p_retailprice/exclusiveMaximum",
+                  "exclusiveMaximum", "'value is greater than or equal to 995'",
+                  "CAST(p_retailprice AS VARCHAR)", "part",
+                  "p_retailprice IS NOT NULL AND p_retailprice >= 995"),
+    ])
+    o["kw_length"] = " UNION ALL ".join([
+        _viol_row("doc_id", "'/text'", "/properties/text/minLength", "minLength",
+                  "'length is less than 100'", "text", "documents",
+                  "text IS NOT NULL AND length(text) < 100"),
+        _viol_row("doc_id", "'/text'", "/properties/text/maxLength", "maxLength",
+                  "'length is greater than 500'", "text", "documents",
+                  "text IS NOT NULL AND length(text) > 500"),
+    ])
+    o["kw_pattern"] = _viol_row(
+        "c_custkey", "'/c_name'", "/properties/c_name/pattern", "pattern",
+        "'pattern does not match'", "c_name", "customer",
+        "c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#00000[0-4]')")
+    o["kw_enum"] = _viol_row(
+        "o_orderkey", "'/o_orderstatus'", "/properties/o_orderstatus/enum", "enum",
+        "'value does not match'", "o_orderstatus", "orders",
+        "o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')")
+    o["kw_const"] = _viol_row(
+        "r_regionkey", "'/r_name'", "/properties/r_name/const", "const",
+        "'value does not match'", "r_name", "region",
+        "r_name IS NOT NULL AND r_name <> 'AFRICA'")
+    o["kw_multipleof"] = _viol_row(
+        "p_partkey", "'/p_size'", "/properties/p_size/multipleOf", "multipleOf",
+        "'value is not a multiple of 5'", "CAST(p_size AS VARCHAR)", "part",
+        "p_size IS NOT NULL AND p_size % 5 <> 0")
+    o["kw_required"] = _viol_row(
+        "event_id", "''", "/required", "required",
+        "concat('object is missing propert', CASE WHEN "
+        "((event_id IS NULL)::int+(ts IS NULL)::int+(user_id IS NULL)::int+(event_type IS NULL)::int+(value IS NULL)::int+(props IS NULL)::int) > 1 "
+        "THEN 'ies: ' ELSE 'y: ' END, concat_ws(', ', CASE WHEN event_id IS NULL THEN 'event_id' END, "
+        "CASE WHEN ts IS NULL THEN 'ts' END, CASE WHEN user_id IS NULL THEN 'user_id' END, "
+        "CASE WHEN event_type IS NULL THEN 'event_type' END, CASE WHEN value IS NULL THEN 'value' END, "
+        "CASE WHEN props IS NULL THEN 'props' END))",
+        "NULL", "events",
+        "event_id IS NULL OR ts IS NULL OR user_id IS NULL OR event_type IS NULL OR value IS NULL OR props IS NULL")
+    return o
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = _simple_range_oracle()
+    o["flagship_violations"] = _FLAGSHIP_ORACLE_ABS
+
+    # per-element items violations + per-row summary
+    o["kw_items"] = (
+        "SELECT vec_id, concat('/embedding/', CAST(i AS VARCHAR)) AS instance_location, "
+        "'/properties/embedding/items/minimum' AS keyword_location, 'minimum' AS keyword, "
+        "'value is less than -0.4' AS error "
+        "FROM (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings) "
+        "WHERE x < -0.4 "
+        "UNION ALL "
+        "SELECT vec_id, '/embedding', '/properties/embedding/items', 'items', "
+        "'subschema is not valid against all items' FROM embeddings "
+        "WHERE len(list_filter(embedding, x -> x < -0.4)) > 0"
+    )
+    o["kw_minmaxitems"] = (
+        "SELECT vec_id, '/embedding' AS instance_location, "
+        "'/properties/embedding/minItems' AS keyword_location, 'minItems' AS keyword, "
+        "'array has fewer than 65 items' AS error FROM embeddings WHERE len(embedding) < 65 "
+        "UNION ALL SELECT vec_id, '/embedding', '/properties/embedding/maxItems', 'maxItems', "
+        "'array has more than 2048 items' FROM embeddings WHERE len(embedding) > 2048"
+    )
+    o["kw_contains"] = (
+        "SELECT vec_id, '/embedding' AS instance_location, "
+        "'/properties/embedding/contains' AS keyword_location, 'contains' AS keyword, "
+        "'subschema is not valid against any item' AS error FROM embeddings "
+        "WHERE len(list_filter(embedding, x -> x >= 0.42)) < 1 "
+        "UNION ALL SELECT vec_id, '/embedding', '/properties/embedding/maxContains', 'maxContains', "
+        "'array contains more than 2 matching items' FROM embeddings "
+        "WHERE len(list_filter(embedding, x -> x >= 0.42)) > 2"
+    )
+    o["kw_prefixitems"] = (
+        "SELECT vec_id, '/embedding/0' AS instance_location, "
+        "'/properties/embedding/prefixItems/0/minimum' AS keyword_location, 'minimum' AS keyword, "
+        "'value is less than 0' AS error FROM embeddings WHERE len(embedding) > 0 AND embedding[1] < 0 "
+        "UNION ALL SELECT vec_id, '/embedding/1', '/properties/embedding/prefixItems/1/maximum', 'maximum', "
+        "'value is greater than 0' FROM embeddings WHERE len(embedding) > 1 AND embedding[2] > 0"
+    )
+    o["kw_oneof"] = (
+        "SELECT l_orderkey, l_linenumber, '' AS instance_location, '/oneOf' AS keyword_location, "
+        "'oneOf' AS keyword, "
+        "CASE WHEN (l_quantity >= 30)::int + (l_discount <= 0.04)::int = 0 "
+        "THEN 'no subschemas are valid' "
+        "ELSE concat('multiple subschemas are valid: ', concat_ws(', ', "
+        "CASE WHEN l_quantity >= 30 THEN '0' END, CASE WHEN l_discount <= 0.04 THEN '1' END)) END AS error "
+        "FROM lineitem WHERE (l_quantity >= 30)::int + (l_discount <= 0.04)::int <> 1"
+    )
+    o["kw_ifthenelse"] = (
+        "SELECT o_orderkey, '/o_totalprice' AS instance_location, "
+        "'/then/properties/o_totalprice/minimum' AS keyword_location, 'minimum' AS keyword, "
+        "'value is less than 50000' AS error, CAST(o_totalprice AS VARCHAR) AS offending_value "
+        "FROM orders WHERE o_orderstatus = 'O' AND o_totalprice < 50000 "
+        "UNION ALL "
+        "SELECT o_orderkey, '/o_totalprice', '/else/properties/o_totalprice/maximum', 'maximum', "
+        "'value is greater than 400000', CAST(o_totalprice AS VARCHAR) "
+        "FROM orders WHERE (o_orderstatus IS NULL OR o_orderstatus <> 'O') AND o_totalprice > 400000"
+    )
+    o["kw_anyof_not"] = (
+        "SELECT c_custkey, '' AS instance_location, '/allOf/0/anyOf' AS keyword_location, "
+        "'anyOf' AS keyword, 'no subschemas are valid' AS error FROM customer "
+        "WHERE NOT (c_acctbal >= 0 OR c_mktsegment = 'BUILDING') "
+        "UNION ALL "
+        "SELECT c_custkey, '', '/allOf/1/not', 'not', 'subschema is valid' FROM customer "
+        "WHERE c_acctbal >= 9999.98"
+    )
+    o["stats_lineitem"] = (
+        "WITH t AS (SELECT count(*) n, "
+        " sum((l_orderkey IS NULL)::bigint) n1, CAST(min(l_orderkey) AS VARCHAR) mn1, CAST(max(l_orderkey) AS VARCHAR) mx1, count(DISTINCT l_orderkey) d1, "
+        " sum((l_quantity IS NULL)::bigint) n2, CAST(min(l_quantity) AS VARCHAR) mn2, CAST(max(l_quantity) AS VARCHAR) mx2, count(DISTINCT l_quantity) d2, "
+        " sum((l_returnflag IS NULL)::bigint) n3, CAST(min(l_returnflag) AS VARCHAR) mn3, CAST(max(l_returnflag) AS VARCHAR) mx3, count(DISTINCT l_returnflag) d3 "
+        " FROM lineitem) "
+        "SELECT 'l_orderkey' AS \"column\", n AS n_rows, n1 AS null_count, round(n1*1.0/n, 9) AS null_fraction, mn1 AS \"min\", mx1 AS \"max\", d1 AS distinct_count FROM t "
+        "UNION ALL SELECT 'l_quantity', n, n2, round(n2*1.0/n, 9), mn2, mx2, d2 FROM t "
+        "UNION ALL SELECT 'l_returnflag', n, n3, round(n3*1.0/n, 9), mn3, mx3, d3 FROM t"
+    )
+    o["hist_n_chars"] = (
+        "SELECT bucket, CAST(round((bucket-1)*50.0, 6) AS DOUBLE) AS lo, "
+        "CAST(round(bucket*50.0, 6) AS DOUBLE) AS hi, count(*) AS cnt FROM ("
+        "SELECT CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 600 THEN 13 "
+        "ELSE CAST(floor(n_chars/50.0) AS BIGINT) + 1 END AS bucket "
+        "FROM documents WHERE n_chars IS NOT NULL) GROUP BY bucket"
+    )
+    dup_docs = "(SELECT * FROM documents UNION ALL SELECT * FROM documents WHERE doc_id % 97 = 0)"
+    o["unique_doc_ids"] = (
+        f"SELECT doc_id, count(*) AS dup_count FROM {dup_docs} GROUP BY doc_id HAVING count(*) > 1"
+    )
+    o["ref_broadcast"] = (
+        "SELECT o_orderkey, '/o_custkey' AS instance_location, '/x-ref/o_custkey' AS keyword_location, "
+        "'x-ref' AS keyword, 'value not found in reference dictionary for o_custkey' AS error, "
+        "CAST(o_custkey AS VARCHAR) AS offending_value FROM orders "
+        "WHERE o_custkey IS NOT NULL AND o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0)"
+    )
+    o["ref_sortmerge_salted"] = (
+        "SELECT l_suppkey, count(*) AS n_rows FROM lineitem "
+        "WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 <> 0) GROUP BY l_suppkey"
+    )
+    o["drift_ks_n_chars"] = _drift_oracle()
+    o["dedup_exact"] = (
+        f"SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
+        f"FROM {dup_docs} GROUP BY md5(text) HAVING count(*) > 1"
+    )
+    o["dedup_ngram_jaccard"] = _jaccard_oracle(dup_docs)
+    o["minhash_bands"] = _minhash_oracle()
+    o["text_quality"] = _quality_oracle()
+    o["text_langid"] = _langid_oracle()
+    o["text_fingerprint"] = (
+        "SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM ("
+        f"SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp "
+        f"FROM {dup_docs}) GROUP BY fp HAVING count(*) > 1"
+    )
+    o["text_token_counts"] = (
+        "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens_bpe, "
+        "len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens_ws FROM documents"
+    )
+    o["ann_bruteforce_topk"] = _ann_oracle()
+    o["ann_lsh_buckets"] = _lsh_bucket_oracle()
+    o["neardup_cosine"] = (
+        "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "CAST(round(list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1]*x[2])) "
+        "/ (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x*x))) * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x*x)))), 6) AS DOUBLE) AS sim "
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) "
+        "WHERE sim >= 0.5"
+    )
+    o["events_window_counts"] = (
+        "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, "
+        "count(*) AS n, CAST(round(sum(value), 6) AS DOUBLE) AS total_value "
+        "FROM events GROUP BY 1, 2"
+    )
+    # dedup_minhash_lsh / dedup_simhash: graph-shaped candidate generation —
+    # rows-only check (signatures themselves are oracle-checked via
+    # minhash_bands); flagship covers the remaining row-local keywords.
+    return o
+
+
+def _drift_oracle() -> str:
+    c = 1.628  # Smirnov c(0.01)
+    return f"""
+WITH binned AS (
+  SELECT source AS grp,
+         CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 600 THEN 601
+              ELSE CAST(floor(n_chars/1.0) AS BIGINT) + 1 END AS bucket,
+         count(*) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+gtot AS (SELECT bucket, sum(cnt) AS gcnt FROM binned GROUP BY 1),
+totals AS (SELECT grp, sum(cnt) AS n_grp FROM binned GROUP BY 1),
+nglob AS (SELECT sum(gcnt) AS n_glob FROM gtot),
+grid AS (
+  SELECT g.grp, gl.bucket, coalesce(b.cnt, 0) AS cnt, gl.gcnt
+  FROM (SELECT DISTINCT grp FROM binned) g
+  CROSS JOIN gtot gl
+  LEFT JOIN binned b ON b.grp = g.grp AND b.bucket = gl.bucket),
+ecdf AS (
+  SELECT grp, bucket,
+         sum(cnt)  OVER (PARTITION BY grp ORDER BY bucket) AS cum_grp,
+         sum(gcnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum_glob
+  FROM grid),
+stats AS (
+  SELECT e.grp, t.n_grp, n.n_glob,
+         max(abs(cum_grp*1.0/t.n_grp - cum_glob*1.0/n.n_glob)) AS ks_d
+  FROM ecdf e JOIN totals t ON e.grp = t.grp CROSS JOIN nglob n
+  GROUP BY e.grp, t.n_grp, n.n_glob)
+SELECT grp AS source, n_grp AS n_group, n_glob AS n_global,
+       CAST(round(round(ks_d, 9), 6) AS DOUBLE) AS ks_d,
+       CAST(round(round({c} * sqrt((n_grp + n_glob)*1.0/(n_grp*n_glob)), 9), 6) AS DOUBLE) AS threshold,
+       ks_d > {c} * sqrt((n_grp + n_glob)*1.0/(n_grp*n_glob)) AS drifted
+FROM stats
+"""
+
+
+def _jaccard_oracle(dup_docs: str) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS _id,
+         list_distinct(list_transform(
+           list_zip(words[1:len(words)-1], words[2:len(words)]),
+           x -> concat(x[1], ' ', x[2]))) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM {dup_docs})),
+pairs AS (
+  SELECT l._id AS id_a, r._id AS id_b,
+         len(list_intersect(l.shingles, r.shingles))*1.0 /
+         len(list_distinct(list_concat(l.shingles, r.shingles))) AS jaccard
+  FROM sh l, sh r WHERE l._id < r._id)
+SELECT id_a, id_b, CAST(round(jaccard, 6) AS DOUBLE) AS jaccard FROM pairs WHERE jaccard >= 0.9
+"""
+
+
+def _minhash_oracle() -> str:
+    from json_schema_modern_spark.operators.dedup import MERSENNE_P, _hash_params
+
+    a, b = _hash_params(8, 42)
+    sig_exprs = []
+    for i in range(8):
+        sig_exprs.append(
+            f"list_min(list_transform(digests, d -> ({a[i]} * d + {b[i]}) % {MERSENNE_P}))"
+        )
+    bands = []
+    for i in range(4):
+        bands.append(
+            f"SELECT doc_id, {i} AS band, concat(CAST(s{2*i+1} AS VARCHAR), ',', CAST(s{2*i+2} AS VARCHAR)) AS bkey FROM sigs"
+        )
+    sig_cols = ", ".join(f"{e} AS s{i+1}" for i, e in enumerate(sig_exprs))
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_zip(words[1:len(words)-1], words[2:len(words)]),
+           x -> concat(x[1], ' ', x[2]))) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM documents)),
+dig AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % {MERSENNE_P}) AS digests
+  FROM sh),
+sigs AS (SELECT doc_id, {sig_cols} FROM dig)
+{' UNION ALL '.join(bands)}
+"""
+
+
+def _quality_oracle() -> str:
+    return """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(words) AS n_words,
+       CAST(round(list_sum(list_transform(words, w -> length(w)))*1.0 / greatest(len(words), 1), 6) AS DOUBLE) AS avg_word_len,
+       CAST(round(pr, 6) AS DOUBLE) AS punct_ratio,
+       CAST(round(sr, 6) AS DOUBLE) AS stopword_ratio,
+       CAST(round(CASE WHEN len(words) < 5 THEN 0.0 ELSE
+         least(len(words)/100.0, 1.0)*0.4 + (1.0 - least(pr*5, 1.0))*0.3 + least(sr*4, 1.0)*0.3 END, 6) AS DOUBLE) AS quality_score
+FROM (
+  SELECT doc_id, text, words,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))*1.0 / greatest(length(text), 1) AS pr,
+         len(list_filter(words, w -> list_contains(['the','a','and','of','to','in','is','that','it','for'], w)))*1.0
+           / greatest(len(words), 1) AS sr
+  FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS words FROM documents))
+"""
+
+
+def _langid_oracle() -> str:
+    from json_schema_modern_spark.operators.text import STOPWORDS
+
+    struct_rows = []
+    for lang in sorted(STOPWORDS):
+        lst = "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        struct_rows.append(
+            "{'score': len(list_filter(words, w -> list_contains(" + lst + ", w)))*1.0"
+            " / greatest(len(words), 1), 'lang': '" + lang + "'}"
+        )
+    arr = "[" + ", ".join(struct_rows) + "]"
+    return f"""
+SELECT doc_id, best.lang AS pred_lang, CAST(round(best.score, 6) AS DOUBLE) AS pred_score
+FROM (
+  SELECT doc_id, list_max({arr}) AS best
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM documents))
+"""
+
+
+def _ann_oracle() -> str:
+    from json_schema_modern_spark.operators.similarity import query_vector
+
+    q = query_vector(64, seed=42)
+    qlit = "[" + ",".join(repr(x) for x in q) + "]::DOUBLE[]"
+    import math
+
+    qn = repr(math.sqrt(sum(x * x for x in q)))
+    return f"""
+SELECT vec_id, sim FROM (
+  SELECT vec_id,
+    CAST(round(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), {qlit}), x -> x[1]*x[2]))
+      / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) * {qn}), 6) AS DOUBLE) AS sim
+  FROM embeddings)
+ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _lsh_bucket_oracle() -> str:
+    from json_schema_modern_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 6, seed=42)
+    terms = []
+    for i, p in enumerate(planes):
+        plit = "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), {plit}), x -> x[1]*x[2])) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    return f"SELECT ({bucket}) AS bucket, count(*) AS cnt FROM embeddings GROUP BY 1"

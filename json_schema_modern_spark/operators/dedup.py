@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup — each designed
+for the 100 TB shape first:
+
+- exact: hash-groupBy on a digest, shuffle carries (digest, id) pairs only;
+- MinHash+LSH: per-row signature (narrow, no shuffle) → explode to
+  (band, band_hash) keys → groupBy bands → candidate pairs only within
+  buckets (never all-pairs);
+- SimHash: per-row 64-bit fingerprint, bucket by fingerprint prefix so
+  Hamming-close pairs co-locate;
+- n-gram Jaccard: the exact verifier applied to candidate pairs, never to
+  the full cross product.
+
+All hashing is digest-based (md5 → 60-bit int) rather than JVM-internal
+hash functions so results are reproducible across engines (the DuckDB
+oracle computes the identical signatures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime — universal-hash family (a*x + b) mod p.
+# 31 bits (not 61) so a·x stays < 2^62 and never overflows a 64-bit long:
+# the arithmetic must be exact AND portable (the DuckDB oracle recomputes
+# identical signatures in BIGINT).
+MERSENNE_P = (1 << 31) - 1
+
+
+def _md5_int(col: Column) -> Column:
+    """Stable 60-bit integer digest of a string (engine-portable: DuckDB
+    gets the same value via CAST(concat('0x', substring(md5(x),1,15)) AS
+    BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """n-word shingles as strings (lowercased, whitespace-tokenized)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    if n == 1:
+        return F.array_distinct(words)
+    slices = [F.slice(words, i + 1, F.greatest(F.size(words) - n + 1, F.lit(0))) for i in range(n)]
+    zipped = F.arrays_zip(*slices)
+    return F.array_distinct(
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]))
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_docs, keep_id) for exact-duplicate groups (count>1)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 2, seed: int = 42) -> Column:
+    """array<long> MinHash signature over word shingles.
+
+    h_i(x) = (a_i·x + b_i) mod p over the shingle digests; min per i.
+    (a_i, b_i) derive from the seed via a fixed LCG so the signature is a
+    pure function of (text, seed) — reproducible anywhere."""
+    a, b = _hash_params(num_hashes, seed)
+    digests = F.transform(word_shingles(text, shingle_n), lambda w: F.pmod(_md5_int(w), F.lit(MERSENNE_P)))
+
+    def hasher(ai: int, bi: int):
+        # closure factory (NOT default-arg lambdas: PySpark reads the lambda
+        # arity and would pass the element index into the extra params)
+        return lambda d: F.pmod(F.lit(ai) * d + F.lit(bi), F.lit(MERSENNE_P))
+
+    sig = [F.array_min(F.transform(digests, hasher(ai, bi))) for ai, bi in zip(a, b)]
+    return F.array(*sig)
+
+
+def _hash_params(k: int, seed: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) parameter lists via a 64-bit LCG (splittable,
+    same constants as Java's — public domain Knuth MMIX values)."""
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    out_a, out_b = [], []
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        out_a.append((state >> 3) % (MERSENNE_P - 1) + 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        out_b.append((state >> 3) % MERSENNE_P)
+    return out_a, out_b
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, band) via banded LSH.
+
+    rows = b bands of r = num_hashes/b rows each; two docs collide if any
+    band's sub-signature matches exactly.  Shuffle key is (band, hash of
+    sub-signature): uniform by construction, so no salting needed."""
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
+    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    bucket_rows = banded.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.md5(F.concat_ws(",", *[F.element_at("_sig", i * r + j + 1).cast("string") for j in range(r)])).alias("bkey"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bkey")
+    left = bucket_rows.alias("l")
+    right = bucket_rows.alias("r")
+    pairs = (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
+
+    With `candidates` (from LSH) the join is candidate-pairs only — the
+    scale path. Without, it self-joins on a shared shingle (still never a
+    blind cross product, but quadratic within heavy shingle groups — small
+    data / verification use)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    if candidates is None:
+        ex = sh.select("_id", F.explode("_sh").alias("s"))
+        candidates = (
+            ex.alias("l").join(ex.alias("r"), "s")
+            .where(F.col("l._id") < F.col("r._id"))
+            .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+            .distinct()
+        )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column, seed: int = 42) -> Column:
+    """64-bit SimHash over word digests: per bit, sign of Σ±1 votes.
+
+    Pure Column arithmetic (bit tests on the word digest), no UDF."""
+    words = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    digests = F.transform(words, lambda w: _md5_int(F.concat(w, F.lit(f"#{seed}"))))
+
+    def voter(bit: int):
+        return lambda acc, d: acc + F.when(
+            F.shiftright(d, bit % 60).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")
+        ).otherwise(F.lit(-1).cast("long"))
+
+    bits = []
+    for i in range(64):
+        vote = F.aggregate(digests, F.lit(0).cast("long"), voter(i))
+        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits[:63]):  # keep sign bit clear
+        out = out + (b * F.lit(1 << i))
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+    n_prefix_bits: int = 16,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with SimHash Hamming distance ≤ k.
+
+    Blocking: rotate the fingerprint into 4 prefix views; any pair within
+    Hamming ≤ 3 of a 64-bit code shares at least one 16-bit block
+    (pigeonhole) — candidate generation is groupBy on small keys."""
+    f = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col), seed).alias("_f"))
+    blocks = f.select(
+        "_id", "_f",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright("_f", i * n_prefix_bits).bitwiseAND(F.lit((1 << n_prefix_bits) - 1)).alias("key"))
+            for i in range(64 // n_prefix_bits)
+        ])).alias("b"),
+    ).select("_id", "_f", "b.blk", "b.key")
+    pairs = (
+        blocks.alias("l").join(blocks.alias("r"), ["blk", "key"])
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+                F.bit_count(F.col("l._f").bitwiseXOR(F.col("r._f"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

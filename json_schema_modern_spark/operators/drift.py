@@ -1,0 +1,165 @@
+"""KS-style distribution-drift checks, per group (x-drift keyword).
+
+Compares each group's distribution of a numeric column against the global
+(all-groups) distribution with a two-sample Kolmogorov–Smirnov statistic:
+D = sup_x |ECDF_group(x) − ECDF_global(x)|, flagged when D exceeds the
+critical value c(α)·sqrt((n+m)/(n·m)).
+
+Two implementations:
+
+- `ks_drift` (default, pure DataFrame): values are first binned
+  (width_bucket, B buckets) → groupBy(source, bucket) counts → cumulative
+  sums over B via a window partitioned by source.  The shuffle carries at
+  most |groups|×B rows regardless of input size — this is the 100 TB path.
+  For an integer column like n_tok∈[1,2048], binning at B=max is EXACT.
+- `ks_drift_pandas` (applyInPandas): the reference-shape implementation on
+  raw values per group, used to cross-check the binned one and as the
+  engine's demonstration of a custom grouped aggregate (vectorized Arrow
+  path, no per-row Python).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Smirnov critical-value coefficients c(α)
+_C_ALPHA = {0.10: 1.224, 0.05: 1.358, 0.025: 1.480, 0.01: 1.628, 0.005: 1.731, 0.001: 1.949}
+
+
+def _c_alpha(alpha: float) -> float:
+    if alpha in _C_ALPHA:
+        return _C_ALPHA[alpha]
+    return math.sqrt(-0.5 * math.log(alpha / 2.0))
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 2048,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """(group, n_group, n_global, ks_d, threshold, drifted) per group.
+
+    Each group is compared against the pooled global distribution.
+    """
+    b = F.width_bucket(F.col(value_col).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
+    binned = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), b.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # global per-bucket counts (tiny: ≤ n_buckets rows) — broadcast back
+    glob = binned.groupBy("bucket").agg(F.sum("cnt").alias("gcnt"))
+    totals = binned.groupBy("grp").agg(F.sum("cnt").alias("n_grp"))
+    n_global = glob.agg(F.sum("gcnt").alias("n_glob"))
+
+    # dense bucket × group grid so ECDF steps align even for empty buckets
+    grid = (
+        binned.join(F.broadcast(glob), "bucket", "right_outer")
+        .select("grp", "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"), "gcnt")
+    )
+    # fill missing (grp,bucket) combinations: cross groups × buckets
+    groups = binned.select("grp").distinct()
+    full = (
+        groups.crossJoin(F.broadcast(glob.select("bucket", "gcnt")))
+        .join(binned, ["grp", "bucket"], "left_outer")
+        .select("grp", "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"), "gcnt")
+    )
+    w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = full.select(
+        "grp", "bucket",
+        F.sum("cnt").over(w).alias("cum_grp"),
+        F.sum("gcnt").over(w).alias("cum_glob"),
+    )
+    stats = (
+        ecdf.join(F.broadcast(totals), "grp")
+        .crossJoin(F.broadcast(n_global))
+        .select(
+            "grp",
+            F.abs(F.col("cum_grp") / F.col("n_grp") - F.col("cum_glob") / F.col("n_glob")).alias("d"),
+            "n_grp", "n_glob",
+        )
+        .groupBy("grp", "n_grp", "n_glob")
+        .agg(F.max("d").alias("ks_d"))
+    )
+    c = _c_alpha(alpha)
+    return stats.select(
+        F.col("grp").alias(group_col),
+        F.col("n_grp").alias("n_group"),
+        F.col("n_glob").alias("n_global"),
+        F.round("ks_d", 9).alias("ks_d"),
+        F.round(
+            F.lit(c) * F.sqrt((F.col("n_grp") + F.col("n_glob")) / (F.col("n_grp") * F.col("n_glob"))), 9
+        ).alias("threshold"),
+        (
+            F.col("ks_d")
+            > F.lit(c) * F.sqrt((F.col("n_grp") + F.col("n_glob")) / (F.col("n_grp") * F.col("n_glob")))
+        ).alias("drifted"),
+    )
+
+
+def ks_drift_pandas(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    reference: list[float] | None = None,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """applyInPandas KS per group against a broadcast reference sample.
+
+    reference=None ⇒ compare against the pooled sample collected per batch
+    group... at scale callers pass an explicit (downsampled) reference —
+    the broadcast ECDF design from SURVEY.md §2.8."""
+    import numpy as np
+
+    if reference is None:
+        reference = [r[0] for r in df.select(value_col).sample(0.1, seed=42).limit(100_000).collect()]
+    ref = sorted(float(x) for x in reference)
+    c = _c_alpha(alpha)
+
+    def ks(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(pdf[value_col].dropna().to_numpy(dtype=float))
+        n, m = len(vals), len(ref)
+        if n == 0 or m == 0:
+            d = float("nan")
+        else:
+            ra = np.asarray(ref)
+            all_v = np.concatenate([vals, ra])
+            cdf1 = np.searchsorted(vals, all_v, side="right") / n
+            cdf2 = np.searchsorted(ra, all_v, side="right") / m
+            d = float(np.max(np.abs(cdf1 - cdf2)))
+        thr = c * math.sqrt((n + m) / (n * m)) if n and m else float("nan")
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]], "n_group": [n], "ks_d": [d],
+             "threshold": [thr], "drifted": [bool(d > thr)]}
+        )
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
+        ks, schema=f"{group_col} string, n_group long, ks_d double, threshold double, drifted boolean"
+    )
+
+
+def drift_violations(drift_df: DataFrame, group_col: str, value_col: str,
+                     keyword_location: str = "/x-drift") -> DataFrame:
+    return drift_df.filter(F.col("drifted")).select(
+        F.lit(None).cast("string").alias("doc_id"),
+        F.concat(F.lit(f"/{value_col}")).alias("instance_location"),
+        F.lit(f"{keyword_location}/{value_col}").alias("keyword_location"),
+        F.lit(None).cast("string").alias("absolute_keyword_location"),
+        F.lit("x-drift").alias("keyword"),
+        F.concat(
+            F.lit(f"distribution of {value_col} for {group_col}="),
+            F.col(group_col).cast("string"),
+            F.lit(" drifted: D="), F.round("ks_d", 6).cast("string"),
+            F.lit(" > "), F.round("threshold", 6).cast("string"),
+        ).alias("error"),
+        F.col(group_col).cast("string").alias("offending_value"),
+    )

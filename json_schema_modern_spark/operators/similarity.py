@@ -1,0 +1,144 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- `cosine_topk`: brute-force baseline. Dot products via F.zip_with +
+  F.aggregate (JVM-side, codegen'd — no Python); top-k via a global
+  ORDER BY LIMIT k, which Spark executes as per-partition top-k +
+  single-reduce merge (TakeOrderedAndProject), i.e. the shuffle carries
+  k rows per partition, not the corpus.
+- `lsh_bucket_ids` / `lsh_topk`: random-hyperplane (sign) LSH — the scale
+  path. Buckets computed per-row with pure arithmetic; the query probes
+  only its own bucket (and optionally multi-probe neighbors), turning a
+  100 TB scan into a bucket-pruned scan.
+- `embedding_near_duplicates`: cosine near-dup pairs within LSH buckets.
+
+Hyperplanes derive from a seeded LCG so Spark and any oracle engine
+compute identical bucket ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lcg_floats(n: int, seed: int) -> list[float]:
+    """Deterministic floats in [-1, 1) from a 64-bit LCG (engine-portable)."""
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        out.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return out
+
+
+def query_vector(dim: int, seed: int = 42) -> list[float]:
+    return _lcg_floats(dim, seed)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    return [_lcg_floats(dim, seed + 1000 + i) for i in range(n_planes)]
+
+
+def dot(vec: Column, lits: list[float]) -> Column:
+    """Σ vec[i]·lit[i] — zip_with + aggregate, all JVM-side."""
+    arr = F.array(*[F.lit(float(x)).cast("double") for x in lits])
+    return F.aggregate(
+        F.zip_with(vec.cast("array<double>"), arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(vec: Column) -> Column:
+    return F.sqrt(F.aggregate(vec.cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x))
+
+
+def cosine_to_query(vec: Column, q: list[float]) -> Column:
+    import math
+
+    qn = math.sqrt(sum(x * x for x in q))
+    return dot(vec, q) / (norm(vec) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, sim) of the k most cosine-similar rows to the query vector."""
+    return (
+        df.select(F.col(id_col), F.round(cosine_to_query(F.col(vec_col), query), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def lsh_bucket_ids(vec: Column, planes: list[list[float]]) -> Column:
+    """Integer bucket id: bit i = sign(vec · plane_i)."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        out = out + F.when(dot(vec, p) >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k: score only rows in the query's LSH bucket (+ buckets at
+    Hamming distance ≤ multiprobe).  Recall/cost trades via n_planes and
+    multiprobe; exactness is cosine_topk's job."""
+    planes = hyperplanes(len(query), n_planes, seed)
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) >= 0:
+            qb |= 1 << i
+    probe = {qb}
+    if multiprobe >= 1:
+        probe |= {qb ^ (1 << i) for i in range(n_planes)}
+    bucketed = df.withColumn("_bucket", lsh_bucket_ids(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("_bucket").isin([int(b) for b in probe]))
+    return (
+        cand.select(F.col(id_col), F.round(cosine_to_query(F.col(vec_col), query), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, sim) pairs with cosine ≥ threshold.
+
+    exact=False joins within LSH buckets only (misses a sliver of pairs on
+    bucket boundaries — the documented ANN trade); exact=True self-joins
+    everything (verification/small-data)."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    if exact:
+        joined = base.alias("l").crossJoin(base.alias("r")).where(F.col("l._id") < F.col("r._id"))
+    else:
+        planes = hyperplanes(df.select(F.size(vec_col)).first()[0], n_planes, seed)
+        b = base.withColumn("_bucket", lsh_bucket_ids(F.col("_v"), planes))
+        joined = b.alias("l").join(b.alias("r"), "_bucket").where(F.col("l._id") < F.col("r._id"))
+    sim = F.aggregate(
+        F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, c: a * c), F.lit(0.0), lambda a, x: a + x
+    ) / (norm(F.col("l._v")) * norm(F.col("r._v")))
+    return (
+        joined.select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,93 @@
+"""Single-pass column statistics (SURVEY.md §2.8 aggregations).
+
+One `agg()` with every measure → ONE scan, ONE partial+final aggregate
+(map-side combine, no shuffle of raw rows — only of per-partition partial
+states, which is O(partitions), not O(rows)).  At 10^12 rows this is the
+only shape that works: never one job per column.
+
+approx-distinct uses Spark's built-in HyperLogLog++ sketch
+(approx_count_distinct); histograms use fixed-width buckets computed with
+width_bucket so the per-row work is a single multiply — not
+histogram_numeric, whose per-row state merge is heavier and
+non-deterministic across partition orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def column_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """stats(column, n_rows, null_count, null_fraction, min, max, distinct_count)
+
+    exact_distinct=True swaps HLL for exact count(DISTINCT) — used by the
+    DuckDB-oracle correctness gate; production default is the sketch.
+    """
+    cols = columns or df.columns
+    total = F.count(F.lit(1))
+    aggs = [total.alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        # min/max in the column's native ordering, cast to string only for
+        # the unified output row (casting first would sort lexicographically)
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+        else:
+            aggs.append(F.approx_count_distinct(c, rsd=rsd).alias(f"{c}__dist"))
+    row = df.agg(*aggs)
+
+    # unpivot the single wide row into (column, measures...) — driver-free
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("null_count"),
+            (F.col(f"{c}__nulls") / F.col("_n")).alias("null_fraction"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max"),
+            F.col(f"{c}__dist").alias("distinct_count"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def numeric_histogram(
+    df: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Fixed-width histogram: hist(bucket, lo, hi, cnt).
+
+    width_bucket is a pure arithmetic per-row expression → partial-agg
+    groupBy on a small integer key: shuffle volume = n_buckets rows per
+    partition, independent of data size.  Bucket 0 = underflow,
+    n_buckets+1 = overflow (width_bucket semantics)."""
+    width = (hi - lo) / n_buckets
+    return (
+        df.select(F.width_bucket(F.col(column).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)).alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            (F.lit(lo) + (F.col("bucket") - 1) * F.lit(width)).alias("lo"),
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("hi"),
+            "cnt",
+        )
+    )
+
+
+def token_length_histogram(df: DataFrame, n_buckets: int = 32, max_len: int = 2048) -> DataFrame:
+    return numeric_histogram(df, "n_tok", 0.0, float(max_len), n_buckets)

@@ -1,0 +1,114 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.  All pure Column expressions (regex + array ops)
+— zero Python in the row loop, so they ride whole-stage codegen at any
+scale.  Formulas are deliberately SQL-portable for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# minimal per-language stopword lists (public common words)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "nicht"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+# word-ish tokens: runs of word chars OR single non-space punctuation —
+# the BPE-style pre-tokenizer split
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def words(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count (regex pre-tokenization)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    w = words(text)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    return hits / F.greatest(F.size(w), F.lit(1))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_words, avg_word_len, punct_ratio, stopword_ratio,
+    quality_score) — the classic cheap quality filters."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    avg_wl = F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")) / F.greatest(n_words, F.lit(1))
+    pr = punct_ratio(t)
+    sr = stopword_ratio(t, "en")
+    score = (
+        F.when(n_words < 5, 0.0)
+        .otherwise(
+            F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (F.lit(1.0) - F.least(pr * 5, F.lit(1.0))) * 0.3
+            + F.least(sr * 4, F.lit(1.0)) * 0.3
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(avg_wl, 6).alias("avg_word_len"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(sr, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pred_lang, pred_score) — stopword-overlap heuristic language ID.
+
+    score_lang = |words ∩ stopwords_lang| / |words|; argmax with a fixed
+    tie order (lexicographic by language code)."""
+    w = words(F.col(text_col))
+    n = F.greatest(F.size(w), F.lit(1))
+
+    def sw_filter(lang: str):
+        sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        return lambda x: F.array_contains(sw, x)
+
+    scored = F.array(*[
+        F.struct(
+            (F.size(F.filter(w, sw_filter(lang))) / n).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(STOPWORDS)
+    ])
+    # array_max on struct compares field-wise: score first, then lang —
+    # ties break to the LAST lang lexicographically; invert lang for
+    # deterministic first-wins ordering is overkill: keep struct order
+    best = F.array_max(scored)
+    return df.select(
+        F.col(id_col),
+        best.getField("lang").alias("pred_lang"),
+        F.round(best.getField("score"), 6).alias("pred_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fp) — normalization fingerprint: lowercase, strip non-alnum,
+    md5. Equal fp ⇔ near-identical text modulo casing/punct/whitespace."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))
