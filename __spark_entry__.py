@@ -161,6 +161,98 @@ def _q_kw_anyof_not(spark, sf_dir):
         .filter(F.col("keyword").isin("anyOf", "not")).drop("offending_value")
 
 
+def _q_kw_uniqueitems(spark, sf_dir):
+    spec = {"type": "object", "properties": {"pair": {"uniqueItems": True}}}
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.array(F.pmod("l_suppkey", F.lit(50)), F.pmod("l_partkey", F.lit(50))).alias("pair"))
+    from json_schema_modern_spark import Validator
+    res = Validator(spec).validate(li, id_cols=["l_orderkey", "l_linenumber"])
+    return res.violations.select("l_orderkey", "l_linenumber", "instance_location",
+                                 "keyword_location", "keyword", "error")
+
+
+def _events_derived(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") > 50, F.col("value")).alias("big_value"),
+        F.when(F.col("user_id") % 2 == 0, F.col("user_id")).alias("even_user"),
+    )
+
+
+def _q_kw_dependentrequired(spark, sf_dir):
+    spec = {"type": "object", "dependentRequired": {"big_value": ["even_user"]}}
+    from json_schema_modern_spark import Validator
+    res = Validator(spec).validate(_events_derived(spark, sf_dir), id_cols=["event_id"])
+    return res.violations.select("event_id", "instance_location", "keyword_location",
+                                 "keyword", "error")
+
+
+def _q_kw_dependentschemas(spark, sf_dir):
+    spec = {"type": "object",
+            "dependentSchemas": {"big_value": {"required": ["even_user"],
+                                               "properties": {"big_value": {"maximum": 99}}}}}
+    from json_schema_modern_spark import Validator
+    res = Validator(spec).validate(_events_derived(spark, sf_dir), id_cols=["event_id"])
+    return res.violations.select("event_id", "instance_location", "keyword_location",
+                                 "keyword", "error")
+
+
+def _q_kw_nested_struct(spark, sf_dir):
+    """contentMediaType-style nested validation: props JSON parsed into a
+    struct column, constraints applied to the nested field."""
+    spec = {"type": "object",
+            "properties": {"props": {"type": "object", "required": ["k"],
+                                     "properties": {"k": {"minimum": 10, "maximum": 90}}}}}
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", F.from_json("props", "k int").alias("props"))
+    from json_schema_modern_spark import Validator
+    res = Validator(spec).validate(ev, id_cols=["event_id"])
+    return res.violations.select("event_id", "instance_location", "keyword_location",
+                                 "keyword", "error", "offending_value")
+
+
+def _q_kw_format(spark, sf_dir):
+    from json_schema_modern_spark import Validator
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    spec = {"type": "object",
+            "properties": {"d": {"format": "date"}, "u": {"format": "uuid"}}}
+    cu = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.lit("2024-"),
+                 F.lpad((F.pmod("c_custkey", F.lit(15)) + 1).cast("string"), 2, "0"),
+                 F.lit("-28")).alias("d"),
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("not-a-uuid")).otherwise(
+            F.concat_ws("-",
+                        F.substring(F.md5(F.col("c_name")), 1, 8),
+                        F.substring(F.md5(F.col("c_name")), 9, 4),
+                        F.substring(F.md5(F.col("c_name")), 13, 4),
+                        F.substring(F.md5(F.col("c_name")), 17, 4),
+                        F.substring(F.md5(F.col("c_name")), 21, 12))).alias("u"),
+    )
+    res = Validator(spec, CompileOptions(validate_formats=True)).validate(cu, id_cols=["c_custkey"])
+    return res.violations.select("c_custkey", "instance_location", "keyword_location",
+                                 "keyword", "error", "offending_value")
+
+
+def _q_kw_ref_defs(spark, sf_dir):
+    """$ref flattening: keyword_location records the path as evaluated,
+    including the $ref hop (ResultNode.pm keyword path semantics)."""
+    spec = {"$defs": {"qty": {"minimum": 5, "maximum": 45}},
+            "type": "object",
+            "properties": {"l_quantity": {"$ref": "#/$defs/qty"}}}
+    return _validate(spark, sf_dir, "lineitem", spec, ["l_orderkey", "l_linenumber"])
+
+
+def _q_kw_type_integer_frac(spark, sf_dir):
+    """type: integer on a fractional column — 2.0 is an integer
+    (Utilities.pm:152-156); values with a fractional part are not."""
+    spec = {"type": "object", "properties": {"p_retailprice": {"type": "integer"}}}
+    return _validate(spark, sf_dir, "part", spec, ["p_partkey"]).drop("offending_value")
+
+
 def _q_stats(spark, sf_dir):
     from json_schema_modern_spark.operators.stats import column_stats
 
@@ -345,6 +437,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_oneof": _q_kw_oneof,
         "kw_ifthenelse": _q_kw_ifthenelse,
         "kw_anyof_not": _q_kw_anyof_not,
+        "kw_uniqueitems": _q_kw_uniqueitems,
+        "kw_dependentrequired": _q_kw_dependentrequired,
+        "kw_dependentschemas": _q_kw_dependentschemas,
+        "kw_nested_struct": _q_kw_nested_struct,
+        "kw_format": _q_kw_format,
+        "kw_ref_defs": _q_kw_ref_defs,
+        "kw_type_integer_frac": _q_kw_type_integer_frac,
         "stats_lineitem": _q_stats,
         "hist_n_chars": _q_hist,
         "unique_doc_ids": _q_unique,
@@ -535,6 +634,59 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL "
         "SELECT c_custkey, '', '/allOf/1/not', 'not', 'subschema is valid' FROM customer "
         "WHERE c_acctbal >= 9999.98"
+    )
+    o["kw_uniqueitems"] = (
+        "SELECT l_orderkey, l_linenumber, '/pair' AS instance_location, "
+        "'/properties/pair/uniqueItems' AS keyword_location, 'uniqueItems' AS keyword, "
+        "'items are not unique' AS error FROM lineitem "
+        "WHERE l_suppkey % 50 = l_partkey % 50"
+    )
+    o["kw_dependentrequired"] = (
+        "SELECT event_id, '' AS instance_location, '/dependentRequired' AS keyword_location, "
+        "'dependentRequired' AS keyword, 'not all dependencies are satisfied' AS error "
+        "FROM events WHERE value > 50 AND user_id % 2 <> 0"
+    )
+    o["kw_dependentschemas"] = (
+        "SELECT event_id, '' AS instance_location, "
+        "'/dependentSchemas/big_value/required' AS keyword_location, 'required' AS keyword, "
+        "'object is missing property: even_user' AS error "
+        "FROM events WHERE value > 50 AND user_id % 2 <> 0 "
+        "UNION ALL "
+        "SELECT event_id, '/big_value', '/dependentSchemas/big_value/properties/big_value/maximum', "
+        "'maximum', 'value is greater than 99' FROM events WHERE value > 50 AND value > 99"
+    )
+    o["kw_nested_struct"] = (
+        "SELECT event_id, '/props/k' AS instance_location, "
+        "'/properties/props/properties/k/minimum' AS keyword_location, 'minimum' AS keyword, "
+        "'value is less than 10' AS error, CAST(CAST(props->>'k' AS BIGINT) AS VARCHAR) AS offending_value "
+        "FROM events WHERE CAST(props->>'k' AS BIGINT) < 10 "
+        "UNION ALL "
+        "SELECT event_id, '/props/k', '/properties/props/properties/k/maximum', 'maximum', "
+        "'value is greater than 90', CAST(CAST(props->>'k' AS BIGINT) AS VARCHAR) "
+        "FROM events WHERE CAST(props->>'k' AS BIGINT) > 90"
+    )
+    o["kw_format"] = (
+        "SELECT c_custkey, '/d' AS instance_location, '/properties/d/format' AS keyword_location, "
+        "'format' AS keyword, 'not a valid date' AS error, "
+        "concat('2024-', lpad(CAST(c_custkey % 15 + 1 AS VARCHAR), 2, '0'), '-28') AS offending_value "
+        "FROM customer WHERE c_custkey % 15 + 1 > 12 "
+        "UNION ALL "
+        "SELECT c_custkey, '/u', '/properties/u/format', 'format', 'not a valid uuid', "
+        "'not-a-uuid' FROM customer WHERE c_custkey % 10 = 0"
+    )
+    o["kw_ref_defs"] = " UNION ALL ".join([
+        _viol_row("l_orderkey", "'/l_quantity'", "/properties/l_quantity/$ref/minimum",
+                  "minimum", "'value is less than 5'", "CAST(l_quantity AS VARCHAR)", "lineitem",
+                  "l_quantity IS NOT NULL AND l_quantity < 5", extra_id=", l_linenumber"),
+        _viol_row("l_orderkey", "'/l_quantity'", "/properties/l_quantity/$ref/maximum",
+                  "maximum", "'value is greater than 45'", "CAST(l_quantity AS VARCHAR)", "lineitem",
+                  "l_quantity IS NOT NULL AND l_quantity > 45", extra_id=", l_linenumber"),
+    ])
+    o["kw_type_integer_frac"] = (
+        "SELECT p_partkey, '/p_retailprice' AS instance_location, "
+        "'/properties/p_retailprice/type' AS keyword_location, 'type' AS keyword, "
+        "'got number, not integer' AS error FROM part "
+        "WHERE p_retailprice IS NOT NULL AND p_retailprice <> floor(p_retailprice)"
     )
     o["stats_lineitem"] = (
         "WITH t AS (SELECT count(*) n, "

@@ -1,0 +1,138 @@
+"""spark-submit entry point: the distributed analogue of the reference CLI
+(/root/reference/script/json-schema-eval; options :23-43, eval loop
+:96-136).
+
+Same exit-code contract as the reference (:131,250-252): 0 valid, 1
+invalid, 2 exception.  Instead of files/STDIN the instance data is a table
+(parquet dir or Iceberg identifier), and the result is written as
+violations / partition-results / metrics tables plus a one-line JSON
+summary on stdout (the `flag`-format analogue, Result.pm:99).
+
+Usage (single JVM or a real cluster — only --master differs):
+
+    spark-submit --py-files jsms.zip -m json_schema_modern_spark.cli \
+        --spec spec.json --table /data/sequences \
+        --source-dict /data/source_dict --output /runs/run1 \
+        [--snapshot-id <id>] [--resume] [--n-buckets 256] \
+        [--check-only] [--flag-only]
+
+    --check-only  validates the SPEC itself (compile in check mode, no
+                  data read) — the validate_schema analogue (Modern.pm:491-511).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="json-schema-modern-spark")
+    p.add_argument("--spec", required=True, help="constraint spec JSON file")
+    p.add_argument("--table", help="input table: parquet path")
+    p.add_argument("--source-dict", help="referential dictionary parquet path")
+    p.add_argument("--output", help="output workdir (violations/metrics/lineage)")
+    p.add_argument("--snapshot-id", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--n-buckets", type=int, default=256)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--flag-only", action="store_true",
+                   help="short-circuit: report only global validity")
+    p.add_argument("--check-only", action="store_true",
+                   help="validate the spec itself; no data read")
+    p.add_argument("--max-depth", type=int, default=64)
+    p.add_argument("--validate-formats", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        with open(args.spec) as f:
+            spec = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        print(json.dumps({"valid": False, "exception": str(e)}))
+        return 2
+
+    if args.check_only:
+        return check_spec(spec)
+
+    if not args.table:
+        print(json.dumps({"valid": False, "exception": "--table is required"}))
+        return 2
+
+    try:
+        return run_validation(spec, args)
+    except Exception as e:  # exception contract: exit 2
+        print(json.dumps({"valid": False, "exception": f"{type(e).__name__}: {e}"}))
+        return 2
+
+
+def check_spec(spec) -> int:
+    """Compile the spec against a representative token-table schema —
+    traverse-phase errors (bad keywords, unresolvable $ref) surface here
+    without touching data (reference: traverse()-only path)."""
+    from pyspark.sql import types as T
+
+    from json_schema_modern_spark.compiler.column_compiler import (
+        CompileOptions, compile_spec,
+    )
+    from json_schema_modern_spark.spec.resolver import SpecError
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ])
+    try:
+        from json_schema_modern_spark.session import get_spark
+
+        get_spark(app_name="jsms-check")          # Column exprs need a JVM
+        compile_spec(spec, schema, CompileOptions())
+    except SpecError as e:
+        print(json.dumps({"valid": False, "errors": [str(e)]}))
+        return 1
+    print(json.dumps({"valid": True}))
+    return 0
+
+
+def run_validation(spec, args) -> int:
+    from json_schema_modern_spark.plans.pipeline import ValidationPipeline
+    from json_schema_modern_spark.session import get_spark
+    from json_schema_modern_spark.validator import Validator
+
+    spark = get_spark(app_name="jsms-validate")
+    df = spark.read.parquet(args.table)
+
+    if args.flag_only:
+        # short-circuit path (reference short_circuit mode, Modern.pm:69-74):
+        # existence probe, no violation assembly, no writes
+        valid = Validator(spec).validate(df, id_cols=[args.id_col]).flag()
+        print(json.dumps({"valid": bool(valid)}))
+        return 0 if valid else 1
+
+    sd = spark.read.parquet(args.source_dict) if args.source_dict else None
+    pipe = ValidationPipeline(spec, id_col=args.id_col, workdir=args.output,
+                              n_buckets=args.n_buckets)
+    res = pipe.run(spark, df, source_dict=sd,
+                   snapshot_id=args.snapshot_id or "unpinned",
+                   resume=args.resume)
+    n_viol = res.violations.count()
+    if args.output:
+        res.stats.coalesce(1).write.mode("overwrite").parquet(args.output + "/stats")
+        res.partition_results.coalesce(1).write.mode("overwrite") \
+            .parquet(args.output + "/partition_results")
+    print(json.dumps({
+        "valid": n_viol == 0,
+        "violations": n_viol,
+        "run_id": res.run_id,
+        "buckets_done": res.buckets_done,
+        "buckets_skipped": res.buckets_skipped,
+    }))
+    return 0 if n_viol == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from json_schema_modern_spark.compiler.column_compiler import (
+    _VIOL_ARR,
     CompiledPlan,
     CompileOptions,
     SetCheck,
@@ -83,12 +84,20 @@ class Validator:
     def validate(self, df: DataFrame, id_cols: list[str] | None = None) -> ValidationResult:
         plan = self.compile_for(df)
         id_cols = id_cols or ([df.columns[0]] if df.columns else [])
-        annotated = df.withColumns({"_valid": plan.ok, "_viols": plan.viols})
+        # Two-phase split for whole-stage codegen: plan.ok is pure codegen'd
+        # expressions (the items peephole keeps higher-order functions out of
+        # the hot path), while plan.viols contains transform/flatten detail
+        # expressions that are CodegenFallback — ONE such expression in a
+        # projection knocks the whole operator out of WSCG.  So the scan +
+        # filter runs codegen'd over all rows, and the interpreted violation
+        # assembly only ever sees the (rare) failing rows.
+        annotated = df.withColumns({"_valid": plan.ok, "_viols": F.when(
+            plan.ok, F.array().cast(_VIOL_ARR)).otherwise(plan.viols)})
         violations = (
-            annotated
-            .filter(F.size("_viols") > 0)          # codegen'd predicate; valid
-            .select(*id_cols, F.explode("_viols").alias("v"))  # rows never explode
-            .select(*id_cols, "v.*")
+            df.filter(~plan.ok)                    # codegen'd hot path
+            .withColumn("_viols", plan.viols)      # interpreted, failing rows only
+            .select(*id_cols, F.explode("_viols").alias("_vnode"))
+            .select(*id_cols, "_vnode.*")
         )
         return ValidationResult(
             annotated=annotated, violations=violations, plan=plan, id_cols=id_cols
