@@ -253,6 +253,25 @@ def _q_kw_type_integer_frac(spark, sf_dir):
     return _validate(spark, sf_dir, "part", spec, ["p_partkey"]).drop("offending_value")
 
 
+def _q_kw_content_json(spark, sf_dir):
+    """Content vocabulary in assertion mode: props is a JSON string column;
+    contentSchema validates the decoded object (V/Content.pm:42-114)."""
+    from json_schema_modern_spark import Validator
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    spec = {"type": "object", "properties": {"props": {
+        "contentMediaType": "application/json",
+        "contentSchema": {"type": "object", "required": ["k"],
+                          "properties": {"k": {"type": "integer",
+                                               "minimum": 10, "maximum": 90}}},
+    }}}
+    ev = _read(spark, sf_dir, "events")
+    res = Validator(spec, CompileOptions(validate_content_schemas=True)) \
+        .validate(ev, id_cols=["event_id"])
+    return res.violations.select("event_id", "instance_location", "keyword_location",
+                                 "keyword", "error")
+
+
 def _q_stats(spark, sf_dir):
     from json_schema_modern_spark.operators.stats import column_stats
 
@@ -410,6 +429,33 @@ def _q_neardup_cosine(spark, sf_dir):
     return embedding_near_duplicates(emb, threshold=0.5, exact=True)
 
 
+def _q_media_resize_plan(spark, sf_dir):
+    from json_schema_modern_spark.operators.multimodal import (
+        resize_metadata, synthetic_media_df,
+    )
+
+    return resize_metadata(synthetic_media_df(spark, 96), max_side=512)
+
+
+def _q_media_frame_samples(spark, sf_dir):
+    from json_schema_modern_spark.operators.multimodal import (
+        frame_sample_plan, synthetic_media_df,
+    )
+
+    return frame_sample_plan(synthetic_media_df(spark, 96), every_ms=1000)
+
+
+def _q_media_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction (stub decode — the
+    Spark plumbing is real; swap decode_fn for a codec in production)."""
+    from json_schema_modern_spark.operators.multimodal import (
+        extract_features, synthetic_media_df,
+    )
+
+    out = extract_features(synthetic_media_df(spark, 96), n_features=16)
+    return out.select("media_id", "kind", F.size("features").alias("n_features"))
+
+
 def _q_events_window(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -444,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_format": _q_kw_format,
         "kw_ref_defs": _q_kw_ref_defs,
         "kw_type_integer_frac": _q_kw_type_integer_frac,
+        "kw_content_json": _q_kw_content_json,
         "stats_lineitem": _q_stats,
         "hist_n_chars": _q_hist,
         "unique_doc_ids": _q_unique,
@@ -462,6 +509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_lsh_buckets": _q_ann_lsh,
         "neardup_cosine": _q_neardup_cosine,
+        "media_resize_plan": _q_media_resize_plan,
+        "media_frame_samples": _q_media_frame_samples,
+        "media_features": _q_media_features,
         "events_window_counts": _q_events_window,
     }
 
@@ -682,6 +732,16 @@ def oracle_sql() -> dict[str, str]:
                   "maximum", "'value is greater than 45'", "CAST(l_quantity AS VARCHAR)", "lineitem",
                   "l_quantity IS NOT NULL AND l_quantity > 45", extra_id=", l_linenumber"),
     ])
+    o["kw_content_json"] = (
+        "SELECT event_id, '/props/k' AS instance_location, "
+        "'/properties/props/contentSchema/properties/k/minimum' AS keyword_location, "
+        "'minimum' AS keyword, 'value is less than 10' AS error "
+        "FROM events WHERE CAST(props->>'k' AS BIGINT) < 10 "
+        "UNION ALL "
+        "SELECT event_id, '/props/k', '/properties/props/contentSchema/properties/k/maximum', "
+        "'maximum', 'value is greater than 90' "
+        "FROM events WHERE CAST(props->>'k' AS BIGINT) > 90"
+    )
     o["kw_type_integer_frac"] = (
         "SELECT p_partkey, '/p_retailprice' AS instance_location, "
         "'/properties/p_retailprice/type' AS keyword_location, 'type' AS keyword, "
@@ -747,6 +807,20 @@ def oracle_sql() -> dict[str, str]:
         "/ (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x*x))) * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x*x)))), 6) AS DOUBLE) AS sim "
         "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) "
         "WHERE sim >= 0.5"
+    )
+    # synthetic media table is pure arithmetic over range(96) — replicate it
+    # in SQL (kind = id%3: 0 image, 1 audio, 2 video; image height fixed 256)
+    o["media_resize_plan"] = (
+        "SELECT printf('m-%06d', i) AS media_id, "
+        "CAST((i % 4) * 128 + 256 AS INT) AS width, CAST(256 AS INT) AS height, "
+        "CAST(round(((i % 4) * 128 + 256) * least(512.0/((i % 4)*128+256), 2.0, 1.0)) AS INT) AS target_width, "
+        "CAST(round(256 * least(512.0/((i % 4)*128+256), 2.0, 1.0)) AS INT) AS target_height "
+        "FROM range(96) t(i) WHERE i % 3 = 0"
+    )
+    o["media_frame_samples"] = (
+        "SELECT printf('m-%06d', i) AS media_id, "
+        "unnest(range(0, i*250+1000+1, 1000)) AS frame_ts_ms "
+        "FROM range(96) t(i) WHERE i % 3 = 2"
     )
     o["events_window_counts"] = (
         "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, "

@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="validate the spec itself; no data read")
     p.add_argument("--max-depth", type=int, default=64)
     p.add_argument("--validate-formats", action="store_true")
+    p.add_argument("--contract-schema", action="store_true",
+                   help="read with the token-table contract schema "
+                        "(tokens element containsNull=false → fully "
+                        "codegen'd row pass); omit for unknown-provenance "
+                        "data (exact null-aware path)")
     return p
 
 
@@ -104,7 +109,12 @@ def run_validation(spec, args) -> int:
     from json_schema_modern_spark.validator import Validator
 
     spark = get_spark(app_name="jsms-validate")
-    df = spark.read.parquet(args.table)
+    if args.contract_schema:
+        from json_schema_modern_spark.sources.sequences import read_token_table
+
+        df = read_token_table(spark, args.table)
+    else:
+        df = spark.read.parquet(args.table)
 
     if args.flag_only:
         # short-circuit path (reference short_circuit mode, Modern.pm:69-74):
@@ -114,8 +124,13 @@ def run_validation(spec, args) -> int:
         return 0 if valid else 1
 
     sd = spark.read.parquet(args.source_dict) if args.source_dict else None
+    options = None
+    if args.contract_schema:
+        from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+        options = CompileOptions(assume_dense_arrays=True)
     pipe = ValidationPipeline(spec, id_col=args.id_col, workdir=args.output,
-                              n_buckets=args.n_buckets)
+                              n_buckets=args.n_buckets, options=options)
     res = pipe.run(spark, df, source_dict=sd,
                    snapshot_id=args.snapshot_id or "unpinned",
                    resume=args.resume)

@@ -65,6 +65,21 @@ def _empty_viols() -> Column:
 @dataclass
 class CompileOptions:
     validate_formats: bool = False
+    # assert contentEncoding/contentMediaType/contentSchema instead of
+    # treating them as annotations (reference: validate_content_schemas,
+    # Modern.pm:87-93 / V/Content.pm:42-114)
+    validate_content_schemas: bool = False
+    # compare number-looking strings numerically for range keywords
+    # (reference: stringy_numbers, U.pm:255-261); off by default
+    stringy_numbers: bool = False
+    # contract flag: array columns contain no null elements (the token-table
+    # input_hint guarantees this by construction).  Spark file sources force
+    # every schema nullable on read, so this cannot be derived from the
+    # DataFrame; when set, the items fast path drops its per-element null
+    # conjunct — whose array_compact expansion is a higher-order filter()
+    # that de-vectorizes the whole Filter operator.  Off by default:
+    # unknown-provenance data keeps the exact null-aware path.
+    assume_dense_arrays: bool = False
     max_depth: int = 64          # reference default is 50 (Modern.pm:76-80)
     collect_leaf_errors: bool = True
 
@@ -82,6 +97,13 @@ class SetCheck:
 class Compiled:
     ok: Column
     viols: list[Column] = dc_field(default_factory=list)
+    # Static coverage annotations for unevaluatedItems/Properties
+    # (SURVEY.md §2.4: compile-time coverage analysis replaces the
+    # reference's runtime annotation collection, V/Unevaluated.pm:41-144).
+    # Entries: (guard, payload) — guard None = unconditional; payload for
+    # names: frozenset[str] | "all"; for items: int prefix length | "all".
+    cov_names: list = dc_field(default_factory=list)
+    cov_items: list = dc_field(default_factory=list)
 
 
 # --- targets ---------------------------------------------------------------
@@ -358,9 +380,23 @@ class ColumnCompiler:
         viols: list[Column] = []
         jt = t.json_type()
 
+        cov_names: list = []
+        cov_items: list = []
+
         def add(c: Compiled) -> None:
             oks.append(c.ok)
             viols.extend(c.viols)
+
+        def adopt(c: Compiled, guard: Column | None) -> None:
+            """Propagate a same-instance child's coverage annotations,
+            conditioned on the child actually succeeding (annotations from
+            failed subschemas are discarded — U.pm:823-829 semantics)."""
+            for g, payload in c.cov_names:
+                gg = guard if g is None else (g if guard is None else guard & g)
+                cov_names.append((gg, payload))
+            for g, payload in c.cov_items:
+                gg = guard if g is None else (g if guard is None else guard & g)
+                cov_items.append((gg, payload))
 
         def sub(kw: str, node: Any, target: Target, suffix: str = "") -> Compiled:
             kp = f"{kloc}/{json_pointer_escape(kw)}{suffix}"
@@ -388,6 +424,7 @@ class ColumnCompiler:
                 abs_ptr=res.pointer if res.canonical_uri == res.base_uri else "",
             )
             add(child)
+            adopt(child, child.ok)
         if "$dynamicRef" in schema:
             # static fallback: resolve like $ref (correct whenever the
             # dynamic scope introduces no overriding $dynamicAnchor — the
@@ -436,6 +473,15 @@ class ColumnCompiler:
                 v = t.value_col()
                 ok = {"le": v <= b, "lt": v < b, "ge": v >= b, "gt": v > b}[op]
                 add(E(kw, ok, msg % _num_str(b)))
+            elif kw in schema and self.options.stringy_numbers and jt == "string":
+                # optional coercion: number-looking strings compared
+                # numerically (U.pm:255-261, V/Validation.pm:74-75); a
+                # non-numeric string stays vacuously valid (not a number)
+                b = schema[kw]
+                v = t.value_col().cast("string").try_cast("double")
+                cmp = {"le": v <= b, "lt": v < b, "ge": v >= b, "gt": v > b}[op]
+                add(E(kw, F.when(v.isNull(), F.lit(True)).otherwise(cmp),
+                      msg % _num_str(b)))
 
         if "maxLength" in schema and applies("maxLength"):
             n = schema["maxLength"]
@@ -448,6 +494,13 @@ class ColumnCompiler:
             # Java regex dialect — same deviation class the reference accepts
             # vs ECMA-262 (t/zzz-acceptance-draft2020-12.t:54-60)
             add(E("pattern", t.value_col().cast("string").rlike(schema["pattern"]), "pattern does not match"))
+
+        # ---- content vocabulary (assertion mode only; annotation-only by
+        # default per 2020-12 — V/Content.pm:42-114, Modern.pm:87-93) ------
+        if self.options.validate_content_schemas and jt == "string" and (
+            "contentEncoding" in schema or "contentMediaType" in schema
+        ):
+            add(self._content_kw(schema, t, kloc, base, abs_ptr, E))
 
         if "format" in schema and self.options.validate_formats and applies("format"):
             pred = format_predicate(schema["format"], t.value_col().cast("string"))
@@ -474,12 +527,14 @@ class ColumnCompiler:
                 present_i = t.present & (F.size(t.value_col()) > i)
                 elem = Target(col=elem.col, dtype=elem.dtype, ptr=elem.ptr, present=present_i)
                 add(sub("prefixItems", s, elem, suffix=f"/{i}"))
+            cov_items.append((None, n_prefix))
 
         if "items" in schema and applies("items"):
             items = schema["items"]
             if isinstance(items, list):
                 raise SpecError('array form of "items" not supported in draft2020-12')
             add(self._items_kw(items, t, n_prefix, kloc, base, abs_ptr))
+            cov_items.append((None, "all"))
 
         has_contains = "contains" in schema and applies("contains")
         if has_contains or (("minContains" in schema or "maxContains" in schema) and jt == "array"):
@@ -511,6 +566,7 @@ class ColumnCompiler:
                 ok = F.when(pt.present, child.ok).otherwise(F.lit(True))
                 gated = [F.when(pt.present, v).otherwise(_empty_viols()) for v in child.viols]
                 add(Compiled(ok=ok, viols=gated))
+                adopt(child, pt.present & child.ok)
 
         if "maxProperties" in schema and applies("maxProperties"):
             n = schema["maxProperties"]
@@ -557,23 +613,35 @@ class ColumnCompiler:
                 nt = Target(col=F.lit(name), dtype=T.StringType(), ptr=t.ptr, present=t.present)
                 add(sub("propertyNames", s, nt))
 
+        # coverage produced by this level's property keywords (statically
+        # known on typed rows/structs — the schema fixes the name set)
+        if matched_names:
+            cov_names.append((None, frozenset(matched_names)))
+        if "additionalProperties" in schema and applies("additionalProperties"):
+            cov_names.append((None, "all"))
+
         # ---- in-place applicators ----------------------------------------
         if "allOf" in schema:
             children = [sub("allOf", s, t, suffix=f"/{i}") for i, s in enumerate(schema["allOf"])]
             for c in children:
                 add(c)
+                adopt(c, c.ok)
         if "anyOf" in schema:
             children = [sub("anyOf", s, t, suffix=f"/{i}") for i, s in enumerate(schema["anyOf"])]
             any_ok = F.lit(False)
             for c in children:
                 any_ok = any_ok | c.ok
             any_ok = F.when(t.present, any_ok).otherwise(F.lit(True))
+            for c in children:
+                adopt(c, c.ok)
             gated = [F.when(any_ok, _empty_viols()).otherwise(v) for c in children for v in c.viols]
             gated.append(_viol(any_ok, t.ptr, f"{kloc}/anyOf", self._akloc(base, f"{abs_ptr}/anyOf"),
                                "anyOf", "no subschemas are valid", F.lit(None).cast("string")))
             add(Compiled(ok=any_ok, viols=gated))
         if "oneOf" in schema:
             children = [sub("oneOf", s, t, suffix=f"/{i}") for i, s in enumerate(schema["oneOf"])]
+            for c in children:
+                adopt(c, c.ok)
             count = sum((c.ok.cast("int") for c in children), F.lit(0))
             ok = F.when(t.present, count == 1).otherwise(F.lit(True))
             valid_ids = F.concat_ws(", ", F.array_compact(F.array(
@@ -596,10 +664,75 @@ class ColumnCompiler:
             then_c = sub("then", schema["then"], t) if "then" in schema else Compiled(ok=F.lit(True))
             else_c = sub("else", schema["else"], t) if "else" in schema else Compiled(ok=F.lit(True))
             ok = F.when(~t.present, F.lit(True)).when(if_c.ok, then_c.ok).otherwise(else_c.ok)
+            adopt(if_c, if_c.ok)
+            adopt(then_c, if_c.ok & then_c.ok)
+            adopt(else_c, ~if_c.ok & else_c.ok)
             gated = [F.when(if_c.ok, v).otherwise(_empty_viols()) for v in then_c.viols]
             gated += [F.when(if_c.ok, _empty_viols()).otherwise(v) for v in else_c.viols]
             gated = [F.when(t.present, v).otherwise(_empty_viols()) for v in gated]
             add(Compiled(ok=ok, viols=gated))
+
+        # ---- unevaluatedItems / unevaluatedProperties ---------------------
+        # Evaluated last (after all coverage contributions are known) —
+        # the reference enforces the same ordering (V/Applicator.pm:37-45).
+        # Static coverage analysis with when()-guarded conditional branches
+        # replaces runtime annotation collection (V/Unevaluated.pm:41-144);
+        # `contains`-based item coverage is a documented TODO subset,
+        # mirroring the reference's own acceptance-test skips.
+        if "unevaluatedProperties" in schema and applies("unevaluatedProperties"):
+            s = schema["unevaluatedProperties"]
+            for name in t.field_names():
+                if any(g is None and (p == "all" or name in p) for g, p in cov_names):
+                    continue            # statically covered
+                guards = [g for g, p in cov_names
+                          if g is not None and (p == "all" or name in p)]
+                covered = F.lit(False)
+                for g in guards:
+                    covered = covered | F.coalesce(g, F.lit(False))
+                pt = t.get_property(name)
+                if pt is None:
+                    continue
+                child = sub("unevaluatedProperties", s, pt)
+                add(Compiled(
+                    ok=F.when(covered, F.lit(True)).otherwise(child.ok),
+                    viols=[F.when(covered, _empty_viols()).otherwise(v)
+                           for v in child.viols],
+                ))
+            cov_names.append((None, "all"))
+
+        if "unevaluatedItems" in schema and applies("unevaluatedItems"):
+            s = schema["unevaluatedItems"]
+            if not any(g is None and p == "all" for g, p in cov_items):
+                all_cov = F.lit(False)
+                for g, p in cov_items:
+                    if p == "all" and g is not None:
+                        all_cov = all_cov | F.coalesce(g, F.lit(False))
+                static_prefix = max((p for g, p in cov_items
+                                     if g is None and isinstance(p, int)), default=0)
+                n_cov = F.lit(static_prefix)
+                for g, p in cov_items:
+                    if g is not None and isinstance(p, int):
+                        n_cov = F.greatest(n_cov, F.when(F.coalesce(g, F.lit(False)),
+                                                         F.lit(p)).otherwise(F.lit(0)))
+                arr = t.value_col()
+                rest = F.slice(arr, n_cov + 1, F.greatest(F.size(arr) - n_cov, F.lit(0)))
+                et = t.dtype.elementType
+                ok_inner = self._items_ok_peephole(s, t.dtype, rest)
+                if ok_inner is None:
+                    def _uneval_pred(x: Column) -> Column:
+                        elem = Target(col=x, dtype=et, ptr=t.ptr, present=F.lit(True))
+                        return self._node(s, elem, f"{kloc}/unevaluatedItems",
+                                          base, f"{abs_ptr}/unevaluatedItems").ok
+                    ok_inner = F.forall(rest, _uneval_pred)
+                ok = F.when(~t.present | all_cov, F.lit(True)) \
+                    .otherwise(F.coalesce(ok_inner, F.lit(True)))
+                add(Compiled(ok=ok, viols=[_viol(
+                    ok, t.ptr, f"{kloc}/unevaluatedItems",
+                    self._akloc(base, f"{abs_ptr}/unevaluatedItems"),
+                    "unevaluatedItems",
+                    "subschema is not valid against all additional items",
+                    F.lit(None).cast("string"))]))
+            cov_items.append((None, "all"))
 
         # ---- x-* extension keywords (set-oriented; runner executes) -------
         for kw in ("x-unique", "x-ref", "x-drift"):
@@ -611,7 +744,7 @@ class ColumnCompiler:
         ok_all = F.lit(True)
         for o in oks:
             ok_all = ok_all & o
-        return Compiled(ok=ok_all, viols=viols)
+        return Compiled(ok=ok_all, viols=viols, cov_names=cov_names, cov_items=cov_items)
 
     # -- helpers ------------------------------------------------------------
 
@@ -704,7 +837,7 @@ class ColumnCompiler:
             return self._node(items_schema, elem, kp, base, ap)
 
         rest = arr if n_prefix == 0 else F.slice(arr, n_prefix + 1, F.greatest(F.size(arr) - n_prefix, F.lit(0)))
-        ok_inner = self._items_ok_peephole(items_schema, et, rest)
+        ok_inner = self._items_ok_peephole(items_schema, t.dtype, rest)
         if ok_inner is None:
             ok_inner = F.forall(rest, lambda x: elem_compiled(x, F.lit(0)).ok)
         ok = F.when(t.present, F.coalesce(ok_inner, F.lit(True))).otherwise(F.lit(True))
@@ -720,7 +853,7 @@ class ColumnCompiler:
 
     _RANGE_ONLY_KEYS = {"type", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"}
 
-    def _items_ok_peephole(self, items_schema: Any, et: T.DataType, rest: Column) -> Column | None:
+    def _items_ok_peephole(self, items_schema: Any, arr_type: T.ArrayType, rest: Column) -> Column | None:
         """Fast ok-path for the hot case (token-id range checks over huge
         int arrays): Spark's higher-order functions (forall/transform) are
         CodegenFallback — interpreted per element — while array_min/array_max
@@ -739,6 +872,7 @@ class ColumnCompiler:
             return None
         if not set(items_schema) <= self._RANGE_ONLY_KEYS:
             return None
+        et = arr_type.elementType
         if not isinstance(et, _NUMERIC_TYPES):
             return None
         want = items_schema.get("type")
@@ -756,8 +890,17 @@ class ColumnCompiler:
             conds.append(F.array_max(rest) <= F.lit(items_schema["maximum"]))
         if "exclusiveMaximum" in items_schema:
             conds.append(F.array_max(rest) < F.lit(items_schema["exclusiveMaximum"]))
-        if wants:
-            # type: integer/number fails on JSON-null elements
+        if wants and arr_type.containsNull and not self.options.assume_dense_arrays:
+            # type: integer/number fails on JSON-null elements.  Only
+            # needed when the schema admits null elements: with a
+            # containsNull=false read schema (the token-table contract —
+            # see sources.sequences.TOKEN_SCHEMA) this conjunct compiles
+            # away entirely.  When it is needed, array_compact is the
+            # least-bad exact check: its RuntimeReplaceable expansion is a
+            # higher-order filter(), which de-vectorizes the Filter
+            # operator (measured ~64 s vs ~25 s per 9.6M rows at 4 cores);
+            # the codegen'd alternative, sort_array, is 4× worse still
+            # (boxing sort of every array: ~255 s) — correctness wins.
             conds.append(F.size(F.array_compact(rest)) == F.size(rest))
         if not conds:
             return None
@@ -765,6 +908,60 @@ class ColumnCompiler:
         for c in conds[1:]:
             ok = ok & c
         return F.coalesce(ok, F.lit(True))
+
+    def _content_kw(self, schema: dict, t: Target, kloc: str, base: str,
+                    abs_ptr: str, E) -> Compiled:
+        """contentEncoding / contentMediaType / contentSchema assertions.
+
+        The reference decodes per row through its media-type registry
+        (V/Content.pm:42-114, decoders U.pm:481-743); here each stage is a
+        whole-column expression: base64 validity by regex+shape, JSON
+        well-formedness via try_parse_json (NULL on bad input), and
+        contentSchema by deriving a Spark struct schema from the subschema's
+        type annotations and recursing on the from_json result."""
+        v = t.value_col().cast("string")
+        out = []
+        oks = []
+        decoded = v
+        enc = schema.get("contentEncoding")
+        if enc is not None:
+            if enc == "base64":
+                ok_enc = v.rlike(r"^[A-Za-z0-9+/\s]*={0,2}\s*$") & \
+                    (F.length(F.regexp_replace(v, r"\s", "")) % 4 == 0)
+                decoded = F.unbase64(F.regexp_replace(v, r"\s", "")).cast("string")
+            elif enc in ("identity", ""):
+                ok_enc = F.lit(True)
+            else:
+                # unknown encoding: annotation only (reference aborts only
+                # in strict FormatAssertion-style vocab; keep lenient)
+                ok_enc = F.lit(True)
+            c = E("contentEncoding", ok_enc,
+                  f"could not decode {enc} string")
+            out.extend(c.viols)
+            oks.append(c.ok)
+            decoded = F.when(c.ok, decoded)
+        mt = schema.get("contentMediaType")
+        if mt is not None and mt.lower() == "application/json":
+            parsed_ok = F.try_parse_json(decoded).isNotNull() | decoded.isNull()
+            c = E("contentMediaType", parsed_ok,
+                  f"could not decode string as {mt}")
+            out.extend(c.viols)
+            oks.append(c.ok)
+            if "contentSchema" in schema:
+                sub_spec = schema["contentSchema"]
+                sub_schema = _spark_schema_from_spec(sub_spec)
+                if sub_schema is not None:
+                    parsed = F.from_json(decoded, sub_schema)
+                    pt = Target(col=parsed, dtype=sub_schema,
+                                ptr=t.ptr, present=t.present & parsed.isNotNull())
+                    child = self._node(sub_spec, pt, f"{kloc}/contentSchema",
+                                       base, f"{abs_ptr}/contentSchema")
+                    oks.append(child.ok)
+                    out.extend(child.viols)
+        ok_all = F.lit(True)
+        for o in oks:
+            ok_all = ok_all & o
+        return Compiled(ok=ok_all, viols=out)
 
     def _contains_kw(self, schema: dict, t: Target, kloc: str, base: str, abs_ptr: str) -> Compiled:
         arr = t.value_col()
@@ -820,6 +1017,37 @@ class CompiledPlan:
     set_checks: list[SetCheck]
     fingerprint: str
     root_uri: str
+
+
+def _spark_schema_from_spec(spec: Any) -> T.StructType | None:
+    """Derive a Spark struct schema from a JSON-Schema subschema's type
+    annotations, so contentSchema can validate decoded JSON without the
+    caller supplying a parallel DDL.  Returns None when the subschema has
+    no usable `properties`/`type` info (validation then degrades to
+    well-formedness only)."""
+    def typ(s: Any) -> T.DataType:
+        if not isinstance(s, dict):
+            return T.StringType()
+        jt = s.get("type")
+        if isinstance(jt, list):
+            jt = next((x for x in jt if x != "null"), None)
+        if jt == "integer":
+            return T.LongType()
+        if jt == "number":
+            return T.DoubleType()
+        if jt == "boolean":
+            return T.BooleanType()
+        if jt == "array":
+            return T.ArrayType(typ(s.get("items", {})))
+        if jt == "object" or "properties" in s:
+            obj = _spark_schema_from_spec(s)
+            return obj if obj is not None else T.MapType(T.StringType(), T.StringType())
+        return T.StringType()
+
+    if not isinstance(spec, dict) or "properties" not in spec:
+        return None
+    fields = [T.StructField(name, typ(s)) for name, s in spec["properties"].items()]
+    return T.StructType(fields) if fields else None
 
 
 def compile_spec(

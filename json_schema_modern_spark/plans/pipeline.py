@@ -87,6 +87,7 @@ class ValidationPipeline:
         n_buckets: int = 16,
         drift_bins: int = 256,
         drift_hi: float = 2048.0,
+        options=None,
     ):
         self.spec = spec
         self.id_col = id_col
@@ -94,7 +95,7 @@ class ValidationPipeline:
         self.n_buckets = n_buckets
         self.drift_bins = drift_bins
         self.drift_hi = drift_hi
-        self.validator = Validator(spec)
+        self.validator = Validator(spec, options)
 
     # -- lineage ------------------------------------------------------------
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 VOCAB_SIZE = 50257
 MAX_LEN = 2048
@@ -39,6 +40,25 @@ _CUM = [0.55, 0.70, 0.85, 0.95, 1.0]
 def _mix(i, j):
     """Deterministic 64-bit mix of two integer columns (JVM-side xxhash64)."""
     return F.xxhash64(i, j)
+
+
+TOKEN_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType(), containsNull=False)),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+"""Contract read schema for the token table (BASELINE.json input_hint:
+tokens:array<int32> with non-null elements by construction).  Declaring
+containsNull=False lets the compiler drop the per-element null conjunct
+from the items fast path — the whole row pass then stays inside
+whole-stage codegen.  Use read_token_table(); validating data of unknown
+provenance should read without this schema (the engine then runs the
+exact, slower null-aware path)."""
+
+
+def read_token_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(TOKEN_SCHEMA).parquet(path)
 
 
 def sequences_df(

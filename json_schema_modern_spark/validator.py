@@ -42,6 +42,27 @@ class ValidationResult:
         short_circuit mode (Modern.pm:69-74)."""
         return self.annotated.filter(~F.col("_valid")).limit(1).isEmpty()
 
+    def basic_output(self) -> DataFrame:
+        """Per-row result document in the reference's `basic` output format
+        (Result.pm:99,153-223): ``{"valid": bool, "errors": [
+        {"instanceLocation", "keywordLocation", "absoluteKeywordLocation",
+        "error"}, ...]}`` as a JSON string column next to the id columns.
+        `flag` format is the same with errors omitted (valid only)."""
+        err_arr = F.transform(
+            F.col("_viols"),
+            lambda v: F.struct(
+                v["instance_location"].alias("instanceLocation"),
+                v["keyword_location"].alias("keywordLocation"),
+                v["absolute_keyword_location"].alias("absoluteKeywordLocation"),
+                v["error"].alias("error"),
+            ),
+        )
+        doc = F.to_json(F.struct(
+            F.col("_valid").alias("valid"),
+            F.when(~F.col("_valid"), err_arr).alias("errors"),
+        ), {"ignoreNullFields": "true"})
+        return self.annotated.select(*self.id_cols, doc.alias("result"))
+
     def partition_results(self) -> DataFrame:
         """Per-partition pass/fail rollup (partition_id, valid, doc_count,
         error_count) — the north-rule per-partition output."""
@@ -93,8 +114,15 @@ class Validator:
         # assembly only ever sees the (rare) failing rows.
         annotated = df.withColumns({"_valid": plan.ok, "_viols": F.when(
             plan.ok, F.array().cast(_VIOL_ARR)).otherwise(plan.viols)})
+        # repartition between filter and detail: Catalyst fuses a Filter
+        # with its parent Generate stage, and the Generate's interpreted
+        # higher-order expressions would drag the filter out of whole-stage
+        # codegen.  The exchange moves only the failing rows (rare by
+        # design), guaranteeing the full-table scan stage stays codegen'd
+        # regardless of what the detail projection contains.
         violations = (
             df.filter(~plan.ok)                    # codegen'd hot path
+            .repartition(df.sparkSession.sparkContext.defaultParallelism)
             .withColumn("_viols", plan.viols)      # interpreted, failing rows only
             .select(*id_cols, F.explode("_viols").alias("_vnode"))
             .select(*id_cols, "_vnode.*")

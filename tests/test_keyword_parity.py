@@ -122,6 +122,28 @@ GROUPS = [
      [([1], True, None),
       ([], False, {("/v", "/properties/v/allOf/1/minItems")}),
       ([-1], False, {("/v/0", "/properties/v/allOf/0/items/minimum")})]),
+    ("uneval_items_prefix", "array<long>",
+     {"prefixItems": [{"minimum": 0}], "unevaluatedItems": {"maximum": 5}},
+     [([0], True, None), ([], True, None), ([0, 5], True, None),
+      ([0, 6], False, {("/v", "/properties/v/unevaluatedItems")}),
+      ([-1, 3], False, {("/v/0", "/properties/v/prefixItems/0/minimum")})]),
+    ("uneval_items_items_covers", "array<long>",
+     # items covers everything — unevaluatedItems never applies
+     {"items": {"minimum": 0}, "unevaluatedItems": False},
+     [([0, 99], True, None),
+      ([-1], False, {("/v/0", "/properties/v/items/minimum")})]),
+    ("uneval_items_anyof_coverage", "array<long>",
+     # index 1 is covered ONLY when the second anyOf branch succeeds —
+     # runtime-annotation semantics (V/Unevaluated.pm:41-98) reproduced
+     # with when()-guarded static coverage
+     {"anyOf": [{"prefixItems": [{"minimum": 100}]},
+                {"prefixItems": [{"minimum": 0}, {"maximum": 10}]}],
+      "unevaluatedItems": {"maximum": 5}},
+     [([100, 7], True, None),     # branch 2 covers index 1 (7 <= 10)
+      ([100, 50], False,          # only branch 1 succeeds → index 1 unevaluated
+       {("/v", "/properties/v/unevaluatedItems")}),
+      ([100, 3], True, None),
+      ([0, 50], False, {("/v", "/properties/v/unevaluatedItems")})]),
 ]
 
 
@@ -166,3 +188,130 @@ def test_keyword_case(spark, validators, sql_type, schema, value, expected_valid
     if not expected_valid and locs:
         got = {(r.instance_location, r.keyword_location) for r in viol_rows}
         assert locs <= got, f"missing violation locations: {locs - got}; got {got}"
+
+
+# ---------------------------------------------------------------------------
+# unevaluatedProperties needs multi-column rows (root-object coverage)
+# ---------------------------------------------------------------------------
+
+
+def _flags(spark, spec, rows, ddl):
+    df = spark.createDataFrame(rows, ddl)
+    v = Validator(spec)
+    res = v.validate(df, id_cols=[])
+    ann = res.annotated.select("_valid").collect()
+    return [r._valid for r in ann]
+
+
+def test_unevaluated_properties_static(spark):
+    spec = {"type": "object", "properties": {"a": {}},
+            "unevaluatedProperties": False}
+    flags = _flags(spark, spec, [(1, None), (1, 2)], "a int, b int")
+    assert flags == [True, False]
+
+
+def test_unevaluated_properties_additional_covers(spark):
+    # additionalProperties evaluates every leftover name → nothing unevaluated
+    spec = {"type": "object", "properties": {"a": {}},
+            "additionalProperties": {"minimum": 0},
+            "unevaluatedProperties": False}
+    flags = _flags(spark, spec, [(1, 2), (1, -2)], "a int, b int")
+    assert flags == [True, False]   # second fails additionalProperties, not unevaluated
+
+
+def test_unevaluated_properties_conditional_coverage(spark):
+    # b is covered only when the first anyOf branch succeeds (b >= 10)
+    spec = {"type": "object",
+            "anyOf": [{"properties": {"b": {"minimum": 10}}, "required": ["b"]},
+                      {"properties": {"a": {"minimum": 0}}, "required": ["a"]}],
+            "unevaluatedProperties": False}
+    flags = _flags(spark, spec, [(1, 10), (1, 5), (1, None)], "a int, b int")
+    # (1,10): branch 1 succeeds, b covered (a covered by branch 2) → valid
+    # (1,5): only branch 2 succeeds → b present but unevaluated → invalid
+    # (1,None): b absent → nothing unevaluated → valid
+    assert flags == [True, False, True]
+
+
+def test_content_schema_assertion(spark):
+    """contentEncoding/contentMediaType/contentSchema in assertion mode
+    (reference: validate_content_schemas, V/Content.pm:42-114)."""
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    spec = {"type": "object", "properties": {"payload": {
+        "contentMediaType": "application/json",
+        "contentSchema": {"type": "object", "required": ["k"],
+                          "properties": {"k": {"type": "integer", "minimum": 10}}},
+    }}}
+    rows = [('{"k": 42}',),     # valid
+            ('{"k": 3}',),      # k too small
+            ('not json',),      # not parseable
+            ('{"x": 1}',),      # k missing
+            (None,)]            # absent: vacuous
+    df = spark.createDataFrame(rows, "payload string")
+    v = Validator(spec, CompileOptions(validate_content_schemas=True))
+    res = v.validate(df, id_cols=[])
+    flags = [r._valid for r in res.annotated.select("_valid").collect()]
+    assert flags == [True, False, False, False, True]
+    kls = {r.keyword_location for r in res.violations.collect()}
+    assert "/properties/payload/contentSchema/properties/k/minimum" in kls
+    assert "/properties/payload/contentMediaType" in kls
+    assert "/properties/payload/contentSchema/required" in kls
+
+
+def test_content_encoding_base64(spark):
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    spec = {"type": "object",
+            "properties": {"blob": {"contentEncoding": "base64",
+                                    "contentMediaType": "application/json"}}}
+    rows = [("eyJrIjogMX0=",),   # {"k": 1}
+            ("!!notb64!!",),
+            ("aGVsbG8=",)]       # "hello" — decodes but isn't JSON
+    df = spark.createDataFrame(rows, "blob string")
+    v = Validator(spec, CompileOptions(validate_content_schemas=True))
+    res = v.validate(df, id_cols=[])
+    flags = [r._valid for r in res.annotated.select("_valid").collect()]
+    assert flags == [True, False, False]
+
+
+def test_basic_output_format(spark):
+    """`basic` output format parity (Result.pm:99,153-223): per-row JSON
+    with valid flag + error nodes carrying the three location fields."""
+    import json
+
+    spec = {"type": "object", "properties": {"a": {"minimum": 5}}}
+    df = spark.createDataFrame([(7,), (3,)], "a int")
+    res = Validator(spec).validate(df, id_cols=["a"])
+    rows = {r.a: json.loads(r.result) for r in res.basic_output().collect()}
+    assert rows[7] == {"valid": True}
+    assert rows[3]["valid"] is False
+    err = rows[3]["errors"][0]
+    assert err["instanceLocation"] == "/a"
+    assert err["keywordLocation"] == "/properties/a/minimum"
+    assert err["error"] == "value is less than 5"
+
+
+def test_stringy_numbers(spark):
+    """Optional coercion: number-looking strings compared numerically
+    (reference: stringy_numbers, U.pm:255-261); non-numeric strings stay
+    vacuously valid; off by default."""
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    spec = {"type": "object", "properties": {"v": {"minimum": 5}}}
+    rows = [("7",), ("3",), ("abc",), (None,)]
+    strict = _flags(spark, spec, rows, "v string")
+    assert strict == [True, True, True, True]     # minimum doesn't apply to strings
+    v = Validator(spec, CompileOptions(stringy_numbers=True))
+    df = spark.createDataFrame(rows, "v string")
+    res = v.validate(df, id_cols=[])
+    coerced = [r._valid for r in res.annotated.select("_valid").collect()]
+    assert coerced == [True, False, True, True]
+
+
+def test_unevaluated_properties_through_ref(spark):
+    spec = {"$defs": {"base": {"properties": {"a": {"minimum": 0}}}},
+            "type": "object",
+            "$ref": "#/$defs/base",
+            "unevaluatedProperties": False}
+    flags = _flags(spark, spec, [(1, None), (1, 2)], "a int, b int")
+    assert flags == [True, False]   # $ref's properties cover a, not b

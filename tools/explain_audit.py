@@ -1,0 +1,138 @@
+"""Plan-quality audit: assert the physical plans we ship are the plans we
+want at 100 TB (SURVEY.md §4).
+
+For each audited query this checks, from `.explain("formatted")` output:
+
+- **column pruning**: the parquet scan's ReadSchema contains only the
+  columns the query needs (a scan reading `tokens` for a stats query is a
+  bug at 100 TB);
+- **predicate pushdown**: filters on scan columns appear in PushedFilters;
+- **whole-stage codegen**: the hot operators sit inside WholeStageCodegen
+  spans (CodegenFallback expressions silently de-vectorize everything);
+- **broadcast**: the referential dictionary join is a BroadcastHashJoin,
+  not a sort-merge shuffle.
+
+Usage: python tools/explain_audit.py [sf_dir]
+Exits non-zero on any failed expectation; prints one line per check.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+FAILURES: list[str] = []
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, cond: bool, detail: str = "") -> None:
+    status = "ok  " if cond else "FAIL"
+    print(f"{status}  {name}" + (f" — {detail}" if detail and not cond else ""))
+    if not cond:
+        FAILURES.append(name)
+
+
+def main() -> None:
+    from bench import _flagship_spec, _get_spark
+    from json_schema_modern_spark.operators.referential import missing_references
+    from json_schema_modern_spark.operators.stats import column_stats
+    from json_schema_modern_spark.operators.uniqueness import duplicate_keys
+    from json_schema_modern_spark.sources.sequences import sequences_df, source_dict_df
+    from json_schema_modern_spark.validator import Validator
+    from pyspark.sql import functions as F
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = _get_spark(8)
+
+    # materialize a token table so scans are real parquet scans
+    import os
+    tok_path = "/tmp/spark_graft_bench/tokens_200000"
+    if not os.path.exists(os.path.join(tok_path, "_SUCCESS")):
+        sequences_df(spark, 200000, seed=42, corrupt=True) \
+            .write.mode("overwrite").parquet(tok_path)
+    df = spark.read.parquet(tok_path)
+
+    def filter_codegen(plan: str) -> bool:
+        """formatted explain marks codegen'd operators with [codegen id : N]
+        on the node line — the Filter node must carry it."""
+        nodes = [ln for ln in plan.splitlines()
+                 if ln.strip().startswith("(") and "Filter" in ln]
+        return bool(nodes) and any("codegen id" in ln for ln in nodes)
+
+    # 1. row-local validation: the hot filter must stay codegen'd (one
+    #    CodegenFallback expression in it de-vectorizes the whole operator).
+    #    Audited in the shipped token-table configuration: dense-array
+    #    contract flag on (same as bench.py / cli --contract-schema).
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    v = Validator(_flagship_spec(), CompileOptions(assume_dense_arrays=True))
+    res = v.validate(df, id_cols=["doc_id"])
+    flag_plan = explain_str(res.annotated.filter("NOT _valid").select(F.lit(1)))
+    check("rowpass: hot filter inside whole-stage codegen", filter_codegen(flag_plan))
+
+    # 2. violations path: the interpreted detail projection (Generate over
+    #    higher-order exprs) must be isolated from the scan+filter stage by
+    #    an Exchange — otherwise Catalyst fuses them and the filter loses
+    #    codegen.  (Under AQE the formatted plan hides codegen ids, so this
+    #    is a structural assertion: Filter → Exchange → … → Generate.)
+    viol_plan = explain_str(res.violations)
+    tree = [ln.strip() for ln in viol_plan.splitlines()[:12]]
+    order = [next((k for k in ("Generate", "Exchange", "Filter") if k in ln), None)
+             for ln in tree]
+    order = [k for k in order if k]
+    check("violations: Exchange isolates detail from scan stage",
+          order.index("Filter") > order.index("Exchange") > order.index("Generate")
+          if all(k in order for k in ("Filter", "Exchange", "Generate")) else False,
+          f"plan order (top-down): {order}")
+
+    # 3. stats: must prune tokens out of the scan
+    stats_plan = explain_str(column_stats(df, ["doc_id", "n_tok", "source"]))
+    rs = [ln for ln in stats_plan.splitlines() if "ReadSchema" in ln]
+    check("stats: tokens column pruned from scan",
+          bool(rs) and all("tokens" not in ln for ln in rs),
+          rs[0] if rs else "no ReadSchema line")
+
+    # 4. uniqueness: only doc_id read; partial aggregation before shuffle
+    uniq_plan = explain_str(duplicate_keys(df, ["doc_id"]))
+    rs = [ln for ln in uniq_plan.splitlines() if "ReadSchema" in ln]
+    check("uniqueness: only doc_id scanned",
+          bool(rs) and all("tokens" not in ln and "n_tok" not in ln for ln in rs),
+          rs[0] if rs else "")
+    check("uniqueness: partial agg before shuffle",
+          "HashAggregate" in uniq_plan and "Exchange" in uniq_plan)
+
+    # 5. referential: broadcast join, not sort-merge; the violations
+    #    projection must prune tokens out of the fact scan
+    from json_schema_modern_spark.operators.referential import referential_violations
+
+    sd = source_dict_df(spark)
+    ref_plan = explain_str(missing_references(df, "source", sd, "source"))
+    check("referential: BroadcastHashJoin chosen", "BroadcastHashJoin" in ref_plan)
+    refv_plan = explain_str(referential_violations(df, "source", sd, "source"))
+    check("referential: violations scan prunes tokens",
+          all("tokens" not in ln for ln in refv_plan.splitlines() if "ReadSchema" in ln))
+
+    # 6. predicate pushdown on a filtered read
+    pushed = explain_str(df.filter(F.col("source") == "web").select("doc_id"))
+    check("filter pushdown: source=web reaches PushedFilters",
+          "PushedFilters" in pushed and "source" in
+          "".join(ln for ln in pushed.splitlines() if "PushedFilters" in ln))
+
+    print()
+    if FAILURES:
+        print(f"{len(FAILURES)} failures: {FAILURES}")
+        sys.exit(1)
+    print("all plan-quality checks passed")
+
+
+if __name__ == "__main__":
+    main()
