@@ -19,6 +19,11 @@ oracle computes the identical signatures).
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -58,22 +63,59 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _py_shingles(text: str, n: int) -> list[str]:
+    """Python replica of word_shingles (must match the Column version and
+    the DuckDB oracle token-for-token: trim spaces, lower, split \\s+,
+    n-gram join with ' ', distinct keeping first occurrence)."""
+    if text is None:
+        return []
+    words = re.split(r"\s+", text.strip(" ").lower())
+    if n == 1:
+        grams = words
+    else:
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    seen, out = set(), []
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
 def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 2, seed: int = 42) -> Column:
     """array<long> MinHash signature over word shingles.
 
     h_i(x) = (a_i·x + b_i) mod p over the shingle digests; min per i.
     (a_i, b_i) derive from the seed via a fixed LCG so the signature is a
-    pure function of (text, seed) — reproducible anywhere."""
+    pure function of (text, seed) — reproducible anywhere (the DuckDB
+    oracle recomputes identical values).
+
+    Implementation: Arrow-batched pandas UDF.  The Column-expression
+    version (num_hashes × array_min(transform(...))) is interpreted
+    per-element (higher-order functions are CodegenFallback) and measured
+    ~10× slower; here the k×n hash matrix is one numpy broadcast per doc
+    with exact int64 arithmetic (a·x < 2^62, no overflow — that is why
+    MERSENNE_P is 31-bit)."""
     a, b = _hash_params(num_hashes, seed)
-    digests = F.transform(word_shingles(text, shingle_n), lambda w: F.pmod(_md5_int(w), F.lit(MERSENNE_P)))
+    a_np = np.asarray(a, dtype=np.int64)
+    b_np = np.asarray(b, dtype=np.int64)
 
-    def hasher(ai: int, bi: int):
-        # closure factory (NOT default-arg lambdas: PySpark reads the lambda
-        # arity and would pass the element index into the extra params)
-        return lambda d: F.pmod(F.lit(ai) * d + F.lit(bi), F.lit(MERSENNE_P))
+    @F.pandas_udf("array<long>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _py_shingles(t, shingle_n)
+            if not sh:
+                out.append([None] * num_hashes)
+                continue
+            d = np.asarray(
+                [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MERSENNE_P
+                 for s in sh], dtype=np.int64)
+            mins = ((d[:, None] * a_np + b_np) % MERSENNE_P).min(axis=0)
+            out.append(mins.tolist())
+        return pd.Series(out)
 
-    sig = [F.array_min(F.transform(digests, hasher(ai, bi))) for ai, bi in zip(a, b)]
-    return F.array(*sig)
+    return sig_udf(text)
 
 
 def _hash_params(k: int, seed: int) -> tuple[list[int], list[int]]:
@@ -148,7 +190,16 @@ def ngram_jaccard_pairs(
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
     )
     if candidates is None:
-        ex = sh.select("_id", F.explode("_sh").alias("s"))
+        # exact prefix-filtered pair join (PPJoin-style): under ANY fixed
+        # global shingle order, two sets with Jaccard ≥ t must share an
+        # element within their first ⌊(1-t)·|S|⌋+1 shingles — so candidate
+        # generation joins only the prefixes (≈(1-t) of the exploded rows,
+        # ≈(1-t)² of the pair blow-up on hot shingles), and the exact
+        # verification (array_intersect) runs on candidates only.  At
+        # t = 0.9 this cuts the self-join input 10× with zero recall loss.
+        srt = sh.select("_id", F.array_sort("_sh").alias("_sh"))
+        plen = (F.floor(F.size("_sh") * (1.0 - threshold)) + 1).cast("int")
+        ex = srt.select("_id", F.explode(F.slice("_sh", 1, plen)).alias("s"))
         candidates = (
             ex.alias("l").join(ex.alias("r"), "s")
             .where(F.col("l._id") < F.col("r._id"))
@@ -169,23 +220,35 @@ def ngram_jaccard_pairs(
 def simhash64(text: Column, seed: int = 42) -> Column:
     """64-bit SimHash over word digests: per bit, sign of Σ±1 votes.
 
-    Pure Column arithmetic (bit tests on the word digest), no UDF."""
-    words = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
-    digests = F.transform(words, lambda w: _md5_int(F.concat(w, F.lit(f"#{seed}"))))
+    Arrow-batched pandas UDF — the 64 per-bit votes are one numpy
+    broadcast over the word-digest vector per doc (the Column-expression
+    equivalent is 64 interpreted F.aggregate folds per row; measured ~20×
+    slower).  Bit i tests digest bit i mod 60 (digests are 60-bit);
+    bit 63 stays clear so the fingerprint is a non-negative long."""
+    shifts = np.asarray([i % 60 for i in range(63)], dtype=np.int64)
+    weights = (np.int64(1) << np.arange(63, dtype=np.int64))
 
-    def voter(bit: int):
-        return lambda acc, d: acc + F.when(
-            F.shiftright(d, bit % 60).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")
-        ).otherwise(F.lit(-1).cast("long"))
+    @F.pandas_udf("long")
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            words = list(dict.fromkeys(re.split(r"\s+", t.strip(" ").lower())))
+            if not words:
+                out.append(0)
+                continue
+            d = np.asarray(
+                [int(hashlib.md5((w + f"#{seed}").encode("utf-8")).hexdigest()[:15], 16)
+                 for w in words], dtype=np.int64)
+            bits = (d[:, None] >> shifts) & 1          # (n_words, 63)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = int(weights[votes > 0].sum())
+            out.append(fp)
+        return pd.Series(out, dtype="object")
 
-    bits = []
-    for i in range(64):
-        vote = F.aggregate(digests, F.lit(0).cast("long"), voter(i))
-        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = F.lit(0).cast("long")
-    for i, b in enumerate(bits[:63]):  # keep sign bit clear
-        out = out + (b * F.lit(1 << i))
-    return out
+    return sim_udf(text)
 
 
 def simhash_near_duplicates(

@@ -129,7 +129,7 @@ def embedding_near_duplicates(
     everything (verification/small-data)."""
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
     if exact:
-        joined = base.alias("l").crossJoin(base.alias("r")).where(F.col("l._id") < F.col("r._id"))
+        return _blockpair_near_duplicates(base, threshold)
     else:
         planes = hyperplanes(df.select(F.size(vec_col)).first()[0], n_planes, seed)
         b = base.withColumn("_bucket", lsh_bucket_ids(F.col("_v"), planes))
@@ -142,3 +142,68 @@ def embedding_near_duplicates(
         .where(F.col("sim") >= threshold)
         .distinct()
     )
+
+
+def _blockpair_near_duplicates(base: DataFrame, threshold: float, n_blocks: int = 4) -> DataFrame:
+    """Exact all-pairs cosine via distributed block-matrix multiply.
+
+    Rows hash into `n_blocks` blocks; every unordered block pair (i ≤ j)
+    becomes one applyInPandas group whose task is a dense
+    (|i| × dim)·(dim × |j|) numpy matmul — Arrow batches in, BLAS inside,
+    pairs ≥ threshold out.  Replication factor is n_blocks (each row joins
+    every pair containing its block), so total shuffled volume is
+    n_blocks × corpus — the standard O(n²/p) partitioned-matmul layout,
+    vs the naive crossJoin's per-pair row materialization.  At 100 TB the
+    same shape runs with n_blocks sized so a block pair fits executor
+    memory; the LSH-bucketed variant (exact=False) remains the
+    sub-quadratic path.
+    """
+    spark = base.sparkSession
+    id_field = base.schema["_id"]
+    out_schema = (f"id_a {id_field.dataType.simpleString()}, "
+                  f"id_b {id_field.dataType.simpleString()}, sim double")
+
+    rows = []
+    for i in range(n_blocks):
+        for j in range(i, n_blocks):
+            key = i * n_blocks + j
+            rows.append((i, key, 0))
+            if j != i:
+                rows.append((j, key, 1))
+    map_df = spark.createDataFrame(rows, "_b int, _pk int, _side int")
+    rep = base.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_blocks)).cast("int")
+    ).join(F.broadcast(map_df), "_b")
+
+    def compute(pdf):
+        import numpy as np
+        import pandas as pd
+
+        left = pdf[pdf["_side"] == 0]
+        right = pdf[pdf["_side"] == 1]
+        ids_l = left["_id"].to_numpy()
+        vl = np.asarray(left["_v"].tolist(), dtype=np.float64)
+        if right.empty:            # diagonal block: pairs within one block
+            ids_r, vr = ids_l, vl
+        else:
+            ids_r = right["_id"].to_numpy()
+            vr = np.asarray(right["_v"].tolist(), dtype=np.float64)
+        if len(ids_l) == 0 or len(ids_r) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        sims = (vl @ vr.T) / np.outer(np.linalg.norm(vl, axis=1),
+                                      np.linalg.norm(vr, axis=1))
+        sims = np.round(sims, 6)
+        ia, ib = np.where(sims >= threshold)
+        a, b, s = ids_l[ia], ids_r[ib], sims[ia, ib]
+        keep = a < b              # orders pairs; drops the diagonal
+        lo, hi = a, b
+        if right.empty:
+            pass                  # within-block: a<b is the full ordering
+        else:
+            # cross-block: order each pair by id
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            keep = a != b
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "sim": s[keep]})
+
+    return rep.groupBy("_pk").applyInPandas(compute, out_schema)
