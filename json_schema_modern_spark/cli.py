@@ -30,6 +30,10 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="json-schema-modern-spark")
     p.add_argument("--spec", required=True, help="constraint spec JSON file")
+    p.add_argument("--add-schema", action="append", default=[],
+                   help="extra schema JSON file registered for cross-document "
+                        "$ref; repeatable (reference: --add-schema, "
+                        "script/json-schema-eval:53-64)")
     p.add_argument("--table", help="input table: parquet path")
     p.add_argument("--source-dict", help="referential dictionary parquet path")
     p.add_argument("--output", help="output workdir (violations/metrics/lineage)")
@@ -61,7 +65,15 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     if args.check_only:
-        return check_spec(spec)
+        extra = []
+        for path in args.add_schema:
+            try:
+                with open(path) as f:
+                    extra.append(json.load(f))
+            except (OSError, json.JSONDecodeError) as e:
+                print(json.dumps({"valid": False, "exception": str(e)}))
+                return 2
+        return check_spec(spec, extra)
 
     if not args.table:
         print(json.dumps({"valid": False, "exception": "--table is required"}))
@@ -74,7 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
 
-def check_spec(spec) -> int:
+def check_spec(spec, extra_schemas=None) -> int:
     """Compile the spec against a representative token-table schema —
     traverse-phase errors (bad keywords, unresolvable $ref) surface here
     without touching data (reference: traverse()-only path)."""
@@ -94,8 +106,15 @@ def check_spec(spec) -> int:
     try:
         from json_schema_modern_spark.session import get_spark
 
+        from json_schema_modern_spark.spec.resolver import SchemaRegistry
+
         get_spark(app_name="jsms-check")          # Column exprs need a JVM
-        compile_spec(spec, schema, CompileOptions())
+        registry = None
+        if extra_schemas:
+            registry = SchemaRegistry()
+            for s in extra_schemas:
+                registry.add_schema(s)
+        compile_spec(spec, schema, CompileOptions(), registry)
     except SpecError as e:
         print(json.dumps({"valid": False, "errors": [str(e)]}))
         return 1
@@ -109,6 +128,10 @@ def run_validation(spec, args) -> int:
     from json_schema_modern_spark.validator import Validator
 
     spark = get_spark(app_name="jsms-validate")
+    extra = []
+    for path in args.add_schema:
+        with open(path) as f:
+            extra.append(json.load(f))
     if args.contract_schema:
         from json_schema_modern_spark.sources.sequences import read_token_table
 
@@ -119,7 +142,8 @@ def run_validation(spec, args) -> int:
     if args.flag_only:
         # short-circuit path (reference short_circuit mode, Modern.pm:69-74):
         # existence probe, no violation assembly, no writes
-        valid = Validator(spec).validate(df, id_cols=[args.id_col]).flag()
+        valid = Validator(spec, extra_schemas=extra) \
+            .validate(df, id_cols=[args.id_col]).flag()
         print(json.dumps({"valid": bool(valid)}))
         return 0 if valid else 1
 
@@ -130,7 +154,8 @@ def run_validation(spec, args) -> int:
 
         options = CompileOptions(assume_dense_arrays=True)
     pipe = ValidationPipeline(spec, id_col=args.id_col, workdir=args.output,
-                              n_buckets=args.n_buckets, options=options)
+                              n_buckets=args.n_buckets, options=options,
+                              extra_schemas=extra)
     res = pipe.run(spark, df, source_dict=sd,
                    snapshot_id=args.snapshot_id or "unpinned",
                    resume=args.resume)

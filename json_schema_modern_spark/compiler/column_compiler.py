@@ -221,6 +221,7 @@ _APPLY_TO = {
     "minProperties": {"object"},
     "required": {"object"},
     "dependentRequired": {"object"},
+    "dependencies": {"object"},
     "dependentSchemas": {"object"},
     "properties": {"object"},
     "patternProperties": {"object"},
@@ -567,6 +568,23 @@ class ColumnCompiler:
                 gated = [F.when(pt.present, v).otherwise(_empty_viols()) for v in child.viols]
                 add(Compiled(ok=ok, viols=gated))
                 adopt(child, pt.present & child.ok)
+
+        if "dependencies" in schema and applies("dependencies"):
+            # draft4-7 keyword: array form ≡ dependentRequired, schema form
+            # ≡ dependentSchemas, dispatched at compile time
+            # (V/Applicator.pm:190-245).  Documented deviation: violation
+            # keyword_locations read /dependentRequired | /dependentSchemas
+            # (the dispatched form), not /dependencies
+            arrays = {k: v for k, v in schema["dependencies"].items()
+                      if isinstance(v, list)}
+            schemas = {k: v for k, v in schema["dependencies"].items()
+                       if not isinstance(v, list)}
+            if arrays:
+                add(self._object_schema({"dependentRequired": arrays}, t,
+                                        kloc, base, abs_ptr))
+            if schemas:
+                add(self._object_schema({"dependentSchemas": schemas}, t,
+                                        kloc, base, abs_ptr))
 
         if "maxProperties" in schema and applies("maxProperties"):
             n = schema["maxProperties"]

@@ -88,6 +88,7 @@ class ValidationPipeline:
         drift_bins: int = 256,
         drift_hi: float = 2048.0,
         options=None,
+        extra_schemas: list | None = None,
     ):
         self.spec = spec
         self.id_col = id_col
@@ -95,7 +96,7 @@ class ValidationPipeline:
         self.n_buckets = n_buckets
         self.drift_bins = drift_bins
         self.drift_hi = drift_hi
-        self.validator = Validator(spec, options)
+        self.validator = Validator(spec, options, extra_schemas=extra_schemas)
 
     # -- lineage ------------------------------------------------------------
 

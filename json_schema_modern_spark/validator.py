@@ -85,15 +85,36 @@ class ValidationResult:
 class Validator:
     """Compile once, validate many DataFrames (broadcast-plan analogue)."""
 
-    def __init__(self, spec: Any, options: CompileOptions | None = None):
+    def __init__(self, spec: Any, options: CompileOptions | None = None,
+                 extra_schemas: list | None = None):
+        """`extra_schemas`: additional schema documents registered before
+        compilation so cross-document ``$ref`` resolves — the analogue of
+        the reference's add_schema / --add-schema (Modern.pm:157-200,
+        script/json-schema-eval:53-64).  Each entry is a schema dict with
+        its own ``$id`` (or a (uri, schema) tuple)."""
         self.spec = spec
         self.options = options or CompileOptions()
+        self.extra_schemas = extra_schemas or []
         self._plan_cache: dict[str, CompiledPlan] = {}
+
+    def _registry(self):
+        from json_schema_modern_spark.spec.resolver import SchemaRegistry
+
+        reg = SchemaRegistry()
+        for entry in self.extra_schemas:
+            if isinstance(entry, tuple):
+                uri, schema = entry
+                reg.add_schema(schema, uri)
+            else:
+                reg.add_schema(entry)
+        return reg
 
     def compile_for(self, df: DataFrame) -> CompiledPlan:
         key = df.schema.simpleString()
         if key not in self._plan_cache:
-            self._plan_cache[key] = compile_spec(self.spec, df.schema, self.options)
+            registry = self._registry() if self.extra_schemas else None
+            self._plan_cache[key] = compile_spec(
+                self.spec, df.schema, self.options, registry)
         return self._plan_cache[key]
 
     @property
@@ -133,3 +154,50 @@ class Validator:
 
     def valid_col(self, df: DataFrame) -> Column:
         return self.compile_for(df).ok
+
+    def validate_json_strings(
+        self, df: DataFrame, json_col: str, id_cols: list[str] | None = None
+    ) -> ValidationResult:
+        """Validate a column of JSON-encoded documents — the
+        evaluate_json_string entry point (Modern.pm:268-293): decode
+        failure becomes an exception-style violation row (the reference
+        returns an exception Result), decoded documents evaluate as root
+        instances (instance_location is root-relative, like the
+        reference's, not prefixed with the column name).
+
+        The decode schema derives from the spec's type annotations
+        (``_spark_schema_from_spec``); fields the spec doesn't mention are
+        not materialized — same pruning a typed scan would do."""
+        from json_schema_modern_spark.compiler.column_compiler import (
+            _spark_schema_from_spec,
+        )
+        from json_schema_modern_spark.spec.resolver import SpecError
+
+        id_cols = id_cols or ([df.columns[0]] if df.columns else [])
+        schema = _spark_schema_from_spec(self.spec)
+        if schema is None:
+            raise SpecError(
+                "spec has no properties/type info to derive a decode schema")
+        ok_parse = F.col(json_col).isNotNull() & F.try_parse_json(
+            F.col(json_col)).isNotNull()
+        good = (
+            df.filter(ok_parse)
+            .select(*id_cols, F.from_json(F.col(json_col), schema).alias("_p"))
+            .select(*id_cols, "_p.*")
+        )
+        res = self.validate(good, id_cols=id_cols)
+        decode_viols = df.filter(~ok_parse).select(
+            *id_cols,
+            F.lit("").alias("instance_location"),
+            F.lit("").alias("keyword_location"),
+            F.lit(None).cast("string").alias("absolute_keyword_location"),
+            F.lit("").alias("keyword"),
+            F.lit("EXCEPTION: invalid JSON string").alias("error"),
+            F.col(json_col).cast("string").alias("offending_value"),
+        )
+        return ValidationResult(
+            annotated=res.annotated,
+            violations=res.violations.unionByName(decode_viols),
+            plan=res.plan,
+            id_cols=id_cols,
+        )

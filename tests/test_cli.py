@@ -1,0 +1,90 @@
+"""CLI end-to-end through spark-submit (north rule: runs via
+spark-submit --py-files; exit codes 0/1/2 like the reference CLI,
+script/json-schema-eval:131,250-252)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SPEC = {
+    "type": "object",
+    "required": ["doc_id", "tokens", "n_tok", "source"],
+    "properties": {
+        "tokens": {"type": "array",
+                   "items": {"type": "integer", "minimum": 0, "maximum": 50256}},
+        "source": {"$ref": "https://ex.org/lib#/$defs/known_source"},
+    },
+    "x-unique": ["doc_id"],
+}
+
+LIB = {"$id": "https://ex.org/lib",
+       "$defs": {"known_source": {"enum": ["web", "books", "code", "wiki", "forums"]}}}
+
+
+@pytest.fixture(scope="module")
+def cli_data(spark, tmp_path_factory):
+    from json_schema_modern_spark.sources.sequences import sequences_df
+
+    d = tmp_path_factory.mktemp("cli")
+    table = str(d / "tokens")
+    sequences_df(spark, 800, seed=42, corrupt=True).write.parquet(table)
+    spec_path = str(d / "spec.json")
+    lib_path = str(d / "lib.json")
+    with open(spec_path, "w") as f:
+        json.dump(SPEC, f)
+    with open(lib_path, "w") as f:
+        json.dump(LIB, f)
+    return d, table, spec_path, lib_path
+
+
+def _run_cli(args, timeout=240):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, "-m", "json_schema_modern_spark.cli", *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+
+
+def test_cli_exit_codes_and_output(cli_data):
+    d, table, spec_path, lib_path = cli_data
+    out_dir = str(d / "run1")
+    r = _run_cli(["--spec", spec_path, "--add-schema", lib_path,
+                  "--table", table, "--output", out_dir, "--n-buckets", "4",
+                  "--contract-schema"])
+    assert r.returncode == 1, r.stderr[-2000:]      # corrupt data → invalid
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    payload = json.loads(line)
+    assert payload["valid"] is False and payload["violations"] > 0
+    assert payload["buckets_done"] == 4
+    assert os.path.exists(os.path.join(out_dir, "violations"))
+    assert os.path.exists(os.path.join(out_dir, "lineage"))
+
+    # resume: same snapshot+spec → all buckets skipped, same count
+    r2 = _run_cli(["--spec", spec_path, "--add-schema", lib_path,
+                   "--table", table, "--output", out_dir, "--n-buckets", "4",
+                   "--contract-schema", "--resume", "--snapshot-id", "unpinned"])
+    p2 = json.loads([ln for ln in r2.stdout.splitlines() if ln.startswith("{")][-1])
+    assert p2["buckets_skipped"] == 4 and p2["buckets_done"] == 0
+    assert p2["violations"] == payload["violations"]
+
+
+def test_cli_flag_only_and_check_only(cli_data):
+    d, table, spec_path, lib_path = cli_data
+    r = _run_cli(["--spec", spec_path, "--add-schema", lib_path,
+                  "--table", table, "--flag-only"])
+    assert r.returncode == 1
+    assert json.loads([ln for ln in r.stdout.splitlines()
+                       if ln.startswith("{")][-1]) == {"valid": False}
+
+    r = _run_cli(["--spec", spec_path, "--check-only"])
+    # spec references https://ex.org/lib which is NOT registered in
+    # check-only mode → traverse-phase error, exit 1
+    assert r.returncode == 1
+
+    r = _run_cli(["--spec", str(d / "nope.json"), "--table", table])
+    assert r.returncode == 2                        # unreadable spec → exception

@@ -274,6 +274,50 @@ def test_content_encoding_base64(spark):
     assert flags == [True, False, False]
 
 
+def test_dependencies_legacy_forms(spark):
+    """draft4-7 `dependencies`: array form ≡ dependentRequired, schema form
+    ≡ dependentSchemas, dispatched at compile time (V/Applicator.pm:190-245)."""
+    spec = {"type": "object",
+            "dependencies": {"a": ["b"], "c": {"required": ["d"]}}}
+    rows = [(1, 2, None, None),     # a present → b required: ok
+            (1, None, None, None),  # a present, b absent: fail
+            (None, None, 3, 4),     # c present → d required: ok
+            (None, None, 3, None)]  # c present, d absent: fail
+    flags = _flags(spark, spec, rows, "a int, b int, c int, d int")
+    assert flags == [True, False, True, False]
+
+
+def test_validate_json_strings(spark):
+    """evaluate_json_string analogue (Modern.pm:268-293): decode failure →
+    exception-style violation; decoded docs validate as root instances."""
+    spec = {"type": "object", "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 10}}}
+    rows = [(1, '{"k": 42}'), (2, '{"k": 3}'), (3, 'not json'), (4, '{"x": 1}')]
+    df = spark.createDataFrame(rows, "rid int, payload string")
+    res = Validator(spec).validate_json_strings(df, "payload", id_cols=["rid"])
+    viols = {r.rid: (r.keyword, r.instance_location, r.keyword_location)
+             for r in res.violations.collect()}
+    assert 1 not in viols
+    assert viols[2] == ("minimum", "/k", "/properties/k/minimum")
+    assert viols[3][0] == "" and "EXCEPTION" in [
+        r.error for r in res.violations.collect() if r.rid == 3][0]
+    assert viols[4] == ("required", "", "/required")
+
+
+def test_cross_document_ref(spark):
+    """add_schema analogue: $ref across registered documents
+    (Modern.pm:157-200)."""
+    lib = {"$id": "https://ex.org/lib",
+           "$defs": {"small": {"maximum": 10}}}
+    spec = {"type": "object",
+            "properties": {"a": {"$ref": "https://ex.org/lib#/$defs/small"}}}
+    df = spark.createDataFrame([(5,), (11,)], "a int")
+    res = Validator(spec, extra_schemas=[lib]).validate(df, id_cols=["a"])
+    rows = res.violations.collect()
+    assert len(rows) == 1 and rows[0].a == 11
+    assert rows[0].keyword_location == "/properties/a/$ref/maximum"
+
+
 def test_basic_output_format(spark):
     """`basic` output format parity (Result.pm:99,153-223): per-row JSON
     with valid flag + error nodes carrying the three location fields."""
