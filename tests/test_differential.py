@@ -1,0 +1,133 @@
+"""Property-based differential test: the set-oriented Spark evaluation must
+agree with an independent per-document Python evaluator (pyeval) on
+randomly generated (spec, rows) pairs.
+
+This mirrors the reference's dual-evaluation acceptance harness idea
+(every case evaluated two ways and compared, t/lib/Acceptance.pm:79-91) —
+here the second evaluator is a from-scratch recursive implementation, so a
+systematic semantic error in the compiler cannot cancel out.
+
+Fixed row shape: (a bigint, s string, arr array<bigint>).  SQL NULL in a
+column means "property absent" (the engine's data model), so instances for
+pyeval are dicts with null-valued keys dropped.
+"""
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from json_schema_modern_spark import Validator
+from json_schema_modern_spark.pyeval.evaluator import evaluate
+
+# -- spec grammar -----------------------------------------------------------
+
+_ints = st.integers(-5, 5)
+
+num_schema = st.fixed_dictionaries({}, optional={
+    "minimum": _ints,
+    "maximum": _ints,
+    "exclusiveMinimum": _ints,
+    "exclusiveMaximum": _ints,
+    "multipleOf": st.integers(1, 4),
+    "type": st.just("integer"),
+    "enum": st.lists(_ints, min_size=1, max_size=4),
+    "const": _ints,
+})
+
+str_schema = st.fixed_dictionaries({}, optional={
+    "minLength": st.integers(0, 4),
+    "maxLength": st.integers(0, 6),
+    "pattern": st.sampled_from(["^a", "b$", "ab", "^[ab]+$", "a.c"]),
+    "enum": st.lists(st.sampled_from(["a", "ab", "abc", "b"]), min_size=1, max_size=3),
+    "const": st.sampled_from(["a", "ab", "b"]),
+})
+
+arr_schema = st.fixed_dictionaries({}, optional={
+    "minItems": st.integers(0, 3),
+    "maxItems": st.integers(0, 4),
+    "uniqueItems": st.just(True),
+    "items": num_schema,
+    "prefixItems": st.lists(num_schema, min_size=1, max_size=2),
+    "contains": num_schema,
+    "maxContains": st.integers(0, 3),
+    "minContains": st.integers(0, 2),
+})
+
+
+def _props(n, s, a):
+    out = {}
+    if n is not None:
+        out["a"] = n
+    if s is not None:
+        out["s"] = s
+    if a is not None:
+        out["arr"] = a
+    return out
+
+
+base_root = st.builds(
+    lambda n, s, a, req, dep: {
+        "type": "object",
+        **({"properties": _props(n, s, a)} if _props(n, s, a) else {}),
+        **({"required": req} if req else {}),
+        **({"dependentRequired": dep} if dep else {}),
+    },
+    st.one_of(st.none(), num_schema),
+    st.one_of(st.none(), str_schema),
+    st.one_of(st.none(), arr_schema),
+    st.lists(st.sampled_from(["a", "s", "arr"]), max_size=2, unique=True),
+    st.one_of(st.none(), st.fixed_dictionaries(
+        {}, optional={"a": st.just(["s"]), "s": st.just(["arr"])})),
+)
+
+root_schema = st.one_of(
+    base_root,
+    st.builds(lambda kids: {"type": "object", "allOf": kids},
+              st.lists(base_root, min_size=1, max_size=2)),
+    st.builds(lambda kids: {"type": "object", "anyOf": kids},
+              st.lists(base_root, min_size=1, max_size=2)),
+    st.builds(lambda kids: {"type": "object", "oneOf": kids},
+              st.lists(base_root, min_size=1, max_size=2)),
+    st.builds(lambda kid: {"type": "object", "not": kid}, base_root),
+    st.builds(lambda i, t, e: {"type": "object", "if": i, "then": t, "else": e},
+              base_root, base_root, base_root),
+)
+
+row = st.tuples(
+    st.one_of(st.none(), _ints),
+    st.one_of(st.none(), st.sampled_from(["", "a", "ab", "abc", "ba", "abab"])),
+    st.one_of(st.none(), st.lists(_ints, max_size=4)),
+)
+
+
+def _instance(r):
+    d = {}
+    if r[0] is not None:
+        d["a"] = r[0]
+    if r[1] is not None:
+        d["s"] = r[1]
+    if r[2] is not None:
+        d["arr"] = list(r[2])
+    return d
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(spec=root_schema, rows=st.lists(row, min_size=1, max_size=6))
+def test_spark_agrees_with_pyeval(spark_diff, spec, rows):
+    df = spark_diff.createDataFrame(rows, "a bigint, s string, arr array<bigint>")
+    res = Validator(spec).validate(df, id_cols=[])
+    got = [r._valid for r in res.annotated.select("_valid").collect()]
+    want = [evaluate(spec, _instance(r)) for r in rows]
+    assert got == want, f"spec={spec!r} rows={rows!r} spark={got} pyeval={want}"
+    # dual-mode: flag() must agree with the row flags
+    assert res.flag() == all(got)
+
+
+@pytest.fixture(scope="module")
+def spark_diff(spark):
+    return spark
