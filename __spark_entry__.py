@@ -329,6 +329,22 @@ def _q_drift(spark, sf_dir):
                 F.round("threshold", 6).alias("threshold"), "drifted")
 
 
+def _q_drift_pandas(spark, sf_dir):
+    """applyInPandas KS variant (vectorized per-group numpy ECDF vs a
+    broadcast reference).  On integer-valued data it is numerically
+    identical to the binned SQL variant, so both share one oracle."""
+    from json_schema_modern_spark.operators.drift import ks_drift_pandas
+
+    df = _read(spark, sf_dir, "documents")
+    ref = [float(r[0]) for r in df.select("n_chars").collect()]
+    out = ks_drift_pandas(df.withColumn("n_chars", F.col("n_chars").cast("double")),
+                          "n_chars", "source", reference=ref, alpha=0.01)
+    return out.select(
+        "source", "n_group", F.lit(len(ref)).cast("long").alias("n_global"),
+        F.round(F.round("ks_d", 9), 6).alias("ks_d"),
+        F.round(F.round("threshold", 9), 6).alias("threshold"), "drifted")
+
+
 def _q_dedup_exact(spark, sf_dir):
     from json_schema_modern_spark.operators.dedup import exact_duplicates
 
@@ -497,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_broadcast": _q_ref_broadcast,
         "ref_sortmerge_salted": _q_ref_sortmerge,
         "drift_ks_n_chars": _q_drift,
+        "drift_ks_pandas": _q_drift_pandas,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "minhash_bands": _q_minhash_buckets,
@@ -782,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 <> 0) GROUP BY l_suppkey"
     )
     o["drift_ks_n_chars"] = _drift_oracle()
+    o["drift_ks_pandas"] = _drift_oracle()
     o["dedup_exact"] = (
         f"SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
         f"FROM {dup_docs} GROUP BY md5(text) HAVING count(*) > 1"

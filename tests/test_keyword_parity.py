@@ -274,6 +274,21 @@ def test_content_encoding_base64(spark):
     assert flags == [True, False, False]
 
 
+def test_dynamic_ref_static_fallback(spark):
+    """$dynamicRef resolves like $ref when the dynamic scope introduces no
+    overriding $dynamicAnchor — the supported static subset (SURVEY §7.4;
+    V/Core.pm:327-361 for the full runtime semantics)."""
+    spec = {"$id": "https://ex.org/root",
+            "$defs": {"limit": {"$dynamicAnchor": "lim", "maximum": 5}},
+            "type": "object",
+            "properties": {"a": {"$dynamicRef": "#lim"}}}
+    df = spark.createDataFrame([(3,), (9,)], "a int")
+    res = Validator(spec).validate(df, id_cols=["a"])
+    rows = res.violations.collect()
+    assert len(rows) == 1 and rows[0].a == 9
+    assert rows[0].keyword_location == "/properties/a/$dynamicRef/maximum"
+
+
 def test_dependencies_legacy_forms(spark):
     """draft4-7 `dependencies`: array form ≡ dependentRequired, schema form
     ≡ dependentSchemas, dispatched at compile time (V/Applicator.pm:190-245)."""
