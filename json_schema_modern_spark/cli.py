@@ -160,10 +160,8 @@ def run_validation(spec, args) -> int:
                    snapshot_id=args.snapshot_id or "unpinned",
                    resume=args.resume)
     n_viol = res.violations.count()
-    if args.output:
-        res.stats.coalesce(1).write.mode("overwrite").parquet(args.output + "/stats")
-        res.partition_results.coalesce(1).write.mode("overwrite") \
-            .parquet(args.output + "/partition_results")
+    # with --output the pipeline has already written violations/, stats/,
+    # histogram/, partition_results/, lineage/ under the workdir
     print(json.dumps({
         "valid": n_viol == 0,
         "violations": n_viol,

@@ -158,11 +158,22 @@ class ValidationPipeline:
                 return None
             viols = []
             for fact_col, target in val.items():
-                dim_col = target.split(".")[-1]
+                # spec forms: "dict.col" (broadcast, the small-dim default)
+                # or {"target": "dict.col", "strategy": "sortmerge"} for
+                # large dictionaries — salted sort-merge: fact side gets a
+                # salt, dim side replicates ×S, bounding any hot key's
+                # reducer at 1/S (north rule: explicit repartition + skew
+                # salting on the source column)
+                if isinstance(target, dict):
+                    dim_col = target["target"].split(".")[-1]
+                    strategy = target.get("strategy", "broadcast")
+                else:
+                    dim_col = target.split(".")[-1]
+                    strategy = "broadcast"
                 v = referential_violations(
                     bucketed, fact_col, source_dict, dim_col,
                     id_col=self.id_col, keyword_location=check.keyword_location,
-                    strategy="broadcast",
+                    strategy=strategy,
                 ).withColumn("_bucket", _bucket_expr(F.col("doc_id"), self.n_buckets))
                 viols.append(v)
             out = viols[0]
@@ -250,10 +261,21 @@ class ValidationPipeline:
         stats = column_stats(df, stats_columns or [c for c in df.columns if c != "tokens"])
         hist = (numeric_histogram(df, "n_tok", 0.0, self.drift_hi, 32)
                 if "n_tok" in df.columns else None)
+        part_res = _partition_results(bucketed, all_viols)
+        # metrics tables (north rule: per-partition lineage + metrics):
+        # column stats, value histogram, per-bucket pass/fail rollup — tiny
+        # outputs, coalesced to one file each
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.workdir, "stats"))
+        if hist is not None:
+            hist.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.workdir, "histogram"))
+        part_res.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.workdir, "partition_results"))
         _write_manifest(self.workdir, run_id, snapshot_id, fingerprint, self.n_buckets)
         return PipelineResult(
             run_id=run_id, violations=all_viols, stats=stats, histogram=hist,
-            partition_results=_partition_results(bucketed, all_viols),
+            partition_results=part_res,
             buckets_done=len(pending),
             buckets_skipped=len({b for b in done if b >= 0}),
         )

@@ -73,6 +73,39 @@ def test_checkpoint_resume(spark, corrupt, tmp_path):
     assert r3.violations.count() == n1
 
 
+def test_metrics_tables_persisted(spark, corrupt, tmp_path):
+    """north rule: per-partition lineage + metrics tables on disk."""
+    wd = str(tmp_path / "m")
+    pipe = ValidationPipeline(SPEC, workdir=wd, n_buckets=4)
+    pipe.run(spark, corrupt, source_dict=source_dict_df(spark), snapshot_id="s1")
+    for name in ("violations", "lineage", "stats", "histogram",
+                 "partition_results", "run_manifest.json"):
+        assert os.path.exists(os.path.join(wd, name)), name
+    stats = spark.read.parquet(os.path.join(wd, "stats"))
+    assert {r.column for r in stats.collect()} == {"doc_id", "n_tok", "source"}
+    pr = spark.read.parquet(os.path.join(wd, "partition_results"))
+    assert pr.count() == 4 and pr.filter("NOT valid").count() > 0
+
+
+def test_sortmerge_ref_strategy(spark, corrupt):
+    """x-ref dict form selects the salted sort-merge join path (large-dim
+    referential; explicit skew salting on the join key)."""
+    spec = dict(SPEC)
+    spec["x-ref"] = {"source": {"target": "source_dict.source",
+                                "strategy": "sortmerge"}}
+    pipe = ValidationPipeline(spec, drift_hi=2048.0, drift_bins=64)
+    res = pipe.run(spark, corrupt, source_dict=source_dict_df(spark))
+    smj = res.violations.filter(F.col("keyword") == "x-ref")
+    # broadcast-path result must match exactly
+    pipe_b = ValidationPipeline(SPEC, drift_hi=2048.0, drift_bins=64)
+    bc = pipe_b.run(spark, corrupt, source_dict=source_dict_df(spark)) \
+        .violations.filter(F.col("keyword") == "x-ref")
+    assert smj.count() == bc.count() > 0
+    a = {(r.doc_id, r.offending_value) for r in smj.collect()}
+    b = {(r.doc_id, r.offending_value) for r in bc.collect()}
+    assert a == b
+
+
 def test_bucket_unit_is_doc_id_hash(spark, corrupt, tmp_path):
     """Duplicate doc_ids land in one bucket — per-bucket uniqueness is
     globally complete (the pipeline's restart-unit invariant)."""
