@@ -628,7 +628,13 @@ class ColumnCompiler:
         if "propertyNames" in schema and applies("propertyNames"):
             s = schema["propertyNames"]
             for name in t.field_names():
-                nt = Target(col=F.lit(name), dtype=T.StringType(), ptr=t.ptr, present=t.present)
+                # the name is only validated when the property is PRESENT
+                # (NULL column = absent property in our data model) — gate
+                # on the property's own presence, not the object's
+                pt = t.get_property(name)
+                present = pt.present if pt is not None else F.lit(False)
+                nt = Target(col=F.lit(name), dtype=T.StringType(), ptr=t.ptr,
+                            present=present)
                 add(sub("propertyNames", s, nt))
 
         # coverage produced by this level's property keywords (statically

@@ -69,12 +69,23 @@ def _props(n, s, a):
     return out
 
 
+obj_extras = st.fixed_dictionaries({}, optional={
+    "minProperties": st.integers(0, 3),
+    "maxProperties": st.integers(0, 3),
+    "propertyNames": st.sampled_from([{"pattern": "^a"}, {"pattern": "r"},
+                                      {"minLength": 2}]),
+    "patternProperties": st.sampled_from([{"^a": {"minimum": 0}},
+                                          {"r": {"minItems": 1}}]),
+    "additionalProperties": st.sampled_from([False, {"minimum": -2}]),
+})
+
 base_root = st.builds(
-    lambda n, s, a, req, dep: {
+    lambda n, s, a, req, dep, extras: {
         "type": "object",
         **({"properties": _props(n, s, a)} if _props(n, s, a) else {}),
         **({"required": req} if req else {}),
         **({"dependentRequired": dep} if dep else {}),
+        **extras,
     },
     st.one_of(st.none(), num_schema),
     st.one_of(st.none(), str_schema),
@@ -82,6 +93,7 @@ base_root = st.builds(
     st.lists(st.sampled_from(["a", "s", "arr"]), max_size=2, unique=True),
     st.one_of(st.none(), st.fixed_dictionaries(
         {}, optional={"a": st.just(["s"]), "s": st.just(["arr"])})),
+    obj_extras,
 )
 
 root_schema = st.one_of(

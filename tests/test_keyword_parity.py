@@ -274,6 +274,16 @@ def test_content_encoding_base64(spark):
     assert flags == [True, False, False]
 
 
+def test_propertynames_absent_property_vacuous(spark):
+    """propertyNames validates only names of PRESENT properties — a NULL
+    column (absent property) must not fail the name check (regression:
+    the name target was gated on the object's presence, not the
+    property's)."""
+    spec = {"type": "object", "propertyNames": {"pattern": "^a"}}
+    flags = _flags(spark, spec, [(1, None), (1, 2)], "a int, b int")
+    assert flags == [True, False]
+
+
 def test_dynamic_ref_static_fallback(spark):
     """$dynamicRef resolves like $ref when the dynamic scope introduces no
     overriding $dynamicAnchor — the supported static subset (SURVEY §7.4;
