@@ -143,6 +143,12 @@ class Target:
     ptr: Column                  # instance_location (string column)
     present: Column              # is the value present (non-NULL / row root)
     root_schema: T.StructType | None = None   # set for the virtual root
+    # True for array-element / map-value targets, where a SQL NULL is a
+    # PRESENT JSON null (type "null") rather than an absent property.
+    # Keyword predicates must then be total: type-gated keywords are
+    # vacuously true on null, enum/const/type handle null explicitly —
+    # otherwise three-valued SQL NULL would leak into the plan's validity.
+    null_is_value: bool = False
 
     @property
     def is_root(self) -> bool:
@@ -404,12 +410,18 @@ class ColumnCompiler:
             ap = f"{abs_ptr}/{json_pointer_escape(kw)}{suffix}"
             return self._node(node, target, kp, base, ap)
 
-        def E(kw: str, ok: Column, error: Column | str, off: Column | None = None, suffix: str = "") -> Compiled:
+        def E(kw: str, ok: Column, error: Column | str, off: Column | None = None,
+              suffix: str = "", null_vacuous: bool = True) -> Compiled:
             kp = f"{kloc}/{json_pointer_escape(kw)}{suffix}"
             ap = f"{abs_ptr}/{json_pointer_escape(kw)}{suffix}"
             offending = off if off is not None else (
                 t.offending_json() if not t.is_root else F.lit(None).cast("string")
             )
+            if t.null_is_value and null_vacuous:
+                # JSON-null value: type-gated keywords are vacuously true
+                # (the reference skips keywords whose type doesn't match);
+                # keeps the predicate total — no three-valued NULL leaks
+                ok = F.when(t.value_col().isNull(), F.lit(True)).otherwise(ok)
             ok = F.when(t.present, ok).otherwise(F.lit(True))
             return Compiled(ok=ok, viols=[_viol(ok, t.ptr, kp, self._akloc(base, ap), kw, error, offending)])
 
@@ -443,11 +455,20 @@ class ColumnCompiler:
             ok = F.lit(False)
             for c in lits:
                 ok = ok | (t.value_col() == c)
-            add(E("enum", ok, "value does not match"))
+            if t.null_is_value:
+                # type-strict equality: JSON null matches only a null member
+                null_ok = F.lit(any(v is None for v in schema["enum"]))
+                ok = F.when(t.value_col().isNull(), null_ok) \
+                    .otherwise(F.coalesce(ok, F.lit(False)))
+            add(E("enum", ok, "value does not match", null_vacuous=False))
         if "const" in schema and not t.is_root:
             c = _lit_value(schema["const"], t.dtype)
             ok = F.lit(False) if c is None else (t.value_col() == c)
-            add(E("const", ok, "value does not match"))
+            if t.null_is_value:
+                ok = F.when(t.value_col().isNull(),
+                            F.lit(schema["const"] is None)) \
+                    .otherwise(F.coalesce(ok, F.lit(False)))
+            add(E("const", ok, "value does not match", null_vacuous=False))
 
         if "multipleOf" in schema and applies("multipleOf"):
             m = schema["multipleOf"]
@@ -526,7 +547,8 @@ class ColumnCompiler:
             for i, s in enumerate(subs):
                 elem = self._elem_target(t, F.lit(i))
                 present_i = t.present & (F.size(t.value_col()) > i)
-                elem = Target(col=elem.col, dtype=elem.dtype, ptr=elem.ptr, present=present_i)
+                elem = Target(col=elem.col, dtype=elem.dtype, ptr=elem.ptr, present=present_i,
+                              null_is_value=True)
                 add(sub("prefixItems", s, elem, suffix=f"/{i}"))
             cov_items.append((None, n_prefix))
 
@@ -744,7 +766,8 @@ class ColumnCompiler:
                 ok_inner = self._items_ok_peephole(s, t.dtype, rest)
                 if ok_inner is None:
                     def _uneval_pred(x: Column) -> Column:
-                        elem = Target(col=x, dtype=et, ptr=t.ptr, present=F.lit(True))
+                        elem = Target(col=x, dtype=et, ptr=t.ptr, present=F.lit(True),
+                                      null_is_value=True)
                         return self._node(s, elem, f"{kloc}/unevaluatedItems",
                                           base, f"{abs_ptr}/unevaluatedItems").ok
                     ok_inner = F.forall(rest, _uneval_pred)
@@ -781,6 +804,14 @@ class ColumnCompiler:
                 raise SpecError(f'unrecognized type "{w}"')
         jt = t.json_type()
         got = jt
+        if t.null_is_value and "null" not in wants:
+            # a JSON-null element has runtime type "null" even though the
+            # static element type matches — the check cannot constant-fold
+            nonnull = self._type_kw_nonnull(wants, t)
+            return E("type", F.when(t.value_col().isNull(), F.lit(False))
+                     .otherwise(nonnull),
+                     f"got null or {got}, not {', '.join(wants)}",
+                     null_vacuous=False)
         if jt in wants or (jt == "integer" and "number" in wants):
             return Compiled(ok=F.lit(True))
         if jt == "number" and "integer" in wants and not isinstance(t.dtype, T.DecimalType):
@@ -794,6 +825,17 @@ class ColumnCompiler:
             return E("type", ok, f"got number, not integer")
         plural = "one of " if len(wants) > 1 else ""
         return E("type", F.lit(False), f"got {got}, not {plural}{', '.join(wants)}")
+
+    def _type_kw_nonnull(self, wants: list, t: Target) -> Column:
+        """Runtime type check for a definitely-non-null value (the static
+        dtype decides, with the integer⊂number / 2.0-is-integer cases)."""
+        jt = t.json_type()
+        if jt in wants or (jt == "integer" and "number" in wants):
+            return F.lit(True)
+        if jt == "number" and "integer" in wants:
+            v = t.value_col()
+            return v == F.floor(v).cast(t.dtype)
+        return F.lit(False)
 
     def _prop_count(self, t: Target) -> Column:
         if t.is_root:
@@ -830,6 +872,7 @@ class ColumnCompiler:
             col=c, dtype=et,
             ptr=F.concat(t.ptr, F.lit("/"), idx.cast("string")),
             present=t.present,  # element exists; NULL element = JSON null value
+            null_is_value=True,
         )
 
     def _map_value_target(self, t: Target, name: str) -> Target:
@@ -839,6 +882,7 @@ class ColumnCompiler:
             col=col, dtype=vt,
             ptr=F.concat(t.ptr, F.lit("/" + json_pointer_escape(name))),
             present=t.present & F.map_contains_key(t.value_col(), F.lit(name)),
+            null_is_value=True,  # a present map key with NULL value = JSON null
         )
 
     def _items_kw(self, items_schema: Any, t: Target, n_prefix: int,
@@ -857,7 +901,7 @@ class ColumnCompiler:
             idx = i + F.lit(n_prefix)
             elem = Target(col=x, dtype=et,
                           ptr=F.concat(t.ptr, F.lit("/"), idx.cast("string")),
-                          present=F.lit(True))
+                          present=F.lit(True), null_is_value=True)
             return self._node(items_schema, elem, kp, base, ap)
 
         rest = arr if n_prefix == 0 else F.slice(arr, n_prefix + 1, F.greatest(F.size(arr) - n_prefix, F.lit(0)))
@@ -993,7 +1037,8 @@ class ColumnCompiler:
         contains_schema = schema.get("contains", True)
 
         def elem_ok(x: Column) -> Column:
-            elem = Target(col=x, dtype=et, ptr=t.ptr, present=F.lit(True))
+            elem = Target(col=x, dtype=et, ptr=t.ptr, present=F.lit(True),
+                          null_is_value=True)
             return self._node(contains_schema, elem, f"{kloc}/contains", base, f"{abs_ptr}/contains").ok
 
         matches = F.size(F.filter(arr, elem_ok))

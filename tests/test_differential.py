@@ -96,23 +96,30 @@ base_root = st.builds(
     obj_extras,
 )
 
-root_schema = st.one_of(
-    base_root,
-    st.builds(lambda kids: {"type": "object", "allOf": kids},
-              st.lists(base_root, min_size=1, max_size=2)),
-    st.builds(lambda kids: {"type": "object", "anyOf": kids},
-              st.lists(base_root, min_size=1, max_size=2)),
-    st.builds(lambda kids: {"type": "object", "oneOf": kids},
-              st.lists(base_root, min_size=1, max_size=2)),
-    st.builds(lambda kid: {"type": "object", "not": kid}, base_root),
-    st.builds(lambda i, t, e: {"type": "object", "if": i, "then": t, "else": e},
-              base_root, base_root, base_root),
-)
+def _combinators(child):
+    return st.one_of(
+        child,
+        st.builds(lambda kids: {"type": "object", "allOf": kids},
+                  st.lists(child, min_size=1, max_size=2)),
+        st.builds(lambda kids: {"type": "object", "anyOf": kids},
+                  st.lists(child, min_size=1, max_size=2)),
+        st.builds(lambda kids: {"type": "object", "oneOf": kids},
+                  st.lists(child, min_size=1, max_size=2)),
+        st.builds(lambda kid: {"type": "object", "not": kid}, child),
+        st.builds(lambda i, t, e: {"type": "object", "if": i, "then": t, "else": e},
+                  child, child, child),
+    )
+
+
+# depth 2: combinators whose children may themselves be combinators
+root_schema = _combinators(_combinators(base_root))
 
 row = st.tuples(
     st.one_of(st.none(), _ints),
     st.one_of(st.none(), st.sampled_from(["", "a", "ab", "abc", "ba", "abab"])),
-    st.one_of(st.none(), st.lists(_ints, max_size=4)),
+    # arrays may carry null ELEMENTS (JSON null values — present, type
+    # null), exercising the null-aware items path vs the dense fast path
+    st.one_of(st.none(), st.lists(st.one_of(st.none(), _ints), max_size=4)),
 )
 
 
