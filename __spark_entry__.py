@@ -766,10 +766,12 @@ def oracle_sql() -> dict[str, str]:
         "WHERE p_retailprice IS NOT NULL AND p_retailprice <> floor(p_retailprice)"
     )
     o["stats_lineitem"] = (
+        # CAST sums to BIGINT: DuckDB sum(int) yields HUGEINT, which lands in
+        # pandas as float64 ("0.0" vs Spark's "0") and breaks the value hash.
         "WITH t AS (SELECT count(*) n, "
-        " sum((l_orderkey IS NULL)::bigint) n1, CAST(min(l_orderkey) AS VARCHAR) mn1, CAST(max(l_orderkey) AS VARCHAR) mx1, count(DISTINCT l_orderkey) d1, "
-        " sum((l_quantity IS NULL)::bigint) n2, CAST(min(l_quantity) AS VARCHAR) mn2, CAST(max(l_quantity) AS VARCHAR) mx2, count(DISTINCT l_quantity) d2, "
-        " sum((l_returnflag IS NULL)::bigint) n3, CAST(min(l_returnflag) AS VARCHAR) mn3, CAST(max(l_returnflag) AS VARCHAR) mx3, count(DISTINCT l_returnflag) d3 "
+        " CAST(sum((l_orderkey IS NULL)::bigint) AS BIGINT) n1, CAST(min(l_orderkey) AS VARCHAR) mn1, CAST(max(l_orderkey) AS VARCHAR) mx1, count(DISTINCT l_orderkey) d1, "
+        " CAST(sum((l_quantity IS NULL)::bigint) AS BIGINT) n2, CAST(min(l_quantity) AS VARCHAR) mn2, CAST(max(l_quantity) AS VARCHAR) mx2, count(DISTINCT l_quantity) d2, "
+        " CAST(sum((l_returnflag IS NULL)::bigint) AS BIGINT) n3, CAST(min(l_returnflag) AS VARCHAR) mn3, CAST(max(l_returnflag) AS VARCHAR) mx3, count(DISTINCT l_returnflag) d3 "
         " FROM lineitem) "
         "SELECT 'l_orderkey' AS \"column\", n AS n_rows, n1 AS null_count, round(n1*1.0/n, 9) AS null_fraction, mn1 AS \"min\", mx1 AS \"max\", d1 AS distinct_count FROM t "
         "UNION ALL SELECT 'l_quantity', n, n2, round(n2*1.0/n, 9), mn2, mx2, d2 FROM t "
@@ -860,9 +862,9 @@ WITH binned AS (
               ELSE CAST(floor(n_chars/1.0) AS BIGINT) + 1 END AS bucket,
          count(*) AS cnt
   FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
-gtot AS (SELECT bucket, sum(cnt) AS gcnt FROM binned GROUP BY 1),
-totals AS (SELECT grp, sum(cnt) AS n_grp FROM binned GROUP BY 1),
-nglob AS (SELECT sum(gcnt) AS n_glob FROM gtot),
+gtot AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS gcnt FROM binned GROUP BY 1),
+totals AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_grp FROM binned GROUP BY 1),
+nglob AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_glob FROM gtot),
 grid AS (
   SELECT g.grp, gl.bucket, coalesce(b.cnt, 0) AS cnt, gl.gcnt
   FROM (SELECT DISTINCT grp FROM binned) g

@@ -19,23 +19,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    # Deliberately STRICT: float vs int (and their renderings) must agree
+    # bitwise between Spark and DuckDB — the driver's hash does not forgive
+    # type-level drift (e.g. DuckDB HUGEINT → pandas float64).
     if v is None:
         return "\\N"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.9g}"
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            f = float(v)
-            return norm_cell(f)
-    except ImportError:
-        pass
+        if v != v:  # NaN
+            return "NaN"
+        return repr(v)
     return str(v)
+
+
+def pd_isna_scalar(v):
+    try:
+        import pandas as pd
+
+        return v is None or (not isinstance(v, (list, tuple, dict)) and pd.isna(v))
+    except (TypeError, ValueError):
+        return False
 
 
 def table_hash(rows, colnames):
@@ -80,9 +84,18 @@ def main():
             print(f"skip  {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            orows = res.fetchall()
-            ocols = [d[0] for d in res.description]
+            # fetch through pandas, as the driver does: surfaces dtype-level
+            # mismatches (HUGEINT→float64) that fetchall() would hide
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = [
+                tuple(
+                    None if pd_isna_scalar(v)
+                    else (v.item() if hasattr(v, "item") else v)
+                    for v in row
+                )
+                for row in odf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
