@@ -82,7 +82,9 @@ def _q_kw_length(spark, sf_dir):
 
 
 def _q_kw_pattern(spark, sf_dir):
-    spec = {"type": "object", "properties": {"c_name": {"pattern": "^Customer#00000[0-4]"}}}
+    # last digit 0-4: roughly half the rows actually fail (a pattern that
+    # matches everything tests nothing)
+    spec = {"type": "object", "properties": {"c_name": {"pattern": "^Customer#.*[0-4]$"}}}
     return _validate(spark, sf_dir, "customer", spec, ["c_custkey"])
 
 
@@ -213,6 +215,114 @@ def _q_kw_nested_struct(spark, sf_dir):
                                  "keyword", "error", "offending_value")
 
 
+def _attrs_map(spark, sf_dir):
+    """events → open-properties map column: {'k': <props.k>, 'p_<type>':
+    floor(value), 'xtra': event_id%100 (only when event_id%7==0)}."""
+    ev = _read(spark, sf_dir, "events")
+    attrs = F.map_filter(
+        F.create_map(
+            F.lit("k"), F.get_json_object("props", "$.k").cast("long"),
+            F.concat(F.lit("p_"), F.col("event_type")), F.floor("value").cast("long"),
+            F.lit("xtra"), F.when(F.col("event_id") % 7 == 0,
+                                  F.pmod("event_id", F.lit(100)).cast("long")),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return ev.select("event_id", attrs.alias("attrs"))
+
+
+def _q_kw_map_props(spark, sf_dir):
+    """Object keywords over a MapType column (runtime property matching):
+    properties, patternProperties, additionalProperties, propertyNames —
+    V/Applicator.pm:410-548 re-expressed as map_entries HOFs."""
+    from json_schema_modern_spark import Validator
+
+    spec = {"type": "object", "properties": {"attrs": {
+        "properties": {"k": {"minimum": 10}},
+        "patternProperties": {"^p_": {"maximum": 80}},
+        "additionalProperties": False,
+        "propertyNames": {"maxLength": 7},
+    }}}
+    res = Validator(spec).validate(_attrs_map(spark, sf_dir), id_cols=["event_id"])
+    return res.violations.select("event_id", *_VCOLS)
+
+
+def _q_kw_uneval_props_map(spark, sf_dir):
+    """unevaluatedProperties over a MapType column: runtime coverage
+    (properties ∪ patternProperties regexes) — V/Unevaluated.pm:100-144."""
+    from json_schema_modern_spark import Validator
+
+    spec = {"type": "object", "properties": {"attrs": {
+        "properties": {"k": True},
+        "patternProperties": {"^p_": True},
+        "unevaluatedProperties": {"maximum": 49},
+    }}}
+    res = Validator(spec).validate(_attrs_map(spark, sf_dir), id_cols=["event_id"])
+    return res.violations.select("event_id", *_VCOLS)
+
+
+def _q_kw_mincontains(spark, sf_dir):
+    spec = {"type": "object",
+            "properties": {"embedding": {"contains": {"minimum": 0.3},
+                                         "minContains": 2}}}
+    return _validate(spark, sf_dir, "embeddings", spec, ["vec_id"]).drop("offending_value")
+
+
+def _q_kw_minmaxprops(spark, sf_dir):
+    """min/maxProperties on the root object (present-property count over
+    nullable columns) — V/Validation.pm:263-279."""
+    spec = {"type": "object", "minProperties": 2, "maxProperties": 2}
+    from json_schema_modern_spark import Validator
+
+    res = Validator(spec).validate(_events_derived(spark, sf_dir), id_cols=["event_id"])
+    return res.violations.select("event_id", "instance_location", "keyword_location",
+                                 "keyword", "error")
+
+
+def _q_kw_dependencies(spark, sf_dir):
+    """draft4-7 `dependencies`: array form ≡ dependentRequired, schema form
+    ≡ dependentSchemas, dispatched at compile (V/Applicator.pm:190-245)."""
+    spec = {"type": "object",
+            "dependencies": {"big_value": ["even_user"],
+                             "even_user": {"properties": {"big_value": {"maximum": 99}}}}}
+    from json_schema_modern_spark import Validator
+
+    res = Validator(spec).validate(_events_derived(spark, sf_dir), id_cols=["event_id"])
+    return res.violations.select("event_id", "instance_location", "keyword_location",
+                                 "keyword", "error")
+
+
+def _q_kw_anchor(spark, sf_dir):
+    """$anchor resolution: $ref via plain-name fragment (V/Core.pm:198-257)."""
+    spec = {"$defs": {"nonneg": {"$anchor": "nonneg", "minimum": 0}},
+            "type": "object",
+            "properties": {"c_acctbal": {"$ref": "#nonneg"}}}
+    return _validate(spark, sf_dir, "customer", spec, ["c_custkey"])
+
+
+def _q_kw_uneval_items(spark, sf_dir):
+    """unevaluatedItems after a prefixItems prefix (static coverage
+    analysis standing in for runtime annotations — V/Unevaluated.pm:41-98)."""
+    spec = {"type": "object",
+            "properties": {"embedding": {
+                "prefixItems": [{"minimum": -1.0}],
+                "unevaluatedItems": {"maximum": 0.35},
+            }}}
+    return _validate(spark, sf_dir, "embeddings", spec, ["vec_id"]).drop("offending_value")
+
+
+def _q_kw_uneval_props(spark, sf_dir):
+    """unevaluatedProperties on the root (struct path: static coverage)."""
+    spec = {"type": "object",
+            "properties": {"event_id": True, "big_value": True},
+            "unevaluatedProperties": {"maximum": 100}}
+    from json_schema_modern_spark import Validator
+
+    res = Validator(spec).validate(_events_derived(spark, sf_dir), id_cols=["event_id"])
+    return res.violations.select("event_id", "instance_location", "keyword_location",
+                                 "keyword", "error")
+
+
 def _q_kw_format(spark, sf_dir):
     from json_schema_modern_spark import Validator
     from json_schema_modern_spark.compiler.column_compiler import CompileOptions
@@ -331,12 +441,16 @@ def _q_drift(spark, sf_dir):
 
 def _q_drift_pandas(spark, sf_dir):
     """applyInPandas KS variant (vectorized per-group numpy ECDF vs a
-    broadcast reference).  On integer-valued data it is numerically
-    identical to the binned SQL variant, so both share one oracle."""
+    broadcast reference).  The reference sample is BOUNDED by construction
+    (deterministic doc_id % 10 == 0 subset — ~n/10 values) so the driver
+    never materializes a full column; at 100 TB the caller picks the
+    modulus / sample fraction to cap driver memory."""
     from json_schema_modern_spark.operators.drift import ks_drift_pandas
 
     df = _read(spark, sf_dir, "documents")
-    ref = [float(r[0]) for r in df.select("n_chars").collect()]
+    ref = [float(r[0]) for r in
+           df.filter((F.col("doc_id") % 10 == 0) & F.col("n_chars").isNotNull())
+             .select("n_chars").collect()]
     out = ks_drift_pandas(df.withColumn("n_chars", F.col("n_chars").cast("double")),
                           "n_chars", "source", reference=ref, alpha=0.01)
     return out.select(
@@ -507,6 +621,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_ref_defs": _q_kw_ref_defs,
         "kw_type_integer_frac": _q_kw_type_integer_frac,
         "kw_content_json": _q_kw_content_json,
+        "kw_map_props": _q_kw_map_props,
+        "kw_uneval_props_map": _q_kw_uneval_props_map,
+        "kw_mincontains": _q_kw_mincontains,
+        "kw_minmaxprops": _q_kw_minmaxprops,
+        "kw_dependencies": _q_kw_dependencies,
+        "kw_anchor": _q_kw_anchor,
+        "kw_uneval_items": _q_kw_uneval_items,
+        "kw_uneval_props": _q_kw_uneval_props,
         "stats_lineitem": _q_stats,
         "hist_n_chars": _q_hist,
         "unique_doc_ids": _q_unique,
@@ -610,7 +732,7 @@ def _simple_range_oracle() -> dict[str, str]:
     o["kw_pattern"] = _viol_row(
         "c_custkey", "'/c_name'", "/properties/c_name/pattern", "pattern",
         "'pattern does not match'", "c_name", "customer",
-        "c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#00000[0-4]')")
+        "c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#.*[0-4]$')")
     o["kw_enum"] = _viol_row(
         "o_orderkey", "'/o_orderstatus'", "/properties/o_orderstatus/enum", "enum",
         "'value does not match'", "o_orderstatus", "orders",
@@ -759,6 +881,89 @@ def oracle_sql() -> dict[str, str]:
         "'maximum', 'value is greater than 90' "
         "FROM events WHERE CAST(props->>'k' AS BIGINT) > 90"
     )
+    # map-column object keywords: replicate the derived attrs map
+    # ({'k', 'p_<event_type>', conditional 'xtra'}) in SQL
+    attrs_base = (
+        "(SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val, "
+        "concat('p_', event_type) AS pkey, CAST(floor(value) AS BIGINT) AS p_val, "
+        "CASE WHEN event_id % 7 = 0 THEN event_id % 100 END AS xtra_val FROM events)"
+    )
+    o["kw_map_props"] = " UNION ALL ".join([
+        f"SELECT event_id, '/attrs/k' AS instance_location, "
+        f"'/properties/attrs/properties/k/minimum' AS keyword_location, "
+        f"'minimum' AS keyword, 'value is less than 10' AS error, "
+        f"CAST(k_val AS VARCHAR) AS offending_value FROM {attrs_base} WHERE k_val < 10",
+        f"SELECT event_id, concat('/attrs/', pkey), "
+        f"'/properties/attrs/patternProperties/^p_/maximum', 'maximum', "
+        f"'value is greater than 80', CAST(p_val AS VARCHAR) FROM {attrs_base} WHERE p_val > 80",
+        f"SELECT event_id, '/attrs', '/properties/attrs/patternProperties', "
+        f"'patternProperties', 'not all properties are valid', NULL FROM {attrs_base} WHERE p_val > 80",
+        f"SELECT event_id, '/attrs/xtra', '/properties/attrs/additionalProperties', "
+        f"'', 'subschema is false', CAST(xtra_val AS VARCHAR) FROM {attrs_base} WHERE xtra_val IS NOT NULL",
+        f"SELECT event_id, '/attrs', '/properties/attrs/additionalProperties', "
+        f"'additionalProperties', 'not all additional properties are valid', NULL "
+        f"FROM {attrs_base} WHERE xtra_val IS NOT NULL",
+        f"SELECT event_id, concat('/attrs/', pkey), "
+        f"'/properties/attrs/propertyNames/maxLength', 'maxLength', "
+        f"'length is greater than 7', pkey FROM {attrs_base} WHERE length(pkey) > 7",
+        f"SELECT event_id, '/attrs', '/properties/attrs/propertyNames', "
+        f"'propertyNames', 'not all property names are valid', NULL FROM {attrs_base} WHERE length(pkey) > 7",
+    ])
+    o["kw_uneval_props_map"] = " UNION ALL ".join([
+        f"SELECT event_id, '/attrs/xtra' AS instance_location, "
+        f"'/properties/attrs/unevaluatedProperties/maximum' AS keyword_location, "
+        f"'maximum' AS keyword, 'value is greater than 49' AS error, "
+        f"CAST(xtra_val AS VARCHAR) AS offending_value FROM {attrs_base} WHERE xtra_val > 49",
+        f"SELECT event_id, '/attrs', '/properties/attrs/unevaluatedProperties', "
+        f"'unevaluatedProperties', 'not all additional properties are valid', NULL "
+        f"FROM {attrs_base} WHERE xtra_val > 49",
+    ])
+    o["kw_mincontains"] = (
+        "SELECT vec_id, '/embedding' AS instance_location, "
+        "'/properties/embedding/contains' AS keyword_location, 'contains' AS keyword, "
+        "'subschema is not valid against any item' AS error FROM embeddings "
+        "WHERE len(list_filter(embedding, x -> x >= 0.3)) < 1 "
+        "UNION ALL SELECT vec_id, '/embedding', '/properties/embedding/minContains', "
+        "'minContains', 'array contains fewer than 2 matching items' FROM embeddings "
+        "WHERE len(list_filter(embedding, x -> x >= 0.3)) < 2"
+    )
+    derived = ("(SELECT event_id, (1 + (value > 50)::int + (user_id % 2 = 0)::int) AS n_present, "
+               "CASE WHEN value > 50 THEN value END AS big_value, "
+               "CASE WHEN user_id % 2 = 0 THEN user_id END AS even_user FROM events)")
+    o["kw_minmaxprops"] = (
+        f"SELECT event_id, '' AS instance_location, '/minProperties' AS keyword_location, "
+        f"'minProperties' AS keyword, 'object has fewer than 2 properties' AS error "
+        f"FROM {derived} WHERE n_present < 2 "
+        f"UNION ALL SELECT event_id, '', '/maxProperties', 'maxProperties', "
+        f"'object has more than 2 properties' FROM {derived} WHERE n_present > 2"
+    )
+    o["kw_dependencies"] = (
+        f"SELECT event_id, '' AS instance_location, '/dependentRequired' AS keyword_location, "
+        f"'dependentRequired' AS keyword, 'not all dependencies are satisfied' AS error "
+        f"FROM {derived} WHERE big_value IS NOT NULL AND even_user IS NULL "
+        f"UNION ALL SELECT event_id, '/big_value', "
+        f"'/dependentSchemas/even_user/properties/big_value/maximum', 'maximum', "
+        f"'value is greater than 99' FROM {derived} "
+        f"WHERE even_user IS NOT NULL AND big_value > 99"
+    )
+    o["kw_anchor"] = _viol_row(
+        "c_custkey", "'/c_acctbal'", "/properties/c_acctbal/$ref/minimum",
+        "minimum", "'value is less than 0'", "CAST(c_acctbal AS VARCHAR)", "customer",
+        "c_acctbal IS NOT NULL AND c_acctbal < 0")
+    o["kw_uneval_items"] = (
+        "SELECT vec_id, '/embedding/0' AS instance_location, "
+        "'/properties/embedding/prefixItems/0/minimum' AS keyword_location, "
+        "'minimum' AS keyword, 'value is less than -1' AS error FROM embeddings "
+        "WHERE len(embedding) > 0 AND embedding[1] < -1.0 "
+        "UNION ALL SELECT vec_id, '/embedding', '/properties/embedding/unevaluatedItems', "
+        "'unevaluatedItems', 'subschema is not valid against all additional items' "
+        "FROM embeddings WHERE len(list_filter(embedding[2:], x -> x > 0.35)) > 0"
+    )
+    o["kw_uneval_props"] = (
+        f"SELECT event_id, '/even_user' AS instance_location, "
+        f"'/unevaluatedProperties/maximum' AS keyword_location, 'maximum' AS keyword, "
+        f"'value is greater than 100' AS error FROM {derived} WHERE even_user > 100"
+    )
     o["kw_type_integer_frac"] = (
         "SELECT p_partkey, '/p_retailprice' AS instance_location, "
         "'/properties/p_retailprice/type' AS keyword_location, 'type' AS keyword, "
@@ -801,7 +1006,7 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 <> 0) GROUP BY l_suppkey"
     )
     o["drift_ks_n_chars"] = _drift_oracle()
-    o["drift_ks_pandas"] = _drift_oracle()
+    o["drift_ks_pandas"] = _drift_pandas_oracle()
     o["dedup_exact"] = (
         f"SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
         f"FROM {dup_docs} GROUP BY md5(text) HAVING count(*) > 1"
@@ -884,6 +1089,45 @@ SELECT grp AS source, n_grp AS n_group, n_glob AS n_global,
        CAST(round(round(ks_d, 9), 6) AS DOUBLE) AS ks_d,
        CAST(round(round({c} * sqrt((n_grp + n_glob)*1.0/(n_grp*n_glob)), 9), 6) AS DOUBLE) AS threshold,
        ks_d > {c} * sqrt((n_grp + n_glob)*1.0/(n_grp*n_glob)) AS drifted
+FROM stats
+"""
+
+
+def _drift_pandas_oracle() -> str:
+    """Exact two-sample KS per source group vs the deterministic
+    doc_id % 10 == 0 reference sample, on RAW values (right-continuous
+    ECDFs evaluated on the union of observed points — the same sup the
+    numpy searchsorted computation takes)."""
+    c = 1.628  # Smirnov c(0.01)
+    return f"""
+WITH samp AS (
+  SELECT n_chars AS v FROM documents WHERE doc_id % 10 = 0 AND n_chars IS NOT NULL),
+grp AS (
+  SELECT source AS g, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+gs AS (SELECT DISTINCT g FROM grp),
+pts AS (
+  SELECT DISTINCT g, v FROM (
+    SELECT g, v FROM grp
+    UNION ALL SELECT gs.g, s.v FROM gs CROSS JOIN samp s)),
+gc AS (SELECT g, v, count(*) AS c FROM grp GROUP BY 1, 2),
+sc AS (SELECT v, count(*) AS c FROM samp GROUP BY 1),
+tot AS (SELECT g, count(*) AS n FROM grp GROUP BY 1),
+msz AS (SELECT count(*) AS m FROM samp),
+cum AS (
+  SELECT p.g, p.v,
+         sum(coalesce(gc.c, 0)) OVER (PARTITION BY p.g ORDER BY p.v) AS cg,
+         sum(coalesce(sc.c, 0)) OVER (PARTITION BY p.g ORDER BY p.v) AS cs
+  FROM pts p
+  LEFT JOIN gc ON gc.g = p.g AND gc.v = p.v
+  LEFT JOIN sc ON sc.v = p.v),
+stats AS (
+  SELECT cum.g, t.n, msz.m, max(abs(cg*1.0/t.n - cs*1.0/msz.m)) AS d
+  FROM cum JOIN tot t ON cum.g = t.g CROSS JOIN msz
+  GROUP BY 1, 2, 3)
+SELECT g AS source, CAST(n AS BIGINT) AS n_group, CAST(m AS BIGINT) AS n_global,
+       CAST(round(round(d, 9), 6) AS DOUBLE) AS ks_d,
+       CAST(round(round({c} * sqrt((n + m)*1.0/(n*m)), 9), 6) AS DOUBLE) AS threshold,
+       d > {c} * sqrt((n + m)*1.0/(n*m)) AS drifted
 FROM stats
 """
 

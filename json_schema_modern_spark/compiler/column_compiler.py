@@ -288,6 +288,21 @@ def _merge_viols(cols: list[Column]) -> Column:
     return F.flatten(F.array(*cols))
 
 
+def _ptr_escape_col(k: Column) -> Column:
+    """JSON-pointer escape of a runtime string (RFC6901: ~ → ~0, / → ~1)."""
+    return F.regexp_replace(F.regexp_replace(k, "~", "~0"), "/", "~1")
+
+
+def _name_covered(name: str, payload) -> bool:
+    """Static name-coverage test for struct targets (cov_names payloads:
+    frozenset of names | "all" | ("pat", regex))."""
+    if payload == "all":
+        return True
+    if isinstance(payload, tuple) and payload[0] == "pat":
+        return re.search(payload[1], name) is not None
+    return name in payload
+
+
 def _lit_value(v: Any, dtype: T.DataType) -> Column | None:
     """Literal for enum/const comparison against a column of ``dtype``;
     None when the schema value can never equal a value of this type
@@ -629,35 +644,69 @@ class ColumnCompiler:
                         continue
                 add(sub("properties", s, pt, suffix=f"/{json_pointer_escape(name)}"))
 
+        is_map = isinstance(t.dtype, T.MapType)
         pattern_res: list[str] = []
         if "patternProperties" in schema and applies("patternProperties"):
             for pat, s in schema["patternProperties"].items():
                 pattern_res.append(pat)
-                for name in t.field_names():
-                    if re.search(pat, name):
-                        matched_names.add(name)
-                        pt = t.get_property(name)
-                        add(sub("patternProperties", s, pt, suffix=f"/{json_pointer_escape(pat)}"))
+                if is_map:
+                    # open-properties map column: the subschema applies to
+                    # every entry whose KEY matches at runtime
+                    # (V/Applicator.pm:453-490); Java-regex dialect, same
+                    # deviation class as `pattern`
+                    add(self._map_props_kw(
+                        s, t, (lambda k, _p=pat: k.rlike(_p)),
+                        kw="patternProperties",
+                        suffix=f"/{json_pointer_escape(pat)}",
+                        summary_msg="not all properties are valid",
+                        kloc=kloc, base=base, abs_ptr=abs_ptr))
+                    cov_names.append((None, ("pat", pat)))
+                else:
+                    for name in t.field_names():
+                        if re.search(pat, name):
+                            matched_names.add(name)
+                            pt = t.get_property(name)
+                            add(sub("patternProperties", s, pt, suffix=f"/{json_pointer_escape(pat)}"))
 
         if "additionalProperties" in schema and applies("additionalProperties"):
             s = schema["additionalProperties"]
-            extras = [n for n in t.field_names() if n not in matched_names
-                      and not any(re.search(p, n) for p in pattern_res)]
-            for name in extras:
-                pt = t.get_property(name)
-                add(sub("additionalProperties", s, pt))
+            if is_map:
+                names = sorted(matched_names)
+                pats = list(pattern_res)
+
+                def _extra_sel(k: Column, _names=names, _pats=pats) -> Column:
+                    cond = F.lit(True)
+                    if _names:
+                        cond = cond & ~k.isin(_names)
+                    for p in _pats:
+                        cond = cond & ~k.rlike(p)
+                    return cond
+
+                add(self._map_props_kw(
+                    s, t, _extra_sel, kw="additionalProperties", suffix="",
+                    summary_msg="not all additional properties are valid",
+                    kloc=kloc, base=base, abs_ptr=abs_ptr))
+            else:
+                extras = [n for n in t.field_names() if n not in matched_names
+                          and not any(re.search(p, n) for p in pattern_res)]
+                for name in extras:
+                    pt = t.get_property(name)
+                    add(sub("additionalProperties", s, pt))
 
         if "propertyNames" in schema and applies("propertyNames"):
             s = schema["propertyNames"]
-            for name in t.field_names():
-                # the name is only validated when the property is PRESENT
-                # (NULL column = absent property in our data model) — gate
-                # on the property's own presence, not the object's
-                pt = t.get_property(name)
-                present = pt.present if pt is not None else F.lit(False)
-                nt = Target(col=F.lit(name), dtype=T.StringType(), ptr=t.ptr,
-                            present=present)
-                add(sub("propertyNames", s, nt))
+            if is_map:
+                add(self._map_propertynames_kw(s, t, kloc, base, abs_ptr))
+            else:
+                for name in t.field_names():
+                    # the name is only validated when the property is PRESENT
+                    # (NULL column = absent property in our data model) — gate
+                    # on the property's own presence, not the object's
+                    pt = t.get_property(name)
+                    present = pt.present if pt is not None else F.lit(False)
+                    nt = Target(col=F.lit(name), dtype=T.StringType(), ptr=t.ptr,
+                                present=present)
+                    add(sub("propertyNames", s, nt))
 
         # coverage produced by this level's property keywords (statically
         # known on typed rows/structs — the schema fixes the name set)
@@ -727,23 +776,52 @@ class ColumnCompiler:
         # mirroring the reference's own acceptance-test skips.
         if "unevaluatedProperties" in schema and applies("unevaluatedProperties"):
             s = schema["unevaluatedProperties"]
-            for name in t.field_names():
-                if any(g is None and (p == "all" or name in p) for g, p in cov_names):
-                    continue            # statically covered
-                guards = [g for g, p in cov_names
-                          if g is not None and (p == "all" or name in p)]
-                covered = F.lit(False)
-                for g in guards:
-                    covered = covered | F.coalesce(g, F.lit(False))
-                pt = t.get_property(name)
-                if pt is None:
-                    continue
-                child = sub("unevaluatedProperties", s, pt)
-                add(Compiled(
-                    ok=F.when(covered, F.lit(True)).otherwise(child.ok),
-                    viols=[F.when(covered, _empty_viols()).otherwise(v)
-                           for v in child.viols],
-                ))
+            if is_map:
+                # runtime coverage over map entries: a key is covered when a
+                # successful in-scope keyword claimed it — statically for
+                # name sets, by regex for patternProperties, guarded for
+                # conditional branches (V/Unevaluated.pm:100-144)
+                if not any(g is None and p == "all" for g, p in cov_names):
+                    payloads = list(cov_names)
+
+                    def _uncov_sel(k: Column, _ps=payloads) -> Column:
+                        cov = F.lit(False)
+                        for g, p in _ps:
+                            if p == "all":
+                                c = F.lit(True)
+                            elif isinstance(p, tuple) and p[0] == "pat":
+                                c = k.rlike(p[1])
+                            elif p:
+                                c = k.isin(sorted(p))
+                            else:
+                                c = F.lit(False)
+                            if g is not None:
+                                c = F.coalesce(g, F.lit(False)) & c
+                            cov = cov | c
+                        return ~cov
+
+                    add(self._map_props_kw(
+                        s, t, _uncov_sel, kw="unevaluatedProperties", suffix="",
+                        summary_msg="not all additional properties are valid",
+                        kloc=kloc, base=base, abs_ptr=abs_ptr))
+            else:
+                for name in t.field_names():
+                    if any(g is None and _name_covered(name, p) for g, p in cov_names):
+                        continue            # statically covered
+                    guards = [g for g, p in cov_names
+                              if g is not None and _name_covered(name, p)]
+                    covered = F.lit(False)
+                    for g in guards:
+                        covered = covered | F.coalesce(g, F.lit(False))
+                    pt = t.get_property(name)
+                    if pt is None:
+                        continue
+                    child = sub("unevaluatedProperties", s, pt)
+                    add(Compiled(
+                        ok=F.when(covered, F.lit(True)).otherwise(child.ok),
+                        viols=[F.when(covered, _empty_viols()).otherwise(v)
+                               for v in child.viols],
+                    ))
             cov_names.append((None, "all"))
 
         if "unevaluatedItems" in schema and applies("unevaluatedItems"):
@@ -814,12 +892,9 @@ class ColumnCompiler:
                      null_vacuous=False)
         if jt in wants or (jt == "integer" and "number" in wants):
             return Compiled(ok=F.lit(True))
-        if jt == "number" and "integer" in wants and not isinstance(t.dtype, T.DecimalType):
-            # fractional column: 2.0 is an integer (Utilities.pm:152-156)
-            v = t.value_col()
-            ok = v == F.floor(v).cast(t.dtype)
-            return E("type", ok, f"got number, not integer")
         if jt == "number" and "integer" in wants:
+            # fractional column: 2.0 is an integer (Utilities.pm:152-156);
+            # holds for Double/Float and Decimal alike (floor round-trips)
             v = t.value_col()
             ok = v == F.floor(v).cast(t.dtype)
             return E("type", ok, f"got number, not integer")
@@ -884,6 +959,74 @@ class ColumnCompiler:
             present=t.present & F.map_contains_key(t.value_col(), F.lit(name)),
             null_is_value=True,  # a present map key with NULL value = JSON null
         )
+
+    def _map_props_kw(self, s: Any, t: Target, sel, kw: str, suffix: str,
+                      summary_msg: str, kloc: str, base: str, abs_ptr: str) -> Compiled:
+        """Object keyword over a MapType(String, V) column: the subschema
+        applies to every entry whose key ``sel(key)`` selects.
+
+        Used for patternProperties (key rlike pattern), additionalProperties
+        (complement of properties ∪ patternProperties) and
+        unevaluatedProperties (complement of the coverage set) —
+        V/Applicator.pm:453-526, V/Unevaluated.pm:100-144.
+
+        ok-path: one forall over map_entries (HOF — acceptable: props maps
+        are small; the hot token arrays never take this path).  Violation
+        detail (per-entry child viols at /<escaped key>) is computed only
+        for rows that already failed."""
+        vt = t.dtype.valueType
+        kp = f"{kloc}/{json_pointer_escape(kw)}{suffix}"
+        ap = f"{abs_ptr}/{json_pointer_escape(kw)}{suffix}"
+        kp_sum = f"{kloc}/{json_pointer_escape(kw)}"
+        ap_sum = f"{abs_ptr}/{json_pointer_escape(kw)}"
+        entries = F.map_entries(t.value_col())
+
+        def ent_target(e: Column) -> Target:
+            return Target(col=e["value"], dtype=vt,
+                          ptr=F.concat(t.ptr, F.lit("/"), _ptr_escape_col(e["key"])),
+                          present=F.lit(True), null_is_value=True)
+
+        def ent_ok(e: Column) -> Column:
+            return ~sel(e["key"]) | self._node(s, ent_target(e), kp, base, ap).ok
+
+        ok = F.when(t.present, F.coalesce(F.forall(entries, ent_ok), F.lit(True))) \
+            .otherwise(F.lit(True))
+
+        def ent_viols(e: Column) -> Column:
+            c = self._node(s, ent_target(e), kp, base, ap)
+            return F.when(sel(e["key"]), _merge_viols(c.viols)).otherwise(_empty_viols())
+
+        leaf = F.when(ok, _empty_viols()).otherwise(F.flatten(F.transform(entries, ent_viols)))
+        summary = _viol(ok, t.ptr, kp_sum, self._akloc(base, ap_sum), kw,
+                        summary_msg, F.lit(None).cast("string"))
+        return Compiled(ok=ok, viols=[leaf, summary])
+
+    def _map_propertynames_kw(self, s: Any, t: Target, kloc: str, base: str,
+                              abs_ptr: str) -> Compiled:
+        """propertyNames over MapType: every KEY validates against the
+        subschema (V/Applicator.pm:528-548)."""
+        kp = f"{kloc}/propertyNames"
+        ap = f"{abs_ptr}/propertyNames"
+        keys = F.map_keys(t.value_col())
+
+        def name_target(k: Column) -> Target:
+            return Target(col=k, dtype=T.StringType(),
+                          ptr=F.concat(t.ptr, F.lit("/"), _ptr_escape_col(k)),
+                          present=F.lit(True))
+
+        def name_ok(k: Column) -> Column:
+            return self._node(s, name_target(k), kp, base, ap).ok
+
+        ok = F.when(t.present, F.coalesce(F.forall(keys, name_ok), F.lit(True))) \
+            .otherwise(F.lit(True))
+
+        def name_viols(k: Column) -> Column:
+            return _merge_viols(self._node(s, name_target(k), kp, base, ap).viols)
+
+        leaf = F.when(ok, _empty_viols()).otherwise(F.flatten(F.transform(keys, name_viols)))
+        summary = _viol(ok, t.ptr, kp, self._akloc(base, ap), "propertyNames",
+                        "not all property names are valid", F.lit(None).cast("string"))
+        return Compiled(ok=ok, viols=[leaf, summary])
 
     def _items_kw(self, items_schema: Any, t: Target, n_prefix: int,
                   kloc: str, base: str, abs_ptr: str) -> Compiled:
