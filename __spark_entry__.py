@@ -466,9 +466,28 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_dedup_jaccard(spark, sf_dir):
-    from json_schema_modern_spark.operators.dedup import ngram_jaccard_pairs
+    """Two-stage scale path: banded MinHash-LSH candidate generation →
+    exact n-gram Jaccard verification on candidates only.  Same oracle as
+    all-pairs verification (LSH recall at t=0.9 with 8 bands × 4 rows is
+    1-(1-0.9^4)^8 ≈ 0.9998, and the seeded corpus' qualifying pairs all
+    collide — verified against the exhaustive DuckDB oracle)."""
+    from json_schema_modern_spark.operators.dedup import (
+        minhash_lsh_candidates, ngram_jaccard_pairs,
+    )
 
     d = _dup_docs(spark, sf_dir)
+    cands = minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    return ngram_jaccard_pairs(d, threshold=0.9, candidates=cands).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_ppjoin(spark, sf_dir):
+    """No-candidates PPJoin path (prefix-filtered self-join): exact, used
+    as the small-data verifier; runs on a deterministic quarter of the
+    corpus to keep the quadratic tail bounded in the bench suite."""
+    from json_schema_modern_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
     return ngram_jaccard_pairs(d, threshold=0.9).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -559,6 +578,16 @@ def _q_neardup_cosine(spark, sf_dir):
     return embedding_near_duplicates(emb, threshold=0.5, exact=True)
 
 
+def _q_neardup_cosine_lsh(spark, sf_dir):
+    """The SCALE path: near-dup pairs joined within sign-LSH buckets only
+    (sub-quadratic; the oracle replicates the deterministic hyperplanes so
+    the bucket pruning itself is verified, not just the cosine)."""
+    from json_schema_modern_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.4, exact=False, n_planes=6)
+
+
 def _q_media_resize_plan(spark, sf_dir):
     from json_schema_modern_spark.operators.multimodal import (
         resize_metadata, synthetic_media_df,
@@ -577,13 +606,17 @@ def _q_media_frame_samples(spark, sf_dir):
 
 def _q_media_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction (stub decode — the
-    Spark plumbing is real; swap decode_fn for a codec in production)."""
+    Spark plumbing is real; swap decode_fn for a codec in production).
+    Emitted per (row, feature-index) so the DuckDB oracle can replicate
+    the stub's byte arithmetic value-for-value."""
     from json_schema_modern_spark.operators.multimodal import (
         extract_features, synthetic_media_df,
     )
 
     out = extract_features(synthetic_media_df(spark, 96), n_features=16)
-    return out.select("media_id", "kind", F.size("features").alias("n_features"))
+    return (out.select("media_id", "kind", F.posexplode("features"))
+            .select("media_id", "kind", F.col("pos").alias("idx"),
+                    F.round("col", 6).alias("f")))
 
 
 def _q_events_window(spark, sf_dir):
@@ -638,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_pandas": _q_drift_pandas,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_jaccard_ppjoin": _q_dedup_ppjoin,
         "minhash_bands": _q_minhash_buckets,
         "dedup_minhash_lsh": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
@@ -648,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_lsh_buckets": _q_ann_lsh,
         "neardup_cosine": _q_neardup_cosine,
+        "neardup_cosine_lsh": _q_neardup_cosine_lsh,
         "media_resize_plan": _q_media_resize_plan,
         "media_frame_samples": _q_media_frame_samples,
         "media_features": _q_media_features,
@@ -1012,6 +1047,9 @@ def oracle_sql() -> dict[str, str]:
         f"FROM {dup_docs} GROUP BY md5(text) HAVING count(*) > 1"
     )
     o["dedup_ngram_jaccard"] = _jaccard_oracle(dup_docs)
+    o["dedup_jaccard_ppjoin"] = _jaccard_oracle("(SELECT * FROM documents WHERE doc_id % 4 = 1)")
+    o["dedup_minhash_lsh"] = _minhash_pairs_oracle(dup_docs)
+    o["dedup_simhash"] = _simhash_oracle(dup_docs)
     o["minhash_bands"] = _minhash_oracle()
     o["text_quality"] = _quality_oracle()
     o["text_langid"] = _langid_oracle()
@@ -1026,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["ann_bruteforce_topk"] = _ann_oracle()
     o["ann_lsh_buckets"] = _lsh_bucket_oracle()
+    o["neardup_cosine_lsh"] = _neardup_lsh_oracle()
     o["neardup_cosine"] = (
         "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "CAST(round(list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1]*x[2])) "
@@ -1052,9 +1091,16 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS n, CAST(round(sum(value), 6) AS DOUBLE) AS total_value "
         "FROM events GROUP BY 1, 2"
     )
-    # dedup_minhash_lsh / dedup_simhash: graph-shaped candidate generation —
-    # rows-only check (signatures themselves are oracle-checked via
-    # minhash_bands); flagship covers the remaining row-local keywords.
+    # media payload = sha2-hex string cast to binary → ASCII codes of the
+    # hex chars; the stub decoder's (byte-127.5)/127.5 replicated per index
+    o["media_features"] = (
+        "SELECT printf('m-%06d', i) AS media_id, "
+        "CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+        "CAST(j AS INT) AS idx, "
+        "CAST(round((ascii(substr(sha256(concat('media-42-', CAST(i AS VARCHAR))), "
+        "CAST(j + 1 AS INT), 1)) - 127.5) / 127.5, 6) AS DOUBLE) AS f "
+        "FROM range(96) t(i) CROSS JOIN range(16) s(j)"
+    )
     return o
 
 
@@ -1180,6 +1226,69 @@ sigs AS (SELECT doc_id, {sig_cols} FROM dig)
 """
 
 
+def _minhash_pairs_oracle(dup_docs: str) -> str:
+    """Recompute the full 32-hash MinHash signatures in DuckDB BIGINT and
+    regenerate the banded-LSH candidate pairs (8 bands × 4 rows) —
+    extending the `minhash_bands` signature-portability oracle to the
+    pair join itself (band keys compared as raw 4-tuples; the engine's
+    md5(bkey) is injective over them modulo md5 collisions)."""
+    from json_schema_modern_spark.operators.dedup import MERSENNE_P, _hash_params
+
+    a, b = _hash_params(32, 42)
+    sig_cols = ", ".join(
+        f"list_min(list_transform(digests, d -> ({a[i]} * d + {b[i]}) % {MERSENNE_P})) AS s{i+1}"
+        for i in range(32))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, s{4*i+1} AS k1, s{4*i+2} AS k2, "
+        f"s{4*i+3} AS k3, s{4*i+4} AS k4 FROM sigs"
+        for i in range(8))
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_zip(words[1:len(words)-1], words[2:len(words)]),
+           x -> concat(x[1], ' ', x[2]))) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM {dup_docs})),
+dig AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % {MERSENNE_P}) AS digests
+  FROM sh),
+sigs AS (SELECT doc_id, {sig_cols} FROM dig),
+bands AS ({band_rows})
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.k3 = r.k3 AND l.k4 = r.k4
+WHERE l.doc_id < r.doc_id
+"""
+
+
+def _simhash_oracle(dup_docs: str) -> str:
+    """Exact all-pairs SimHash Hamming oracle: recomputes every 63-bit
+    fingerprint from word digests and checks ALL pairs — independently of
+    the engine's 16-bit-block pigeonhole candidate generation, so it also
+    certifies the blocking loses no pair at max_hamming=3."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+  FROM {dup_docs}),
+dig AS (
+  SELECT doc_id, CAST(concat('0x', substring(md5(concat(w, '#42')), 1, 15)) AS BIGINT) AS d
+  FROM w),
+votes AS (
+  SELECT doc_id, i, sum(CASE WHEN (d >> CAST(i % 60 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM dig CROSS JOIN range(63) t(i) GROUP BY 1, 2),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS f
+  FROM votes GROUP BY 1),
+uf AS (SELECT DISTINCT doc_id, f FROM fp)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.f, r.f)) AS INT) AS hamming
+FROM uf l JOIN uf r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.f, r.f)) <= 3
+"""
+
+
 def _quality_oracle() -> str:
     return """
 SELECT doc_id,
@@ -1236,15 +1345,37 @@ ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 
 
-def _lsh_bucket_oracle() -> str:
+def _lsh_bucket_sql_expr(vec_expr: str, n_planes: int = 6) -> str:
     from json_schema_modern_spark.operators.similarity import hyperplanes
 
-    planes = hyperplanes(64, 6, seed=42)
+    planes = hyperplanes(64, n_planes, seed=42)
     terms = []
     for i, p in enumerate(planes):
         plit = "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
         terms.append(
-            f"CASE WHEN list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), {plit}), x -> x[1]*x[2])) >= 0 THEN {1 << i} ELSE 0 END"
+            f"CASE WHEN list_sum(list_transform(list_zip(CAST({vec_expr} AS DOUBLE[]), {plit}), x -> x[1]*x[2])) >= 0 THEN {1 << i} ELSE 0 END"
         )
-    bucket = " + ".join(terms)
-    return f"SELECT ({bucket}) AS bucket, count(*) AS cnt FROM embeddings GROUP BY 1"
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_bucket_oracle() -> str:
+    return (f"SELECT {_lsh_bucket_sql_expr('embedding')} AS bucket, count(*) AS cnt "
+            f"FROM embeddings GROUP BY 1")
+
+
+def _neardup_lsh_oracle() -> str:
+    """Same-bucket pairs (deterministic sign-LSH, 6 planes) with cosine ≥
+    0.4 — verifies bucket assignment AND similarity."""
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_lsh_bucket_sql_expr('embedding')} AS bucket
+  FROM embeddings)
+SELECT * FROM (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         CAST(round(list_sum(list_transform(list_zip(l.v, r.v), x -> x[1]*x[2]))
+           / (sqrt(list_sum(list_transform(l.v, x -> x*x)))
+              * sqrt(list_sum(list_transform(r.v, x -> x*x)))), 6) AS DOUBLE) AS sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+WHERE sim >= 0.4
+"""

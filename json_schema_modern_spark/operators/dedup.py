@@ -198,7 +198,12 @@ def ngram_jaccard_pairs(
         # verification (array_intersect) runs on candidates only.  At
         # t = 0.9 this cuts the self-join input 10× with zero recall loss.
         srt = sh.select("_id", F.array_sort("_sh").alias("_sh"))
-        plen = (F.floor(F.size("_sh") * (1.0 - threshold)) + 1).cast("int")
+        # prefix length p = s - ceil(t·s) + 1, computed with an epsilon so
+        # exact-integer t·s doesn't round up through FP error (e.g.
+        # 10·(1-0.9) = 0.9999999999999998 would otherwise give p=1, not 2,
+        # and drop pairs at exactly-threshold Jaccard)
+        plen = (F.size("_sh")
+                - F.ceil(F.size("_sh") * threshold - F.lit(1e-9)) + 1).cast("int")
         ex = srt.select("_id", F.explode(F.slice("_sh", 1, plen)).alias("s"))
         candidates = (
             ex.alias("l").join(ex.alias("r"), "s")

@@ -179,31 +179,42 @@ def _blockpair_near_duplicates(base: DataFrame, threshold: float, n_blocks: int 
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        if len(pdf) == 0:
+            return empty
+        # diagonal-ness comes from the KEY (key = i·n_blocks + j, so
+        # i == j ⟺ key ≡ 0 mod n_blocks+1) — NOT from right.empty, which
+        # is also true for a cross-block pair whose j-block got no rows
+        # (and would then wrongly re-emit the diagonal group's pairs)
+        key = int(pdf["_pk"].iloc[0])
+        diagonal = key % (n_blocks + 1) == 0
         left = pdf[pdf["_side"] == 0]
-        right = pdf[pdf["_side"] == 1]
         ids_l = left["_id"].to_numpy()
         vl = np.asarray(left["_v"].tolist(), dtype=np.float64)
-        if right.empty:            # diagonal block: pairs within one block
+        if diagonal:
             ids_r, vr = ids_l, vl
         else:
+            right = pdf[pdf["_side"] == 1]
+            if right.empty:
+                return empty
             ids_r = right["_id"].to_numpy()
             vr = np.asarray(right["_v"].tolist(), dtype=np.float64)
         if len(ids_l) == 0 or len(ids_r) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+            return empty
         sims = (vl @ vr.T) / np.outer(np.linalg.norm(vl, axis=1),
                                       np.linalg.norm(vr, axis=1))
         sims = np.round(sims, 6)
         ia, ib = np.where(sims >= threshold)
         a, b, s = ids_l[ia], ids_r[ib], sims[ia, ib]
-        keep = a < b              # orders pairs; drops the diagonal
-        lo, hi = a, b
-        if right.empty:
-            pass                  # within-block: a<b is the full ordering
+        if diagonal:
+            keep = a < b          # within-block: order + drop self-pairs
+            lo, hi = a, b
         else:
-            # cross-block: order each pair by id
+            # cross-block ids are disjoint (a row hashes to one block);
+            # order each pair by id
+            keep = a != b
             lo = np.minimum(a, b)
             hi = np.maximum(a, b)
-            keep = a != b
         return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "sim": s[keep]})
 
     return rep.groupBy("_pk").applyInPandas(compute, out_schema)

@@ -186,8 +186,7 @@ class Validator:
             .select(*id_cols, "_p.*")
         )
         res = self.validate(good, id_cols=id_cols)
-        decode_viols = df.filter(~ok_parse).select(
-            *id_cols,
+        exc_struct = F.struct(
             F.lit("").alias("instance_location"),
             F.lit("").alias("keyword_location"),
             F.lit(None).cast("string").alias("absolute_keyword_location"),
@@ -195,8 +194,22 @@ class Validator:
             F.lit("EXCEPTION: invalid JSON string").alias("error"),
             F.col(json_col).cast("string").alias("offending_value"),
         )
+        bad = df.filter(~ok_parse)
+        decode_viols = bad.select(*id_cols, exc_struct.alias("_v")).select(
+            *id_cols, "_v.*")
+        # decode-failure rows are INVALID rows, not just extra violation
+        # rows: they must appear in `annotated` with _valid=false so
+        # flag()/basic_output()/partition_results() see them (the reference
+        # returns an exception Result from evaluate_json_string,
+        # Modern.pm:268-293)
+        bad_annotated = bad.select(
+            *id_cols,
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields],
+            F.lit(False).alias("_valid"),
+            F.array(exc_struct).cast(_VIOL_ARR).alias("_viols"),
+        )
         return ValidationResult(
-            annotated=res.annotated,
+            annotated=res.annotated.unionByName(bad_annotated),
             violations=res.violations.unionByName(decode_viols),
             plan=res.plan,
             id_cols=id_cols,

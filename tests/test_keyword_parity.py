@@ -327,6 +327,14 @@ def test_validate_json_strings(spark):
     assert viols[3][0] == "" and "EXCEPTION" in [
         r.error for r in res.violations.collect() if r.rid == 3][0]
     assert viols[4] == ("required", "", "/required")
+    # decode-failure rows are invalid in the ANNOTATED view too: flag()
+    # and basic_output() must see them (reference: exception Result)
+    assert res.flag() is False
+    annotated = {r.rid: r["_valid"] for r in res.annotated.collect()}
+    assert annotated[3] is False and annotated[1] is True
+    only_bad = spark.createDataFrame([(9, "not json")], "rid int, payload string")
+    res_bad = Validator(spec).validate_json_strings(only_bad, "payload", id_cols=["rid"])
+    assert res_bad.flag() is False
 
 
 def test_cross_document_ref(spark):
