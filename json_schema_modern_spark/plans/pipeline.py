@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -150,8 +151,13 @@ class ValidationPipeline:
         val = check.params["value"]
         if check.kind == "unique":
             cols = val if isinstance(val, list) else [val]
+            if cols != [self.id_col]:
+                # rows are bucketed by hash(id_col); a resume over pending
+                # buckets would miss cross-bucket duplicates of any OTHER
+                # key — those checks run in the global (bucket=-1) pass
+                return None
             out = uniqueness_violations(bucketed, cols, keyword_location=check.keyword_location)
-            # duplicates of a key are colocated in its hash bucket
+            # duplicates of id_col are colocated in its hash bucket
             return out.withColumn("_bucket", _bucket_expr(F.col("doc_id"), self.n_buckets))
         if check.kind == "ref":
             if source_dict is None:
@@ -183,10 +189,18 @@ class ValidationPipeline:
         return None  # drift is global — handled in _global_violations
 
     def _global_violations(self, df: DataFrame) -> DataFrame | None:
-        """Checks needing the whole table (KS drift per group)."""
+        """Checks needing the whole table: KS drift per group, and
+        uniqueness on keys other than id_col (not bucket-complete)."""
         plan = self.validator.compile_for(df.drop("_bucket") if "_bucket" in df.columns else df)
         outs = []
         for check in plan.set_checks:
+            if check.kind == "unique":
+                cols = (check.params["value"] if isinstance(check.params["value"], list)
+                        else [check.params["value"]])
+                if cols != [self.id_col]:
+                    outs.append(uniqueness_violations(
+                        df, cols, keyword_location=check.keyword_location))
+                continue
             if check.kind != "drift":
                 continue
             for value_col, cfg in check.params["value"].items():
@@ -233,10 +247,21 @@ class ValidationPipeline:
         if pending:
             sub = bucketed.filter(F.col("_bucket").isin(pending))
             viols = self._bucket_violations(sub, source_dict)
-            # one idempotent dynamic-partition-overwrite write for all
-            # pending buckets; a re-run overwrites exactly these partitions
+            # violations are partitioned by (fp, bucket): runs with a
+            # changed spec never see another fingerprint's rows, and
+            # dynamic overwrite stays scoped to this spec's partitions.
+            # Dynamic overwrite only replaces partitions that RECEIVE
+            # rows — a pending bucket whose re-run yields zero violations
+            # must still clear stale files, so drop those partition dirs
+            # explicitly first (idempotent, pre-commit: lineage marks the
+            # bucket done only after the write succeeds).
+            for b in pending:
+                shutil.rmtree(
+                    os.path.join(viol_path, f"fp={fingerprint}", f"bucket={b}"),
+                    ignore_errors=True)
             viols.withColumnRenamed("_bucket", "bucket") \
-                .write.mode("overwrite").partitionBy("bucket").parquet(viol_path)
+                .withColumn("fp", F.lit(fingerprint)) \
+                .write.mode("overwrite").partitionBy("fp", "bucket").parquet(viol_path)
             per_bucket = (
                 sub.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
             )
@@ -248,16 +273,28 @@ class ValidationPipeline:
                 for b in pending
             ])
 
-        # global pass (drift) — bucket -1, re-done on every completing run
+        # global pass (drift, non-id uniqueness) — bucket -1, re-done on
+        # every completing run
         gv = self._global_violations(df)
-        if gv is not None and (pending or -1 not in done):
-            gv.withColumn("bucket", F.lit(-1)) \
-                .write.mode("overwrite").partitionBy("bucket").parquet(viol_path)
+        if pending or -1 not in done:
+            shutil.rmtree(
+                os.path.join(viol_path, f"fp={fingerprint}", "bucket=-1"),
+                ignore_errors=True)
+            if gv is not None:
+                gv.withColumn("bucket", F.lit(-1)).withColumn("fp", F.lit(fingerprint)) \
+                    .write.mode("overwrite").partitionBy("fp", "bucket").parquet(viol_path)
             self._append_lineage(spark, [
                 (run_id, snapshot_id, fingerprint, -1, "done", 0, None, time.time())
             ])
 
-        all_viols = spark.read.parquet(viol_path)
+        try:
+            all_viols = (spark.read.parquet(viol_path)
+                         .filter(F.col("fp") == fingerprint).drop("fp"))
+        except Exception:
+            # a fully-clean run writes no partition files at all — an empty
+            # violations table, not an error (the CLI must exit 0)
+            all_viols = spark.createDataFrame(
+                [], ", ".join(f"{c} string" for c in VIOL_COLS) + ", bucket int")
         stats = column_stats(df, stats_columns or [c for c in df.columns if c != "tokens"])
         hist = (numeric_histogram(df, "n_tok", 0.0, self.drift_hi, 32)
                 if "n_tok" in df.columns else None)

@@ -106,6 +106,41 @@ def test_sortmerge_ref_strategy(spark, corrupt):
     assert a == b
 
 
+def test_non_id_uniqueness_runs_global(spark, corrupt, tmp_path):
+    """x-unique on a NON-id column is not bucket-complete (rows bucket by
+    hash(id_col)) — it must run in the global bucket=-1 pass so a resumed
+    run can never miss cross-bucket duplicates."""
+    spec = dict(SPEC)
+    spec["x-unique"] = ["n_tok"]          # heavily duplicated across buckets
+    wd = str(tmp_path / "nid")
+    pipe = ValidationPipeline(spec, workdir=wd, n_buckets=8)
+    res = pipe.run(spark, corrupt, source_dict=source_dict_df(spark), snapshot_id="s")
+    uv = res.violations.filter(F.col("keyword") == "x-unique")
+    assert uv.count() > 0
+    assert {r.bucket for r in uv.select("bucket").distinct().collect()} == {-1}
+    # in-memory path agrees on the duplicate-key set
+    mem = ValidationPipeline(spec).run(spark, corrupt, source_dict=source_dict_df(spark))
+    assert mem.violations.filter(F.col("keyword") == "x-unique").count() == uv.count()
+
+
+def test_changed_spec_no_stale_violations(spark, tmp_path):
+    """Re-running a workdir under a NEW spec fingerprint must not surface
+    the old spec's violations (fp-partitioned isolation + explicit
+    pending-partition cleanup), and a clean run reads back as empty."""
+    from json_schema_modern_spark.sources.sequences import sequences_df
+
+    clean = sequences_df(spark, 500, seed=7)
+    wd = str(tmp_path / "fp")
+    strict = {"type": "object", "properties": {"n_tok": {"maximum": 1}}}
+    r1 = ValidationPipeline(strict, workdir=wd, n_buckets=4) \
+        .run(spark, clean, snapshot_id="s")
+    assert r1.violations.count() > 0
+    lax = {"type": "object", "properties": {"n_tok": {"minimum": 0}}}
+    r2 = ValidationPipeline(lax, workdir=wd, n_buckets=4) \
+        .run(spark, clean, snapshot_id="s")
+    assert r2.violations.count() == 0
+
+
 def test_bucket_unit_is_doc_id_hash(spark, corrupt, tmp_path):
     """Duplicate doc_ids land in one bucket — per-bucket uniqueness is
     globally complete (the pipeline's restart-unit invariant)."""
