@@ -323,6 +323,18 @@ def _q_kw_uneval_props(spark, sf_dir):
                                  "keyword", "error")
 
 
+def _q_kw_items_legacy(spark, sf_dir):
+    """≤2019-09 array-form items + additionalItems (V/Applicator.pm:250-274),
+    dispatched by $schema dialect detection."""
+    spec = {"$schema": "http://json-schema.org/draft-07/schema#",
+            "type": "object",
+            "properties": {"embedding": {
+                "items": [{"minimum": 0.0}, {"maximum": 0.0}],
+                "additionalItems": {"minimum": -0.45},
+            }}}
+    return _validate(spark, sf_dir, "embeddings", spec, ["vec_id"]).drop("offending_value")
+
+
 def _q_kw_format(spark, sf_dir):
     from json_schema_modern_spark import Validator
     from json_schema_modern_spark.compiler.column_compiler import CompileOptions
@@ -662,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_anchor": _q_kw_anchor,
         "kw_uneval_items": _q_kw_uneval_items,
         "kw_uneval_props": _q_kw_uneval_props,
+        "kw_items_legacy": _q_kw_items_legacy,
         "stats_lineitem": _q_stats,
         "hist_n_chars": _q_hist,
         "unique_doc_ids": _q_unique,
@@ -998,6 +1011,25 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT event_id, '/even_user' AS instance_location, "
         f"'/unevaluatedProperties/maximum' AS keyword_location, 'maximum' AS keyword, "
         f"'value is greater than 100' AS error FROM {derived} WHERE even_user > 100"
+    )
+    o["kw_items_legacy"] = (
+        "SELECT vec_id, '/embedding/0' AS instance_location, "
+        "'/properties/embedding/items/0/minimum' AS keyword_location, "
+        "'minimum' AS keyword, 'value is less than 0' AS error FROM embeddings "
+        "WHERE len(embedding) > 0 AND embedding[1] < 0 "
+        "UNION ALL SELECT vec_id, '/embedding/1', "
+        "'/properties/embedding/items/1/maximum', 'maximum', "
+        "'value is greater than 0' FROM embeddings WHERE len(embedding) > 1 AND embedding[2] > 0 "
+        "UNION ALL "
+        "SELECT vec_id, concat('/embedding/', CAST(i + 2 AS VARCHAR)), "
+        "'/properties/embedding/additionalItems/minimum', 'minimum', "
+        "'value is less than -0.45' "
+        "FROM (SELECT vec_id, unnest(embedding[3:]) AS x, "
+        "unnest(range(len(embedding[3:]))) AS i FROM embeddings) WHERE x < -0.45 "
+        "UNION ALL "
+        "SELECT vec_id, '/embedding', '/properties/embedding/additionalItems', "
+        "'additionalItems', 'subschema is not valid against all additional items' "
+        "FROM embeddings WHERE len(list_filter(embedding[3:], x -> x < -0.45)) > 0"
     )
     o["kw_type_integer_frac"] = (
         "SELECT p_partkey, '/p_retailprice' AS instance_location, "

@@ -239,9 +239,31 @@ _APPLY_TO = {
 _METADATA_KEYWORDS = {
     "title", "description", "default", "deprecated", "readOnly", "writeOnly",
     "examples", "$comment", "$defs", "definitions", "$anchor",
-    "$dynamicAnchor", "$vocabulary", "$schema", "$id", "format_annotation",
+    "$dynamicAnchor", "$recursiveAnchor", "$vocabulary", "$schema", "$id",
+    "format_annotation",
     "contentEncoding", "contentMediaType", "contentSchema",
 }
+
+# $schema URI → dialect tag (V/Core.pm:134-196 dialect dispatch; the
+# engine compiles every dialect with the same keyword set except the
+# differences below: array-form items/additionalItems allowed ≤2019-09,
+# draft4 boolean exclusiveMaximum/Minimum, $recursiveRef in 2019-09)
+_DIALECT_URIS = {
+    "https://json-schema.org/draft/2020-12/schema": "2020-12",
+    "https://json-schema.org/draft/2019-09/schema": "2019-09",
+    "http://json-schema.org/draft-07/schema": "7",
+    "http://json-schema.org/draft-06/schema": "6",
+    "http://json-schema.org/draft-04/schema": "4",
+}
+
+
+def _detect_dialect(spec: Any) -> str:
+    if not isinstance(spec, dict) or "$schema" not in spec:
+        return "2020-12"
+    uri = str(spec["$schema"]).rstrip("#")
+    if uri not in _DIALECT_URIS:
+        raise SpecError(f'EXCEPTION: unknown $schema dialect "{spec["$schema"]}"')
+    return _DIALECT_URIS[uri]
 
 
 class _Ctx:
@@ -345,6 +367,7 @@ class ColumnCompiler:
         self.df_schema = df_schema
         self.ctx = _Ctx(self.registry, self.options)
         self.fingerprint = spec_fingerprint(spec)
+        self.dialect = _detect_dialect(spec)
 
     def compile(self) -> "CompiledPlan":
         root_target = Target(
@@ -460,6 +483,19 @@ class ColumnCompiler:
             res = self.registry.resolve(schema["$dynamicRef"], base)
             child = self._node(res.node, t, kloc=f"{kloc}/$dynamicRef", base=res.base_uri, abs_ptr="")
             add(child)
+        if "$recursiveRef" in schema:
+            # 2019-09 predecessor of $dynamicRef (V/Core.pm:262-279): value
+            # must be "#"; static fallback resolves to the current base
+            # root — correct whenever no outer $recursiveAnchor overrides
+            # (genuinely recursive data can't occur in a typed DataFrame,
+            # so the compile-time depth bound closes the recursion)
+            if schema["$recursiveRef"] != "#":
+                raise SpecError('"$recursiveRef" value must be "#"')
+            res = self.registry.resolve("#", base)
+            child = self._node(res.node, t, kloc=f"{kloc}/$recursiveRef",
+                               base=res.base_uri, abs_ptr="")
+            add(child)
+            adopt(child, child.ok)
 
         # ---- Validation vocabulary ---------------------------------------
         if "type" in schema:
@@ -498,13 +534,37 @@ class ColumnCompiler:
                 dec = "decimal(38,12)"
                 ok = F.pmod(v.cast(dec), F.lit(m).cast(dec)) == F.lit(0).cast(dec)
             add(E("multipleOf", ok, f"value is not a multiple of {_num_str(m)}"))
+        elif "multipleOf" in schema and self.options.stringy_numbers and jt == "string":
+            # stringy_numbers applies to ALL numeric keywords (U.pm:255-261),
+            # multipleOf included; a non-numeric string stays vacuously valid
+            m = schema["multipleOf"]
+            if not isinstance(m, (int, float)) or isinstance(m, bool) or m <= 0:
+                raise SpecError("multipleOf value is not a positive number")
+            dec = "decimal(38,12)"
+            v = t.value_col().cast("string").try_cast(dec)
+            ok = F.when(v.isNull(), F.lit(True)).otherwise(
+                F.pmod(v, F.lit(m).cast(dec)) == F.lit(0).cast(dec))
+            add(E("multipleOf", ok, f"value is not a multiple of {_num_str(m)}"))
 
+        # draft4 couples exclusiveMaximum/Minimum as BOOLEANS modifying
+        # maximum/minimum (V/Validation.pm:129-143); detect that form and
+        # fold it into the base keyword's comparison
+        d4_ex_max = self.dialect == "4" and schema.get("exclusiveMaximum") is True
+        d4_ex_min = self.dialect == "4" and schema.get("exclusiveMinimum") is True
         for kw, op, msg in (
             ("maximum", "le", "value is greater than %s"),
             ("exclusiveMaximum", "lt", "value is greater than or equal to %s"),
             ("minimum", "ge", "value is less than %s"),
             ("exclusiveMinimum", "gt", "value is less than or equal to %s"),
         ):
+            if kw in schema and isinstance(schema[kw], bool):
+                if self.dialect != "4" or kw not in ("exclusiveMaximum", "exclusiveMinimum"):
+                    raise SpecError(f"{kw} value is not a number")
+                continue                 # draft4 boolean form — folded below
+            if kw == "maximum" and d4_ex_max:
+                op, msg = "lt", "value is greater than or equal to %s"
+            if kw == "minimum" and d4_ex_min:
+                op, msg = "gt", "value is less than or equal to %s"
             if kw in schema and applies(kw):
                 b = schema[kw]
                 v = t.value_col()
@@ -570,9 +630,27 @@ class ColumnCompiler:
         if "items" in schema and applies("items"):
             items = schema["items"]
             if isinstance(items, list):
-                raise SpecError('array form of "items" not supported in draft2020-12')
-            add(self._items_kw(items, t, n_prefix, kloc, base, abs_ptr))
-            cov_items.append((None, "all"))
+                # array form (≤2019-09): positional subschemas, with
+                # `additionalItems` as the rest-schema
+                # (V/Applicator.pm:250-274); the reference rejects it in
+                # 2020-12 with this same error (:254)
+                if self.dialect == "2020-12":
+                    raise SpecError('array form of "items" not supported in draft2020-12')
+                for i, s in enumerate(items):
+                    elem = self._elem_target(t, F.lit(i))
+                    present_i = t.present & (F.size(t.value_col()) > i)
+                    elem = Target(col=elem.col, dtype=elem.dtype, ptr=elem.ptr,
+                                  present=present_i, null_is_value=True)
+                    add(sub("items", s, elem, suffix=f"/{i}"))
+                n_prefix = len(items)
+                cov_items.append((None, n_prefix))
+                if "additionalItems" in schema:
+                    add(self._items_kw(schema["additionalItems"], t, n_prefix,
+                                       kloc, base, abs_ptr, kw="additionalItems"))
+                    cov_items.append((None, "all"))
+            else:
+                add(self._items_kw(items, t, n_prefix, kloc, base, abs_ptr))
+                cov_items.append((None, "all"))
 
         has_contains = "contains" in schema and applies("contains")
         if has_contains or (("minContains" in schema or "maxContains" in schema) and jt == "array"):
@@ -1029,8 +1107,9 @@ class ColumnCompiler:
         return Compiled(ok=ok, viols=[leaf, summary])
 
     def _items_kw(self, items_schema: Any, t: Target, n_prefix: int,
-                  kloc: str, base: str, abs_ptr: str) -> Compiled:
-        """items (2020-12): every element after prefixItems validates.
+                  kloc: str, base: str, abs_ptr: str, kw: str = "items") -> Compiled:
+        """items (2020-12) / additionalItems (≤2019-09): every element
+        after the positional prefix validates against one subschema.
 
         ok path: F.forall over the slice — stays in whole-stage codegen.
         Violations: transform-with-index building per-element violation
@@ -1038,7 +1117,7 @@ class ColumnCompiler:
         """
         arr = t.value_col()
         et = t.dtype.elementType
-        kp, ap = f"{kloc}/items", f"{abs_ptr}/items"
+        kp, ap = f"{kloc}/{kw}", f"{abs_ptr}/{kw}"
 
         def elem_compiled(x: Column, i: Column) -> Compiled:
             idx = i + F.lit(n_prefix)
@@ -1058,8 +1137,10 @@ class ColumnCompiler:
 
         leaf = F.flatten(F.transform(rest, viols_of))
         leaf = F.when(ok, _empty_viols()).otherwise(leaf)
-        summary = _viol(ok, t.ptr, kp, self._akloc(base, ap), "items",
-                        "subschema is not valid against all items", F.lit(None).cast("string"))
+        adj = "additional " if kw == "additionalItems" else ""
+        summary = _viol(ok, t.ptr, kp, self._akloc(base, ap), kw,
+                        f"subschema is not valid against all {adj}items",
+                        F.lit(None).cast("string"))
         return Compiled(ok=ok, viols=[leaf, summary])
 
     _RANGE_ONLY_KEYS = {"type", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"}
@@ -1140,6 +1221,21 @@ class ColumnCompiler:
                 ok_enc = v.rlike(r"^[A-Za-z0-9+/\s]*={0,2}\s*$") & \
                     (F.length(F.regexp_replace(v, r"\s", "")) % 4 == 0)
                 decoded = F.unbase64(F.regexp_replace(v, r"\s", "")).cast("string")
+            elif enc == "base64url":
+                # RFC4648 §5 urlsafe alphabet, padding optional
+                # (Modern.pm:1240-1250): translate -_ → +/ and re-pad to a
+                # multiple of 4 before the JVM decoder
+                s = F.regexp_replace(v, r"\s", "")
+                ok_enc = s.rlike(r"^[A-Za-z0-9_\-]*={0,2}$") & \
+                    (F.length(F.regexp_replace(s, "=", "")) % 4 != 1)
+                tr = F.translate(F.regexp_replace(s, "=", ""), "-_", "+/")
+                padded = F.concat(
+                    tr,
+                    F.when(F.length(tr) % 4 == 2, F.lit("=="))
+                     .when(F.length(tr) % 4 == 3, F.lit("="))
+                     .otherwise(F.lit("")),
+                )
+                decoded = F.unbase64(padded).cast("string")
             elif enc in ("identity", ""):
                 ok_enc = F.lit(True)
             else:

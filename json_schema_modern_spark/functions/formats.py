@@ -14,8 +14,10 @@ reference's add_format_validation (Modern.pm:122-134).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -57,6 +59,19 @@ FORMAT_REGEX: dict[str, str] = {
     "uri-reference": r"^[^\s\\]*$",
     "iri": r"^[a-zA-Z][a-zA-Z0-9+.-]*:[^\s]*$",
     "iri-reference": r"^[^\s\\]*$",
+    # idn-* are documented rlike APPROXIMATIONS of the reference's
+    # Net::IDN / Data::Validate::Domain behavior
+    # (FormatAssertion.pm:138-141): unicode letters/digits allowed per
+    # label, 63-char labels, 253-char total, no leading/trailing hyphen —
+    # without the full IDNA2008 mapping/bidi rules
+    "idn-hostname": (
+        r"^(?=.{1,253}$)((?!-)[\p{L}\p{N}-]{1,63}(?<!-))"
+        r"(\.((?!-)[\p{L}\p{N}-]{1,63}(?<!-)))*$"
+    ),
+    "idn-email": (
+        r"^[^@\s]+@(?=.{1,253}$)((?!-)[\p{L}\p{N}-]{1,63}(?<!-))"
+        r"(\.((?!-)[\p{L}\p{N}-]{1,63}(?<!-)))*$"
+    ),
 }
 
 # date formats additionally need a real-calendar check: regex admits Feb 30.
@@ -71,11 +86,37 @@ def register_format(name: str, factory: Callable[[Column], Column]) -> None:
     _custom[name] = factory
 
 
+def _regex_format_predicate(col: Column) -> Column:
+    """`regex` format: does the string compile as a regex?
+
+    The reference tests Perl qr// compilation (FormatAssertion.pm:173-176);
+    here a vectorized pandas UDF tests Python-re compilation — a documented
+    dialect approximation, and the only format that needs Python (pattern
+    VALIDITY isn't expressible as a match).  Cold path by nature: `regex`
+    formats validate schema-like columns, not token data."""
+
+    @F.pandas_udf("boolean")
+    def _re_ok(s: pd.Series) -> pd.Series:
+        def ok(x):
+            if x is None:
+                return None
+            try:
+                re.compile(x)
+                return True
+            except re.error:
+                return False
+        return s.map(ok)
+
+    return _re_ok(col)
+
+
 def format_predicate(name: str, col: Column) -> Column | None:
     """Boolean Column: value conforms to the named format.
     None ⇒ unknown format (annotation-only, always valid)."""
     if name in _custom:
         return _custom[name](col)
+    if name == "regex":
+        return _regex_format_predicate(col)
     pat = FORMAT_REGEX.get(name)
     if pat is None:
         return None

@@ -274,6 +274,60 @@ def test_content_encoding_base64(spark):
     assert flags == [True, False, False]
 
 
+def test_content_encoding_base64url(spark):
+    """RFC4648 §5 urlsafe alphabet, optional padding (Modern.pm:1240-1250)."""
+    import base64
+
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    spec = {"type": "object",
+            "properties": {"blob": {"contentEncoding": "base64url",
+                                    "contentMediaType": "application/json"}}}
+    payload = base64.urlsafe_b64encode(b'{"k": [1, 2]}').decode().rstrip("=")
+    rows = [(payload,),              # unpadded urlsafe: valid JSON inside
+            (payload + "=",),        # padded form also accepted
+            ("##bad##",),            # not in the alphabet
+            ("aGVsbG8",)]            # decodes to "hello" — not JSON
+    df = spark.createDataFrame(rows, "blob string")
+    v = Validator(spec, CompileOptions(validate_content_schemas=True))
+    res = v.validate(df, id_cols=[])
+    flags = [r._valid for r in res.annotated.select("_valid").collect()]
+    assert flags == [True, True, False, False]
+
+
+def test_format_regex_and_idn(spark):
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    spec = {"type": "object", "properties": {
+        "r": {"format": "regex"},
+        "h": {"format": "idn-hostname"},
+    }}
+    rows = [("^a(b|c)+$", "bücher.example"),     # both valid
+            ("(unclosed", "-bad-.example"),      # bad regex, bad hostname
+            (None, None)]
+    df = spark.createDataFrame(rows, "r string, h string")
+    v = Validator(spec, CompileOptions(validate_formats=True))
+    res = v.validate(df, id_cols=[])
+    flags = [r._valid for r in res.annotated.select("_valid").collect()]
+    assert flags == [True, False, True]
+    kws = {(r.instance_location, r.keyword_location)
+           for r in res.violations.collect()}
+    assert ("/r", "/properties/r/format") in kws
+    assert ("/h", "/properties/h/format") in kws
+
+
+def test_stringy_multipleof(spark):
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    spec = {"type": "object", "properties": {"v": {"multipleOf": 0.5}}}
+    rows = [("2.5",), ("2.3",), ("xyz",), (None,)]
+    df = spark.createDataFrame(rows, "v string")
+    v = Validator(spec, CompileOptions(stringy_numbers=True))
+    res = v.validate(df, id_cols=[])
+    flags = [r._valid for r in res.annotated.select("_valid").collect()]
+    assert flags == [True, False, True, True]
+
+
 def test_propertynames_absent_property_vacuous(spark):
     """propertyNames validates only names of PRESENT properties — a NULL
     column (absent property) must not fail the name check (regression:

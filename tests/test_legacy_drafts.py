@@ -1,0 +1,128 @@
+"""Legacy-dialect keyword semantics: array-form items + additionalItems
+(≤2019-09, V/Applicator.pm:250-274), draft4 boolean
+exclusiveMaximum/Minimum (V/Validation.pm:129-143), $recursiveRef
+static-fallback (V/Core.pm:262-279), and $schema dialect gating
+(V/Core.pm:134-196)."""
+
+import pytest
+
+from json_schema_modern_spark import Validator
+from json_schema_modern_spark.spec.resolver import SpecError
+
+D7 = "http://json-schema.org/draft-07/schema#"
+D4 = "http://json-schema.org/draft-04/schema#"
+D2019 = "https://json-schema.org/draft/2019-09/schema"
+
+
+def _viol_locs(spark, spec, rows, ddl):
+    df = spark.createDataFrame(rows, ddl)
+    res = Validator(spec).validate(df, id_cols=[])
+    return [
+        sorted((r.instance_location, r.keyword_location)
+               for r in res.violations.collect())
+    ], res.flag()
+
+
+def test_items_array_form_draft7(spark):
+    spec = {"$schema": D7, "type": "object",
+            "properties": {"v": {"items": [{"minimum": 1}, {"maximum": 0}],
+                                 "additionalItems": {"minimum": 10}}}}
+    v = Validator(spec)
+    ok = spark.createDataFrame([([1, 0, 10, 99],)], "v array<bigint>")
+    assert v.validate(ok, id_cols=[]).flag() is True
+    bad = spark.createDataFrame([([0, 1, 5],)], "v array<bigint>")
+    locs = {(r.instance_location, r.keyword_location)
+            for r in v.validate(bad, id_cols=[]).violations.collect()}
+    assert ("/v/0", "/properties/v/items/0/minimum") in locs
+    assert ("/v/1", "/properties/v/items/1/maximum") in locs
+    assert ("/v/2", "/properties/v/additionalItems/minimum") in locs
+    assert ("/v", "/properties/v/additionalItems") in locs
+
+
+def test_items_array_form_additionalitems_false(spark):
+    spec = {"$schema": D2019, "type": "object",
+            "properties": {"v": {"items": [{"minimum": 0}],
+                                 "additionalItems": False}}}
+    v = Validator(spec)
+    assert v.validate(spark.createDataFrame([([5],)], "v array<bigint>"),
+                      id_cols=[]).flag() is True
+    res = v.validate(spark.createDataFrame([([5, 6],)], "v array<bigint>"), id_cols=[])
+    assert res.flag() is False
+    locs = {(r.instance_location, r.keyword_location)
+            for r in res.violations.collect()}
+    assert ("/v/1", "/properties/v/additionalItems") in locs
+
+
+def test_items_array_form_rejected_in_2020_12(spark):
+    spec = {"type": "object", "properties": {"v": {"items": [{"minimum": 0}]}}}
+    with pytest.raises(SpecError, match="array form"):
+        Validator(spec).validate(
+            spark.createDataFrame([([1],)], "v array<bigint>"), id_cols=[])
+
+
+def test_draft4_boolean_exclusive_maximum(spark):
+    spec = {"$schema": D4, "type": "object",
+            "properties": {"v": {"maximum": 10, "exclusiveMaximum": True}}}
+    v = Validator(spec)
+    df = spark.createDataFrame([(9,), (10,), (11,)], "v bigint")
+    rows = v.validate(df, id_cols=["v"]).violations.collect()
+    bad = {r.v for r in rows}
+    assert bad == {10, 11}
+    assert all("greater than or equal to 10" in r.error for r in rows)
+    # boolean exclusiveMaximum outside draft4 is a spec error
+    spec2020 = {"type": "object",
+                "properties": {"v": {"maximum": 10, "exclusiveMaximum": True}}}
+    with pytest.raises(SpecError):
+        Validator(spec2020).validate(df, id_cols=["v"])
+
+
+def test_draft4_plain_maximum_unchanged(spark):
+    spec = {"$schema": D4, "type": "object",
+            "properties": {"v": {"maximum": 10, "exclusiveMaximum": False}}}
+    df = spark.createDataFrame([(10,), (11,)], "v bigint")
+    rows = Validator(spec).validate(df, id_cols=["v"]).violations.collect()
+    assert {r.v for r in rows} == {11}
+
+
+def test_recursive_ref_static_fallback(spark):
+    spec = {"$schema": D2019, "$recursiveAnchor": True, "type": "object",
+            "properties": {"v": {"minimum": 0},
+                           "child": {"$recursiveRef": "#"}}}
+    v = Validator(spec)
+    df = spark.createDataFrame(
+        [(1, None), (-1, None)], "v bigint, child struct<v: bigint, child: string>")
+    rows = v.validate(df, id_cols=["v"]).violations.collect()
+    assert {r.v for r in rows} == {-1}
+    # nested failure resolves through the $recursiveRef hop
+    df2 = spark.createDataFrame(
+        [(1, (-5, None))], "v bigint, child struct<v: bigint, child: string>")
+    locs = {(r.instance_location, r.keyword_location)
+            for r in v.validate(df2, id_cols=[]).violations.collect()}
+    assert ("/child/v", "/properties/child/$recursiveRef/properties/v/minimum") in locs
+
+
+def test_recursive_ref_bad_value(spark):
+    spec = {"$schema": D2019, "type": "object",
+            "properties": {"v": {"$recursiveRef": "#/other"}}}
+    with pytest.raises(SpecError, match="recursiveRef"):
+        Validator(spec).validate(
+            spark.createDataFrame([(1,)], "v bigint"), id_cols=[])
+
+
+def test_unknown_dialect_rejected(spark):
+    spec = {"$schema": "https://example.org/not-a-dialect", "type": "object"}
+    with pytest.raises(SpecError, match="dialect"):
+        Validator(spec).validate(
+            spark.createDataFrame([(1,)], "v bigint"), id_cols=[])
+
+
+def test_uneval_items_after_array_items(spark):
+    """array-form items + additionalItems cover everything → a False
+    unevaluatedItems never fires (2019-09 coverage semantics)."""
+    spec = {"$schema": D2019, "type": "object",
+            "properties": {"v": {"items": [{"minimum": 0}],
+                                 "additionalItems": {"maximum": 99},
+                                 "unevaluatedItems": False}}}
+    v = Validator(spec)
+    assert v.validate(spark.createDataFrame([([1, 50],)], "v array<bigint>"),
+                      id_cols=[]).flag() is True
