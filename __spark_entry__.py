@@ -535,6 +535,18 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash_near_duplicates(_dup_docs(spark, sf_dir), max_hamming=3)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """LSH candidate pairs → connected components → per-cluster survivor
+    (join-based label propagation with pointer jumping; oracle = DuckDB
+    recursive-CTE reachability over identically recomputed pairs)."""
+    from json_schema_modern_spark.operators.dedup import (
+        minhash_lsh_candidates, resolve_duplicate_clusters,
+    )
+
+    pairs = minhash_lsh_candidates(_dup_docs(spark, sf_dir), num_hashes=32, bands=8)
+    return resolve_duplicate_clusters(pairs)
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -688,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": _q_minhash_buckets,
         "dedup_minhash_lsh": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1082,6 +1095,17 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_jaccard_ppjoin"] = _jaccard_oracle("(SELECT * FROM documents WHERE doc_id % 4 = 1)")
     o["dedup_minhash_lsh"] = _minhash_pairs_oracle(dup_docs)
     o["dedup_simhash"] = _simhash_oracle(dup_docs)
+    o["dedup_clusters"] = (
+        "WITH pairs AS (SELECT * FROM (" + _minhash_pairs_oracle(dup_docs) + ")), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "          UNION SELECT id_b, id_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT src FROM edges), "
+        "reach AS (WITH RECURSIVE r(src, m) AS ("
+        "  SELECT src, src FROM nodes "
+        "  UNION SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.src) "
+        "  SELECT src, min(m) AS cluster_id FROM r GROUP BY src) "
+        "SELECT src AS doc_id, cluster_id, src = cluster_id AS is_survivor FROM reach"
+    )
     o["minhash_bands"] = _minhash_oracle()
     o["text_quality"] = _quality_oracle()
     o["text_langid"] = _langid_oracle()

@@ -222,6 +222,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id, is_survivor) — connected components over
+    candidate pairs, resolving duplicate GROUPS from pair output (the step
+    a real pipeline needs to pick one survivor per cluster).
+
+    Join-based label propagation with pointer jumping — no graph library:
+    each round (a) every node takes the min label among its neighbors,
+    then (b) label[n] ← label[label[n]] (path halving).  The jump step
+    gives O(log n) rounds on chains instead of O(diameter); each round is
+    two shuffles on (node, label) pairs, so the shuffled volume is
+    O(|V|+|E|) per round regardless of cluster shapes.  Driver involvement
+    is one convergence probe per round (count of changed labels) — O(log n)
+    tiny actions, not per-row work.  cluster_id = min doc id in the
+    component; is_survivor marks that doc.  Nodes appearing in no pair are
+    not emitted (singletons are trivially their own cluster).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        step = labels.join(neigh, "src", "left").select(
+            "src", F.least("label", F.coalesce("nlabel", F.col("label"))).alias("label"))
+        # pointer jump: label[n] ← label[label[n]]
+        jumped = step.alias("a").join(
+            step.select(F.col("src").alias("label"), F.col("label").alias("_ll")).alias("b"),
+            "label", "left",
+        ).select(F.col("src"), F.coalesce("_ll", F.col("label")).alias("label"))
+        # truncate lineage each round or the plan grows exponentially
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.alias("n").join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("src").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("src") == F.col("label")).alias("is_survivor"),
+    )
+
+
 def simhash64(text: Column, seed: int = 42) -> Column:
     """64-bit SimHash over word digests: per bit, sign of Σ±1 votes.
 

@@ -63,6 +63,68 @@ class ValidationResult:
         ), {"ignoreNullFields": "true"})
         return self.annotated.select(*self.id_cols, doc.alias("result"))
 
+    def strict_basic_output(self) -> DataFrame:
+        """`strict_basic` output (2019-09 only in the reference —
+        Result.pm:168-176, _map_uris :272-278): like `basic` but the
+        instance/keyword locations are rendered as URI fragments
+        ("#/json/pointer").  Deviation note: percent-encoding of exotic
+        pointer characters is not applied (JSON-pointer tokens in a typed
+        table are column names — already fragment-safe)."""
+        err_arr = F.transform(
+            F.col("_viols"),
+            lambda v: F.struct(
+                F.concat(F.lit("#"), v["instance_location"]).alias("instanceLocation"),
+                F.concat(F.lit("#"), v["keyword_location"]).alias("keywordLocation"),
+                v["absolute_keyword_location"].alias("absoluteKeywordLocation"),
+                v["error"].alias("error"),
+            ),
+        )
+        doc = F.to_json(F.struct(
+            F.col("_valid").alias("valid"),
+            F.when(~F.col("_valid"), err_arr).alias("errors"),
+        ), {"ignoreNullFields": "true"})
+        return self.annotated.select(*self.id_cols, doc.alias("result"))
+
+    # applicator summaries the `terse` format drops unconditionally
+    # (Result.pm:177-214 grep)
+    _TERSE_DROP = ("allOf", "anyOf", "if", "then", "else", "dependentSchemas",
+                   "contains", "propertyNames")
+
+    def terse_output(self) -> DataFrame:
+        """`terse` output (Result.pm:177-214): violation rows minus the
+        redundant applicator-summary noise — in-place applicator summaries
+        always, oneOf's "no subschemas are valid", item/property summary
+        rows, and the dependentRequired rollup.  Leaf errors (keyword '' =
+        false-schema, and every Validation-vocabulary error) survive."""
+        kw, err = F.col("keyword"), F.col("error")
+        keep = (kw == "") | (
+            ~kw.isin(*self._TERSE_DROP)
+            & ~((kw == "oneOf") & (err == "no subschemas are valid"))
+            & ~((kw == "prefixItems"))
+            & ~((kw == "items") & err.startswith("subschema is not valid"))
+            & ~((kw == "additionalItems") & err.startswith("subschema is not valid"))
+            & ~(kw.isin("properties", "patternProperties")
+                & err.startswith("not all properties"))
+            & ~((kw == "additionalProperties")
+                & err.startswith("not all additional properties"))
+            & ~((kw == "dependentRequired")
+                & (err == "not all dependencies are satisfied"))
+        )
+        return self.violations.filter(keep)
+
+    def data_only_output(self) -> DataFrame:
+        """`data_only` output (Result.pm:215-222 / Error.pm:56-60): per
+        row, "valid" or newline-joined unique "'<instance_location>':
+        <error>" strings."""
+        lines = F.transform(
+            F.col("_viols"),
+            lambda v: F.concat(F.lit("'"), v["instance_location"],
+                               F.lit("': "), v["error"]),
+        )
+        doc = F.when(F.col("_valid"), F.lit("valid")) \
+            .otherwise(F.concat_ws("\n", F.array_distinct(lines)))
+        return self.annotated.select(*self.id_cols, doc.alias("result"))
+
     def partition_results(self) -> DataFrame:
         """Per-partition pass/fail rollup (partition_id, valid, doc_count,
         error_count) — the north-rule per-partition output."""
@@ -154,6 +216,27 @@ class Validator:
 
     def valid_col(self, df: DataFrame) -> Column:
         return self.compile_for(df).ok
+
+    def defaults_map(self) -> dict[str, Any]:
+        """JSON-pointer → default value for every root property carrying a
+        `default` annotation — the reference's Result.defaults content
+        (Result.pm:144-151, collected at V/Applicator.pm:417-424)."""
+        props = self.spec.get("properties", {}) if isinstance(self.spec, dict) else {}
+        return {f"/{name}": s["default"] for name, s in props.items()
+                if isinstance(s, dict) and "default" in s}
+
+    def apply_defaults(self, df: DataFrame) -> DataFrame:
+        """with_defaults repair pass: fill absent (NULL) root properties
+        with their schema `default` — the distributed analogue of the
+        reference injecting defaults into Result.data (Result.pm:144-151);
+        a coalesce per defaulted column, fully codegen'd."""
+        out = df
+        for ptr, v in self.defaults_map().items():
+            name = ptr[1:]
+            if name in df.columns:
+                out = out.withColumn(name, F.coalesce(
+                    F.col(name), F.lit(v).cast(df.schema[name].dataType)))
+        return out
 
     def validate_json_strings(
         self, df: DataFrame, json_col: str, id_cols: list[str] | None = None

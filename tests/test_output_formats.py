@@ -1,0 +1,74 @@
+"""Output formats beyond flag/basic (Result.pm:99,153-223) and the
+with_defaults repair pass (Result.pm:144-151)."""
+
+import json
+
+from json_schema_modern_spark import Validator
+
+
+def _res(spark, spec, rows, ddl):
+    df = spark.createDataFrame(rows, ddl)
+    return Validator(spec).validate(df, id_cols=["rid"])
+
+
+def test_strict_basic_fragment_uris(spark):
+    spec = {"type": "object", "properties": {"v": {"minimum": 5}}}
+    res = _res(spark, spec, [(1, 3), (2, 7)], "rid int, v int")
+    docs = {r.rid: json.loads(r.result)
+            for r in res.strict_basic_output().collect()}
+    assert docs[2] == {"valid": True}
+    err = docs[1]["errors"][0]
+    assert err["instanceLocation"] == "#/v"
+    assert err["keywordLocation"] == "#/properties/v/minimum"
+
+
+def test_terse_drops_applicator_summaries(spark):
+    spec = {"type": "object", "properties": {"v": {
+        "anyOf": [{"minimum": 10}, {"multipleOf": 2}]}}}
+    res = _res(spark, spec, [(1, 3)], "rid int, v int")
+    full_kws = {r.keyword for r in res.violations.collect()}
+    terse_kws = {r.keyword for r in res.terse_output().collect()}
+    assert "anyOf" in full_kws
+    assert "anyOf" not in terse_kws
+    assert {"minimum", "multipleOf"} <= terse_kws     # leaves survive
+
+
+def test_terse_keeps_oneof_multiple_valid(spark):
+    spec = {"type": "object", "properties": {"v": {
+        "oneOf": [{"minimum": 0}, {"multipleOf": 2}]}}}
+    res = _res(spark, spec, [(1, 4), (2, -3)], "rid int, v int")
+    terse = {(r.rid, r.keyword, r.error) for r in res.terse_output().collect()}
+    # rid 1: both branches valid → 'multiple subschemas are valid' kept
+    assert any(k == "oneOf" and "multiple" in e for rid, k, e in terse if rid == 1)
+    # rid 2: 'no subschemas are valid' dropped; leaf errors kept
+    assert not any(k == "oneOf" for rid, k, e in terse if rid == 2)
+    assert any(k == "minimum" for rid, k, e in terse if rid == 2)
+
+
+def test_data_only_output(spark):
+    spec = {"type": "object",
+            "properties": {"v": {"minimum": 5}, "w": {"maxLength": 2}}}
+    res = _res(spark, spec, [(1, 3, "xyz"), (2, 9, "ab")],
+               "rid int, v int, w string")
+    docs = {r.rid: r.result for r in res.data_only_output().collect()}
+    assert docs[2] == "valid"
+    assert "'/v': value is less than 5" in docs[1]
+    assert "'/w': length is greater than 2" in docs[1]
+    assert docs[1].count("\n") == 1
+
+
+def test_apply_defaults(spark):
+    spec = {"type": "object", "properties": {
+        "lang": {"type": "string", "default": "en"},
+        "score": {"type": "number", "default": 0.5},
+        "name": {"type": "string"},
+    }}
+    v = Validator(spec)
+    assert v.defaults_map() == {"/lang": "en", "/score": 0.5}
+    df = spark.createDataFrame(
+        [(1, None, None, None), (2, "fr", 0.9, "x")],
+        "rid int, lang string, score double, name string")
+    out = {r.rid: (r.lang, r.score, r.name)
+           for r in v.apply_defaults(df).collect()}
+    assert out[1] == ("en", 0.5, None)       # defaults filled, no default → untouched
+    assert out[2] == ("fr", 0.9, "x")        # present values never overwritten
