@@ -31,7 +31,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # 32-thread JVM collapses into 70-90% kernel time — see BASELINE.md
 # "hardware ceiling").  An explicit SPARK_GRAFT_CPUS always wins.
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
-TOKEN_ROWS = int(os.environ.get("SPARK_GRAFT_TOKEN_ROWS", "200000"))
+# 2M rows, not 200k: at 200k the per-job fixed costs (scheduling, codegen
+# dispatch, shuffle setup) dominate and the recorded seq/s understates the
+# engine ~10× (measured: 200k → ~13-19k seq/s, 2M → 139-255k seq/s).
+TOKEN_ROWS = int(os.environ.get("SPARK_GRAFT_TOKEN_ROWS", "2000000"))
+WARMUP_ROWS = int(os.environ.get("SPARK_GRAFT_WARMUP_ROWS", "200000")) or None
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "9600000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))  # N vs 4N cores
 TOKEN_CACHE = os.environ.get("SPARK_GRAFT_TOKEN_CACHE", "/tmp/spark_graft_bench")
@@ -163,13 +167,12 @@ def main() -> None:
     spark = _get_spark(CPUS)
     if "--token-only" in sys.argv:
         repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
-        wrows = int(os.environ.get("SPARK_GRAFT_WARMUP_ROWS", "0")) or None
         tok = run_token_validation(spark, TOKEN_ROWS, repeats=repeats,
-                                   warmup_rows=wrows)
+                                   warmup_rows=WARMUP_ROWS)
         print(json.dumps({"metric": "token-validation", "cpus": CPUS, **tok}))
         return
 
-    tok = run_token_validation(spark, TOKEN_ROWS)
+    tok = run_token_validation(spark, TOKEN_ROWS, warmup_rows=WARMUP_ROWS)
     queries = run_headline(spark)
     queries["token_full_validation"] = tok["sec"]
     total = round(sum(queries.values()), 3)

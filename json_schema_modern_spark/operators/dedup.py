@@ -247,6 +247,9 @@ def resolve_duplicate_clusters(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize once: the upstream pair generation (LSH signatures —
+        # a pandas UDF over the corpus) must not re-execute every round
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("src").distinct().withColumn("label", F.col("src"))
     labels = labels.localCheckpoint(eager=True)
