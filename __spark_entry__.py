@@ -643,6 +643,30 @@ def _q_media_features(spark, sf_dir):
                     F.round("col", 6).alias("f")))
 
 
+def _q_streaming_validation(spark, sf_dir):
+    """Structured Streaming path: the SAME compiled plan over a streaming
+    file source (availableNow trigger → deterministic, so the batch
+    flagship oracle applies verbatim).  Violations land in a memory sink
+    and come back as a batch DataFrame."""
+    import uuid as _uuid
+
+    from json_schema_modern_spark.streaming.validate_stream import validate_stream
+
+    schema = _read(spark, sf_dir, "documents").schema
+    # the file source wants a DIRECTORY; point it at sf_dir with a glob
+    # selecting only the documents table
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    _annotated, violations = validate_stream(stream, FLAGSHIP_SPEC, id_cols=["doc_id"])
+    name = "stream_viol_" + _uuid.uuid4().hex[:8]
+    q = (violations.select("doc_id", *_VCOLS)
+         .writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
 def _q_events_window(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -713,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_samples": _q_media_frame_samples,
         "media_features": _q_media_features,
         "events_window_counts": _q_events_window,
+        "streaming_validation": _q_streaming_validation,
     }
 
 
@@ -822,6 +847,7 @@ def _simple_range_oracle() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     o = _simple_range_oracle()
     o["flagship_violations"] = _FLAGSHIP_ORACLE_ABS
+    o["streaming_validation"] = _FLAGSHIP_ORACLE
 
     # per-element items violations + per-row summary
     o["kw_items"] = (
