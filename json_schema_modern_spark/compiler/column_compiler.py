@@ -1248,23 +1248,58 @@ class ColumnCompiler:
             oks.append(c.ok)
             decoded = F.when(c.ok, decoded)
         mt = schema.get("contentMediaType")
-        if mt is not None and mt.lower() == "application/json":
+        mtl = mt.lower() if mt is not None else None
+        cs_target: Target | None = None
+        if mtl == "application/json":
             parsed_ok = F.try_parse_json(decoded).isNotNull() | decoded.isNull()
             c = E("contentMediaType", parsed_ok,
                   f"could not decode string as {mt}")
             out.extend(c.viols)
             oks.append(c.ok)
             if "contentSchema" in schema:
-                sub_spec = schema["contentSchema"]
-                sub_schema = _spark_schema_from_spec(sub_spec)
+                sub_schema = _spark_schema_from_spec(schema["contentSchema"])
                 if sub_schema is not None:
                     parsed = F.from_json(decoded, sub_schema)
-                    pt = Target(col=parsed, dtype=sub_schema,
-                                ptr=t.ptr, present=t.present & parsed.isNotNull())
-                    child = self._node(sub_spec, pt, f"{kloc}/contentSchema",
-                                       base, f"{abs_ptr}/contentSchema")
-                    oks.append(child.ok)
-                    out.extend(child.viols)
+                    cs_target = Target(col=parsed, dtype=sub_schema, ptr=t.ptr,
+                                       present=t.present & parsed.isNotNull())
+        elif mtl is not None and (mtl.startswith("text/") or mtl == "text"):
+            # text/* registry entry (U.pm:557-569): any string decodes;
+            # contentSchema sees the decoded STRING
+            cs_target = Target(col=decoded, dtype=T.StringType(), ptr=t.ptr,
+                               present=t.present & decoded.isNotNull())
+        elif mtl == "application/octet-stream":
+            pass  # opaque bytes — anything decodes (U.pm:548-555)
+        elif mtl == "application/x-ndjson":
+            # every non-blank line must parse as JSON (U.pm:600-616)
+            lines = F.filter(F.split(decoded, "\n"),
+                             lambda ln: F.length(F.trim(ln)) > 0)
+            nd_ok = F.forall(lines, lambda ln: F.try_parse_json(ln).isNotNull()) \
+                | decoded.isNull()
+            c = E("contentMediaType", nd_ok, f"could not decode string as {mt}")
+            out.extend(c.viols)
+            oks.append(c.ok)
+        elif mtl == "application/x-www-form-urlencoded":
+            # k=v pairs joined by & (U.pm:571-598); contentSchema sees the
+            # parsed MAP — composing with the MapType object keywords
+            form_ok = decoded.rlike(r"^([^=&]*=[^=&]*(&[^=&]*=[^=&]*)*)?$") \
+                | decoded.isNull()
+            c = E("contentMediaType", form_ok, f"could not decode string as {mt}")
+            out.extend(c.viols)
+            oks.append(c.ok)
+            if "contentSchema" in schema:
+                parsed = F.str_to_map(decoded, F.lit("&"), F.lit("="))
+                cs_target = Target(col=parsed,
+                                   dtype=T.MapType(T.StringType(), T.StringType()),
+                                   ptr=t.ptr,
+                                   present=t.present & c.ok & decoded.isNotNull())
+        # other media types: annotation-only (lenient default — the
+        # reference aborts only under strict assertion vocabularies)
+        if cs_target is not None and "contentSchema" in schema:
+            child = self._node(schema["contentSchema"], cs_target,
+                               f"{kloc}/contentSchema",
+                               base, f"{abs_ptr}/contentSchema")
+            oks.append(child.ok)
+            out.extend(child.viols)
         ok_all = F.lit(True)
         for o in oks:
             ok_all = ok_all & o

@@ -58,7 +58,25 @@ arr_schema = st.fixed_dictionaries({}, optional={
 })
 
 
-def _props(n, s, a):
+# open-properties MAP column: object keywords resolved per entry at
+# runtime (map_entries HOFs) — fuzzed against pyeval's dict semantics,
+# including JSON-null map values (present key, null value)
+map_schema = st.fixed_dictionaries({}, optional={
+    "required": st.lists(st.sampled_from(["k1", "k2", "xq"]),
+                         max_size=2, unique=True),
+    "minProperties": st.integers(0, 3),
+    "maxProperties": st.integers(0, 3),
+    "properties": st.sampled_from([{"k1": {"minimum": 0}},
+                                   {"k2": {"type": "integer"}},
+                                   {"xq": {"const": 2}}]),
+    "patternProperties": st.sampled_from([{"^k": {"minimum": -2}},
+                                          {"q": {"maximum": 2}}]),
+    "additionalProperties": st.sampled_from([False, {"minimum": -1}]),
+    "propertyNames": st.sampled_from([{"pattern": "^k"}, {"maxLength": 2}]),
+})
+
+
+def _props(n, s, a, m=None):
     out = {}
     if n is not None:
         out["a"] = n
@@ -66,6 +84,8 @@ def _props(n, s, a):
         out["s"] = s
     if a is not None:
         out["arr"] = a
+    if m is not None:
+        out["m"] = m
     return out
 
 
@@ -80,9 +100,9 @@ obj_extras = st.fixed_dictionaries({}, optional={
 })
 
 base_root = st.builds(
-    lambda n, s, a, req, dep, extras: {
+    lambda n, s, a, m, req, dep, extras: {
         "type": "object",
-        **({"properties": _props(n, s, a)} if _props(n, s, a) else {}),
+        **({"properties": _props(n, s, a, m)} if _props(n, s, a, m) else {}),
         **({"required": req} if req else {}),
         **({"dependentRequired": dep} if dep else {}),
         **extras,
@@ -90,6 +110,7 @@ base_root = st.builds(
     st.one_of(st.none(), num_schema),
     st.one_of(st.none(), str_schema),
     st.one_of(st.none(), arr_schema),
+    st.one_of(st.none(), map_schema),
     st.lists(st.sampled_from(["a", "s", "arr"]), max_size=2, unique=True),
     st.one_of(st.none(), st.fixed_dictionaries(
         {}, optional={"a": st.just(["s"]), "s": st.just(["arr"])})),
@@ -120,6 +141,10 @@ row = st.tuples(
     # arrays may carry null ELEMENTS (JSON null values — present, type
     # null), exercising the null-aware items path vs the dense fast path
     st.one_of(st.none(), st.lists(st.one_of(st.none(), _ints), max_size=4)),
+    # maps may carry null VALUES (present key, JSON null value)
+    st.one_of(st.none(), st.dictionaries(
+        st.sampled_from(["k1", "k2", "xq"]),
+        st.one_of(st.none(), _ints), max_size=3)),
 )
 
 
@@ -131,6 +156,8 @@ def _instance(r):
         d["s"] = r[1]
     if r[2] is not None:
         d["arr"] = list(r[2])
+    if r[3] is not None:
+        d["m"] = dict(r[3])
     return d
 
 
@@ -138,7 +165,8 @@ def _instance(r):
           suppress_health_check=[HealthCheck.too_slow])
 @given(spec=root_schema, rows=st.lists(row, min_size=1, max_size=6))
 def test_spark_agrees_with_pyeval(spark_diff, spec, rows):
-    df = spark_diff.createDataFrame(rows, "a bigint, s string, arr array<bigint>")
+    df = spark_diff.createDataFrame(
+        rows, "a bigint, s string, arr array<bigint>, m map<string,bigint>")
     res = Validator(spec).validate(df, id_cols=[])
     got = [r._valid for r in res.annotated.select("_valid").collect()]
     want = [evaluate(spec, _instance(r)) for r in rows]

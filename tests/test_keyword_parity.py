@@ -295,6 +295,51 @@ def test_content_encoding_base64url(spark):
     assert flags == [True, True, False, False]
 
 
+def test_content_media_type_registry(spark):
+    """Media types beyond application/json (U.pm:481-743): text/*,
+    x-ndjson line-wise JSON, x-www-form-urlencoded with the parsed MAP fed
+    to contentSchema, octet-stream opaque."""
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    opts = CompileOptions(validate_content_schemas=True)
+
+    nd = {"type": "object", "properties": {"p": {
+        "contentMediaType": "application/x-ndjson"}}}
+    df = spark.createDataFrame(
+        [('{"a":1}\n{"b":2}',), ('{"a":1}\nnot json',), (None,)], "p string")
+    flags = [r._valid for r in Validator(nd, opts).validate(df, id_cols=[])
+             .annotated.select("_valid").collect()]
+    assert flags == [True, False, True]
+
+    txt = {"type": "object", "properties": {"p": {
+        "contentMediaType": "text/plain", "contentSchema": {"maxLength": 3}}}}
+    df = spark.createDataFrame([("ab",), ("abcd",)], "p string")
+    res = Validator(txt, opts).validate(df, id_cols=[])
+    flags = [r._valid for r in res.annotated.select("_valid").collect()]
+    assert flags == [True, False]
+    assert any(r.keyword_location == "/properties/p/contentSchema/maxLength"
+               for r in res.violations.collect())
+
+    form = {"type": "object", "properties": {"p": {
+        "contentMediaType": "application/x-www-form-urlencoded",
+        "contentSchema": {"required": ["a"],
+                          "properties": {"a": {"pattern": "^[0-9]+$"}}}}}}
+    df = spark.createDataFrame(
+        [("a=5&b=x",), ("b=1",), ("a=zz",), ("==&&",)], "p string")
+    res = Validator(form, opts).validate(df, id_cols=[])
+    flags = [r._valid for r in res.annotated.select("_valid").collect()]
+    assert flags == [True, False, False, False]
+    locs = {r.keyword_location for r in res.violations.collect()}
+    assert "/properties/p/contentSchema/required" in locs
+    assert "/properties/p/contentSchema/properties/a/pattern" in locs
+    assert "/properties/p/contentMediaType" in locs
+
+    blob = {"type": "object", "properties": {"p": {
+        "contentMediaType": "application/octet-stream"}}}
+    df = spark.createDataFrame([("anything at all \x00",)], "p string")
+    assert Validator(blob, opts).validate(df, id_cols=[]).flag() is True
+
+
 def test_format_regex_and_idn(spark):
     from json_schema_modern_spark.compiler.column_compiler import CompileOptions
 
