@@ -323,6 +323,34 @@ def _q_kw_uneval_props(spark, sf_dir):
                                  "keyword", "error")
 
 
+def _q_kw_dynamicref(spark, sf_dir):
+    """$dynamicRef static-resolvable subset (V/Core.pm:327-361): resolves
+    like $ref when no overriding $dynamicAnchor exists in scope."""
+    spec = {"$id": "https://example.org/specs/dyn",
+            "$defs": {"cap": {"$dynamicAnchor": "cap", "maximum": 5000}},
+            "type": "object",
+            "properties": {"s_acctbal": {"$dynamicRef": "#cap"}}}
+    return _validate(spark, sf_dir, "supplier", spec, ["s_suppkey"])
+
+
+def _q_kw_recursiveref(spark, sf_dir):
+    """2019-09 $recursiveRef static fallback (V/Core.pm:262-279): '#'
+    resolves to the current base root."""
+    spec = {"$schema": "https://json-schema.org/draft/2019-09/schema",
+            "$recursiveAnchor": True,
+            "type": "object",
+            "properties": {"n_nationkey": {"minimum": 5},
+                           "wrapped": {"$recursiveRef": "#"}}}
+    na = _read(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.struct(F.col("n_regionkey").alias("n_nationkey")).alias("wrapped"))
+    from json_schema_modern_spark import Validator
+
+    res = Validator(spec).validate(na, id_cols=["n_nationkey"])
+    return res.violations.select("n_nationkey", "instance_location",
+                                 "keyword_location", "keyword", "error")
+
+
 def _q_kw_items_legacy(spark, sf_dir):
     """≤2019-09 array-form items + additionalItems (V/Applicator.pm:250-274),
     dispatched by $schema dialect detection."""
@@ -711,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_uneval_items": _q_kw_uneval_items,
         "kw_uneval_props": _q_kw_uneval_props,
         "kw_items_legacy": _q_kw_items_legacy,
+        "kw_dynamicref": _q_kw_dynamicref,
+        "kw_recursiveref": _q_kw_recursiveref,
         "stats_lineitem": _q_stats,
         "hist_n_chars": _q_hist,
         "unique_doc_ids": _q_unique,
@@ -1032,6 +1062,19 @@ def oracle_sql() -> dict[str, str]:
         f"'/dependentSchemas/even_user/properties/big_value/maximum', 'maximum', "
         f"'value is greater than 99' FROM {derived} "
         f"WHERE even_user IS NOT NULL AND big_value > 99"
+    )
+    o["kw_dynamicref"] = _viol_row(
+        "s_suppkey", "'/s_acctbal'", "/properties/s_acctbal/$dynamicRef/maximum",
+        "maximum", "'value is greater than 5000'", "CAST(s_acctbal AS VARCHAR)",
+        "supplier", "s_acctbal IS NOT NULL AND s_acctbal > 5000")
+    o["kw_recursiveref"] = (
+        "SELECT n_nationkey, '/n_nationkey' AS instance_location, "
+        "'/properties/n_nationkey/minimum' AS keyword_location, "
+        "'minimum' AS keyword, 'value is less than 5' AS error "
+        "FROM nation WHERE n_nationkey < 5 "
+        "UNION ALL SELECT n_nationkey, '/wrapped/n_nationkey', "
+        "'/properties/wrapped/$recursiveRef/properties/n_nationkey/minimum', "
+        "'minimum', 'value is less than 5' FROM nation WHERE n_regionkey < 5"
     )
     o["kw_anchor"] = _viol_row(
         "c_custkey", "'/c_acctbal'", "/properties/c_acctbal/$ref/minimum",
