@@ -623,6 +623,15 @@ def _q_ann_lsh(spark, sf_dir):
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _q_ann_lsh_topk(spark, sf_dir):
+    """Bucket-pruned ANN top-k with Hamming-1 multiprobe — the scale path
+    for similarity search; the oracle replicates the probe-bucket set."""
+    from json_schema_modern_spark.operators.similarity import lsh_topk, query_vector
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, query_vector(64, seed=42), k=10, n_planes=6, multiprobe=1)
+
+
 def _q_neardup_cosine(spark, sf_dir):
     from json_schema_modern_spark.operators.similarity import embedding_near_duplicates
 
@@ -761,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_token_counts,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_lsh_buckets": _q_ann_lsh,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "neardup_cosine": _q_neardup_cosine,
         "neardup_cosine_lsh": _q_neardup_cosine_lsh,
         "media_resize_plan": _q_media_resize_plan,
@@ -1190,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
     o["ann_bruteforce_topk"] = _ann_oracle()
     o["ann_lsh_buckets"] = _lsh_bucket_oracle()
     o["neardup_cosine_lsh"] = _neardup_lsh_oracle()
+    o["ann_lsh_topk"] = _ann_lsh_topk_oracle()
     o["neardup_cosine"] = (
         "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "CAST(round(list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1]*x[2])) "
@@ -1486,6 +1497,32 @@ def _lsh_bucket_sql_expr(vec_expr: str, n_planes: int = 6) -> str:
 def _lsh_bucket_oracle() -> str:
     return (f"SELECT {_lsh_bucket_sql_expr('embedding')} AS bucket, count(*) AS cnt "
             f"FROM embeddings GROUP BY 1")
+
+
+def _ann_lsh_topk_oracle() -> str:
+    import math
+
+    from json_schema_modern_spark.operators.similarity import (
+        hyperplanes, query_vector,
+    )
+
+    q = query_vector(64, seed=42)
+    planes = hyperplanes(64, 6, seed=42)
+    qb = sum((1 << i) for i, p in enumerate(planes)
+             if sum(a * b for a, b in zip(q, p)) >= 0)
+    probe = sorted({qb} | {qb ^ (1 << i) for i in range(6)})
+    qlit = "[" + ",".join(repr(x) for x in q) + "]::DOUBLE[]"
+    qn = repr(math.sqrt(sum(x * x for x in q)))
+    probe_list = ", ".join(str(b) for b in probe)
+    return f"""
+SELECT vec_id, sim FROM (
+  SELECT vec_id,
+    CAST(round(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), {qlit}), x -> x[1]*x[2]))
+      / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) * {qn}), 6) AS DOUBLE) AS sim
+  FROM embeddings
+  WHERE {_lsh_bucket_sql_expr('embedding')} IN ({probe_list}))
+ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
 
 
 def _neardup_lsh_oracle() -> str:

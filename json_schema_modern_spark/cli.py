@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--flag-only", action="store_true",
                    help="short-circuit: report only global validity")
+    p.add_argument("--output-format", default="violations",
+                   choices=["violations", "basic", "strict_basic", "terse",
+                            "data_only"],
+                   help="result rendering (reference output_format, "
+                        "Result.pm:99): 'violations' = the pipeline's "
+                        "violation/metrics tables (default); the others "
+                        "write per-row result documents")
     p.add_argument("--check-only", action="store_true",
                    help="validate the spec itself; no data read")
     p.add_argument("--max-depth", type=int, default=64)
@@ -145,6 +152,27 @@ def run_validation(spec, args) -> int:
         valid = Validator(spec, extra_schemas=extra) \
             .validate(df, id_cols=[args.id_col]).flag()
         print(json.dumps({"valid": bool(valid)}))
+        return 0 if valid else 1
+
+    if args.output_format != "violations":
+        res = Validator(spec, extra_schemas=extra) \
+            .validate(df, id_cols=[args.id_col])
+        out_df = {
+            "basic": res.basic_output,
+            "strict_basic": res.strict_basic_output,
+            "terse": res.terse_output,
+            "data_only": res.data_only_output,
+        }[args.output_format]()
+        n_rows = out_df.count()
+        if args.output:
+            import os as _os
+
+            out_df.write.mode("overwrite").parquet(
+                _os.path.join(args.output, f"results_{args.output_format}"))
+        valid = res.flag()
+        print(json.dumps({"valid": bool(valid),
+                          "output_format": args.output_format,
+                          "rows": n_rows}))
         return 0 if valid else 1
 
     sd = spark.read.parquet(args.source_dict) if args.source_dict else None

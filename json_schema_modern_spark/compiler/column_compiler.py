@@ -266,6 +266,31 @@ def _detect_dialect(spec: Any) -> str:
     return _DIALECT_URIS[uri]
 
 
+# vocabularies this engine implements (V/Core.pm:363-395 semantics: a
+# REQUIRED vocabulary the evaluator doesn't know must abort compilation;
+# optional unknown vocabularies are ignored)
+_KNOWN_VOCAB_URIS = {
+    f"https://json-schema.org/draft/{d}/vocab/{v}"
+    for d in ("2020-12", "2019-09")
+    for v in ("core", "applicator", "unevaluated", "validation",
+              "meta-data", "format-annotation", "format-assertion",
+              "format", "content")
+}
+
+
+def _check_vocabulary(spec: Any) -> None:
+    if not isinstance(spec, dict) or "$vocabulary" not in spec:
+        return
+    vocab = spec["$vocabulary"]
+    if not isinstance(vocab, dict) or not all(
+            isinstance(v, bool) for v in vocab.values()):
+        raise SpecError('"$vocabulary" value must be an object of boolean values')
+    for uri, required in vocab.items():
+        if required and uri not in _KNOWN_VOCAB_URIS:
+            raise SpecError(
+                f'EXCEPTION: required vocabulary "{uri}" is not supported')
+
+
 class _Ctx:
     def __init__(self, registry: SchemaRegistry, options: CompileOptions):
         self.registry = registry
@@ -368,6 +393,7 @@ class ColumnCompiler:
         self.ctx = _Ctx(self.registry, self.options)
         self.fingerprint = spec_fingerprint(spec)
         self.dialect = _detect_dialect(spec)
+        _check_vocabulary(spec)
 
     def compile(self) -> "CompiledPlan":
         root_target = Target(

@@ -73,6 +73,21 @@ def test_cli_exit_codes_and_output(cli_data):
     assert p2["violations"] == payload["violations"]
 
 
+def test_cli_output_format(cli_data):
+    d, table, spec_path, lib_path = cli_data
+    out_dir = str(d / "fmt")
+    r = _run_cli(["--spec", spec_path, "--add-schema", lib_path,
+                  "--table", table, "--output", out_dir,
+                  "--output-format", "basic"])
+    assert r.returncode == 1, r.stderr[-2000:]
+    payload = json.loads([ln for ln in r.stdout.splitlines()
+                          if ln.startswith("{")][-1])
+    # corrupt generator appends duplicate rows, so rows >= n requested
+    assert payload["valid"] is False and payload["output_format"] == "basic"
+    assert payload["rows"] >= 800
+    assert os.path.exists(os.path.join(out_dir, "results_basic"))
+
+
 def test_cli_flag_only_and_check_only(cli_data):
     d, table, spec_path, lib_path = cli_data
     r = _run_cli(["--spec", spec_path, "--add-schema", lib_path,

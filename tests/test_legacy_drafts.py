@@ -116,6 +116,19 @@ def test_unknown_dialect_rejected(spark):
             spark.createDataFrame([(1,)], "v bigint"), id_cols=[])
 
 
+def test_vocabulary_enforcement(spark):
+    """$vocabulary (V/Core.pm:363-395): unknown REQUIRED vocabulary aborts
+    compilation; optional unknown vocabularies are ignored."""
+    df = spark.createDataFrame([(1,)], "v bigint")
+    ok = {"$vocabulary": {
+        "https://json-schema.org/draft/2020-12/vocab/validation": True,
+        "https://example.org/custom": False}, "type": "object"}
+    assert Validator(ok).validate(df, id_cols=[]).flag() is True
+    bad = {"$vocabulary": {"https://example.org/custom": True}, "type": "object"}
+    with pytest.raises(SpecError, match="vocabulary"):
+        Validator(bad).validate(df, id_cols=[])
+
+
 def test_uneval_items_after_array_items(spark):
     """array-form items + additionalItems cover everything → a False
     unevaluatedItems never fires (2019-09 coverage semantics)."""
