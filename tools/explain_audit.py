@@ -127,6 +127,41 @@ def main() -> None:
           "PushedFilters" in pushed and "source" in
           "".join(ln for ln in pushed.splitlines() if "PushedFilters" in ln))
 
+    # 7. dedup joins must be EQUI-joins (bucketed), never a cross product —
+    #    the whole point of LSH banding / prefix filtering / SimHash
+    #    blocking is that no plan node multiplies the corpus by itself
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from json_schema_modern_spark.operators.dedup import (
+        minhash_lsh_candidates, ngram_jaccard_pairs, simhash_near_duplicates,
+    )
+
+    def no_cross(plan: str) -> bool:
+        return ("CartesianProduct" not in plan
+                and "BroadcastNestedLoopJoin" not in plan)
+
+    lsh_plan = explain_str(minhash_lsh_candidates(docs, num_hashes=32, bands=8))
+    check("dedup LSH: band join is equi (no cross product)", no_cross(lsh_plan))
+    pp_plan = explain_str(ngram_jaccard_pairs(docs, threshold=0.9))
+    check("dedup PPJoin: prefix join is equi (no cross product)", no_cross(pp_plan))
+    sh_plan = explain_str(simhash_near_duplicates(docs, max_hamming=3))
+    check("dedup SimHash: block join is equi (no cross product)", no_cross(sh_plan))
+
+    # 8. ANN: brute-force top-k must be per-partition top-k + merge
+    #    (TakeOrderedAndProject), never a global Sort of the corpus; the
+    #    LSH near-dup join must be bucket-equi
+    from json_schema_modern_spark.operators.similarity import (
+        cosine_topk, embedding_near_duplicates, query_vector,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk_plan = explain_str(cosine_topk(emb, query_vector(64, seed=42), k=10))
+    check("ANN top-k: TakeOrderedAndProject (no global sort)",
+          "TakeOrderedAndProject" in topk_plan)
+    nd_plan = explain_str(embedding_near_duplicates(emb, threshold=0.4,
+                                                    exact=False, n_planes=6))
+    check("ANN near-dup: LSH bucket join is equi (no cross product)",
+          no_cross(nd_plan))
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
