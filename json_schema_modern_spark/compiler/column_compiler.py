@@ -19,6 +19,16 @@ Mapping decisions (documented deviations from pure JSON-document semantics):
   (integer ⊂ number, and 2.0 is an integer — Utilities.pm:152-156).
 - Error message templates mirror the reference's E() call sites
   (V/Validation.pm, V/Applicator.pm) so violation rows are comparable.
+- Regex dialect (documented deviation, mirroring the reference's own
+  ECMA-262 deviations — t/zzz-acceptance-draft2020-12.t:49-63): data-plane
+  matching (`pattern`, `format`, map-column `patternProperties` /
+  `propertyNames`) uses JAVA regex via rlike; compile-time property-name
+  matching on struct targets (`patternProperties` / `additionalProperties`
+  complement over statically-known field names) uses PYTHON re.  The two
+  dialects agree on the common subset (literals, classes, anchors,
+  quantifiers, alternation); schemas relying on dialect-specific syntax
+  (inline flags, \\p classes, lookbehind variants) may behave differently
+  between a struct-typed and a map-typed object column.
 
 Violation rows carry the same three location fields the reference's
 ResultNode does (ResultNode.pm:27-96): instance_location (JSON pointer into
@@ -72,6 +82,10 @@ class CompileOptions:
     # compare number-looking strings numerically for range keywords
     # (reference: stringy_numbers, U.pm:255-261); off by default
     stringy_numbers: bool = False
+    # reject schemas containing keywords this engine doesn't recognize
+    # (reference: `strict` evaluator option, Modern.pm:104,817-820); off by
+    # default — unknown keywords are ignored like annotations
+    strict: bool = False
     # contract flag: array columns contain no null elements (the token-table
     # input_hint guarantees this by construction).  Spark file sources force
     # every schema nullable on read, so this cannot be derived from the
@@ -291,6 +305,19 @@ def _check_vocabulary(spec: Any) -> None:
                 f'EXCEPTION: required vocabulary "{uri}" is not supported')
 
 
+# every keyword the compiler dispatches (strict-mode vocabulary)
+_KNOWN_KEYWORDS = (
+    set(_APPLY_TO) | _METADATA_KEYWORDS | {
+        "$ref", "$dynamicRef", "$recursiveRef", "type", "enum", "const",
+        "multipleOf", "maximum", "exclusiveMaximum", "minimum",
+        "exclusiveMinimum", "maxLength", "minLength", "pattern",
+        "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+        "maxContains", "minContains", "additionalItems",
+        "x-unique", "x-ref", "x-drift",
+    }
+)
+
+
 class _Ctx:
     def __init__(self, registry: SchemaRegistry, options: CompileOptions):
         self.registry = registry
@@ -437,6 +464,14 @@ class ColumnCompiler:
         return f"{base}#{abs_ptr}" if abs_ptr else base
 
     def _object_schema(self, schema: dict, t: Target, kloc: str, base: str, abs_ptr: str) -> Compiled:
+        if self.options.strict:
+            unknown = sorted(k for k in schema
+                             if k not in _KNOWN_KEYWORDS and not k.startswith("x-"))
+            if unknown:
+                # reference strict mode (Modern.pm:817-820)
+                raise SpecError(
+                    f"unknown keyword{'s' if len(unknown) > 1 else ''} seen in "
+                    f"schema: {', '.join(unknown)}")
         # track $id scope changes for absolute keyword locations / ref bases
         if "$id" in schema:
             res = None

@@ -129,6 +129,21 @@ def test_vocabulary_enforcement(spark):
         Validator(bad).validate(df, id_cols=[])
 
 
+def test_strict_unknown_keyword(spark):
+    """strict mode rejects unknown keywords (Modern.pm:104,817-820);
+    default mode ignores them; x-* extension keywords always allowed."""
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    df = spark.createDataFrame([(1,)], "v bigint")
+    spec = {"type": "object", "properties": {"v": {"mnimum": 5}}}  # typo'd
+    assert Validator(spec).validate(df, id_cols=[]).flag() is True  # ignored
+    with pytest.raises(SpecError, match="unknown keyword"):
+        Validator(spec, CompileOptions(strict=True)).validate(df, id_cols=[])
+    ok = {"type": "object", "x-unique": ["v"]}
+    assert Validator(ok, CompileOptions(strict=True)) \
+        .validate(df, id_cols=[]).flag() is True
+
+
 def test_uneval_items_after_array_items(spark):
     """array-form items + additionalItems cover everything → a False
     unevaluatedItems never fires (2019-09 coverage semantics)."""
