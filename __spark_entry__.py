@@ -216,15 +216,20 @@ def _q_kw_nested_struct(spark, sf_dir):
 
 
 def _attrs_map(spark, sf_dir):
-    """events → open-properties map column: {'k': <props.k>, 'p_<type>':
-    floor(value), 'xtra': event_id%100 (only when event_id%7==0)}."""
+    """events → open-properties map column with a REALISTIC (~15%) dirty
+    rate: {'k': <props.k>, 'p_<type4>': floor(value),
+    'xtra': event_id%100 (when event_id%31==0),
+    'xl_<type>': 1 (when event_id%41==0 — an over-long undeclared key)}."""
     ev = _read(spark, sf_dir, "events")
     attrs = F.map_filter(
         F.create_map(
             F.lit("k"), F.get_json_object("props", "$.k").cast("long"),
-            F.concat(F.lit("p_"), F.col("event_type")), F.floor("value").cast("long"),
-            F.lit("xtra"), F.when(F.col("event_id") % 7 == 0,
+            F.concat(F.lit("p_"), F.substring("event_type", 1, 4)),
+            F.floor("value").cast("long"),
+            F.lit("xtra"), F.when(F.col("event_id") % 31 == 0,
                                   F.pmod("event_id", F.lit(100)).cast("long")),
+            F.concat(F.lit("xl_"), F.col("event_type")),
+            F.when(F.col("event_id") % 41 == 0, F.lit(1).cast("long")),
         ),
         lambda k, v: v.isNotNull(),
     )
@@ -239,7 +244,7 @@ def _q_kw_map_props(spark, sf_dir):
 
     spec = {"type": "object", "properties": {"attrs": {
         "properties": {"k": {"minimum": 10}},
-        "patternProperties": {"^p_": {"maximum": 80}},
+        "patternProperties": {"^p_": {"maximum": 420}},
         "additionalProperties": False,
         "propertyNames": {"maxLength": 7},
     }}}
@@ -1009,11 +1014,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM events WHERE CAST(props->>'k' AS BIGINT) > 90"
     )
     # map-column object keywords: replicate the derived attrs map
-    # ({'k', 'p_<event_type>', conditional 'xtra'}) in SQL
+    # ({'k', 'p_<type4>', conditional 'xtra', conditional 'xl_<type>'}) in SQL
     attrs_base = (
         "(SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val, "
-        "concat('p_', event_type) AS pkey, CAST(floor(value) AS BIGINT) AS p_val, "
-        "CASE WHEN event_id % 7 = 0 THEN event_id % 100 END AS xtra_val FROM events)"
+        "concat('p_', substr(event_type, 1, 4)) AS pkey, "
+        "CAST(floor(value) AS BIGINT) AS p_val, "
+        "CASE WHEN event_id % 31 = 0 THEN event_id % 100 END AS xtra_val, "
+        "CASE WHEN event_id % 41 = 0 THEN concat('xl_', event_type) END AS xl_key "
+        "FROM events)"
     )
     o["kw_map_props"] = " UNION ALL ".join([
         f"SELECT event_id, '/attrs/k' AS instance_location, "
@@ -1022,19 +1030,23 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(k_val AS VARCHAR) AS offending_value FROM {attrs_base} WHERE k_val < 10",
         f"SELECT event_id, concat('/attrs/', pkey), "
         f"'/properties/attrs/patternProperties/^p_/maximum', 'maximum', "
-        f"'value is greater than 80', CAST(p_val AS VARCHAR) FROM {attrs_base} WHERE p_val > 80",
+        f"'value is greater than 420', CAST(p_val AS VARCHAR) FROM {attrs_base} WHERE p_val > 420",
         f"SELECT event_id, '/attrs', '/properties/attrs/patternProperties', "
-        f"'patternProperties', 'not all properties are valid', NULL FROM {attrs_base} WHERE p_val > 80",
+        f"'patternProperties', 'not all properties are valid', NULL FROM {attrs_base} WHERE p_val > 420",
         f"SELECT event_id, '/attrs/xtra', '/properties/attrs/additionalProperties', "
         f"'', 'subschema is false', CAST(xtra_val AS VARCHAR) FROM {attrs_base} WHERE xtra_val IS NOT NULL",
+        f"SELECT event_id, concat('/attrs/', xl_key), '/properties/attrs/additionalProperties', "
+        f"'', 'subschema is false', '1' FROM {attrs_base} WHERE xl_key IS NOT NULL",
         f"SELECT event_id, '/attrs', '/properties/attrs/additionalProperties', "
         f"'additionalProperties', 'not all additional properties are valid', NULL "
-        f"FROM {attrs_base} WHERE xtra_val IS NOT NULL",
-        f"SELECT event_id, concat('/attrs/', pkey), "
+        f"FROM {attrs_base} WHERE xtra_val IS NOT NULL OR xl_key IS NOT NULL",
+        f"SELECT event_id, concat('/attrs/', xl_key), "
         f"'/properties/attrs/propertyNames/maxLength', 'maxLength', "
-        f"'length is greater than 7', pkey FROM {attrs_base} WHERE length(pkey) > 7",
+        f"'length is greater than 7', xl_key FROM {attrs_base} "
+        f"WHERE xl_key IS NOT NULL AND length(xl_key) > 7",
         f"SELECT event_id, '/attrs', '/properties/attrs/propertyNames', "
-        f"'propertyNames', 'not all property names are valid', NULL FROM {attrs_base} WHERE length(pkey) > 7",
+        f"'propertyNames', 'not all property names are valid', NULL FROM {attrs_base} "
+        f"WHERE xl_key IS NOT NULL AND length(xl_key) > 7",
     ])
     o["kw_uneval_props_map"] = " UNION ALL ".join([
         f"SELECT event_id, '/attrs/xtra' AS instance_location, "

@@ -110,9 +110,21 @@ def evaluate(schema: Any, instance: Any) -> bool:
                 if i < len(instance) and not evaluate(s, instance[i]):
                     return False
         if "items" in schema:
-            for x in instance[n_prefix:]:
-                if not evaluate(schema["items"], x):
-                    return False
+            items = schema["items"]
+            if isinstance(items, list):
+                # ≤2019-09 array form: positional + additionalItems rest
+                n_prefix = len(items)
+                for i, s in enumerate(items):
+                    if i < len(instance) and not evaluate(s, instance[i]):
+                        return False
+                if "additionalItems" in schema:
+                    for x in instance[n_prefix:]:
+                        if not evaluate(schema["additionalItems"], x):
+                            return False
+            else:
+                for x in instance[n_prefix:]:
+                    if not evaluate(items, x):
+                        return False
         if "contains" in schema or "minContains" in schema or "maxContains" in schema:
             c = schema.get("contains", True)
             matches = sum(1 for x in instance if evaluate(c, x))

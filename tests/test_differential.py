@@ -57,6 +57,15 @@ arr_schema = st.fixed_dictionaries({}, optional={
     "minContains": st.integers(0, 2),
 })
 
+# ≤2019-09 array-form items + additionalItems (compiled positionally under
+# a draft-07 $schema; fuzzed separately so the dialect gate stays exact)
+arr_schema_legacy = st.fixed_dictionaries({}, optional={
+    "minItems": st.integers(0, 3),
+    "maxItems": st.integers(0, 4),
+    "items": st.lists(num_schema, min_size=1, max_size=2),
+    "additionalItems": st.one_of(st.just(False), num_schema),
+})
+
 
 # open-properties MAP column: object keywords resolved per entry at
 # runtime (map_entries HOFs) — fuzzed against pyeval's dict semantics,
@@ -173,6 +182,25 @@ def test_spark_agrees_with_pyeval(spark_diff, spec, rows):
     assert got == want, f"spec={spec!r} rows={rows!r} spark={got} pyeval={want}"
     # dual-mode: flag() must agree with the row flags
     assert res.flag() == all(got)
+
+
+legacy_root = st.builds(
+    lambda a: {"$schema": "http://json-schema.org/draft-07/schema#",
+               "type": "object", "properties": {"arr": a}},
+    arr_schema_legacy,
+)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(spec=legacy_root, rows=st.lists(row, min_size=1, max_size=4))
+def test_spark_agrees_with_pyeval_legacy_items(spark_diff, spec, rows):
+    df = spark_diff.createDataFrame(
+        rows, "a bigint, s string, arr array<bigint>, m map<string,bigint>")
+    res = Validator(spec).validate(df, id_cols=[])
+    got = [r._valid for r in res.annotated.select("_valid").collect()]
+    want = [evaluate(spec, _instance(r)) for r in rows]
+    assert got == want, f"spec={spec!r} rows={rows!r} spark={got} pyeval={want}"
 
 
 @pytest.fixture(scope="module")
