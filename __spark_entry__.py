@@ -504,6 +504,13 @@ def _q_drift_pandas(spark, sf_dir):
         F.round(F.round("threshold", 9), 6).alias("threshold"), "drifted")
 
 
+def _q_drift_psi(spark, sf_dir):
+    from json_schema_modern_spark.operators.drift import psi_drift
+
+    df = _read(spark, sf_dir, "documents")
+    return psi_drift(df, "n_chars", "source", 0.0, 600.0, 30, threshold=0.2)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from json_schema_modern_spark.operators.dedup import exact_duplicates
 
@@ -590,6 +597,24 @@ def _q_text_langid(spark, sf_dir):
     from json_schema_modern_spark.operators.text import language_id
 
     return language_id(_read(spark, sf_dir, "documents"))
+
+
+def _q_text_langid_ngram(spark, sf_dir):
+    from json_schema_modern_spark.operators.text import language_id_ngram
+
+    return language_id_ngram(_read(spark, sf_dir, "documents"))
+
+
+def _q_text_winnow(spark, sf_dir):
+    """Winnowing fingerprints → prints shared by >1 distinct document
+    (rolling-hash document fingerprinting; shared print ⇔ shared ≥k-char
+    normalized run)."""
+    from json_schema_modern_spark.operators.text import winnowing_fingerprints
+
+    fp = winnowing_fingerprints(_dup_docs(spark, sf_dir))
+    return (fp.select("doc_id", F.explode("prints").alias("h"))
+            .groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") > 1))
 
 
 def _q_text_fingerprint(spark, sf_dir):
@@ -762,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_sortmerge_salted": _q_ref_sortmerge,
         "drift_ks_n_chars": _q_drift,
         "drift_ks_pandas": _q_drift_pandas,
+        "drift_psi": _q_drift_psi,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_ppjoin": _q_dedup_ppjoin,
@@ -771,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
+        "text_langid_ngram": _q_text_langid_ngram,
+        "text_winnow_shared": _q_text_winnow,
         "text_fingerprint": _q_text_fingerprint,
         "text_token_counts": _q_token_counts,
         "ann_bruteforce_topk": _q_ann_bruteforce,
@@ -1178,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["drift_ks_n_chars"] = _drift_oracle()
     o["drift_ks_pandas"] = _drift_pandas_oracle()
+    o["drift_psi"] = _psi_oracle()
     o["dedup_exact"] = (
         f"SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
         f"FROM {dup_docs} GROUP BY md5(text) HAVING count(*) > 1"
@@ -1200,6 +1229,8 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_bands"] = _minhash_oracle()
     o["text_quality"] = _quality_oracle()
     o["text_langid"] = _langid_oracle()
+    o["text_langid_ngram"] = _langid_ngram_oracle()
+    o["text_winnow_shared"] = _winnow_oracle(dup_docs)
     o["text_fingerprint"] = (
         "SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM ("
         f"SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp "
@@ -1284,6 +1315,44 @@ SELECT grp AS source, n_grp AS n_group, n_glob AS n_global,
        CAST(round(round({c} * sqrt((n_grp + n_glob)*1.0/(n_grp*n_glob)), 9), 6) AS DOUBLE) AS threshold,
        ks_d > {c} * sqrt((n_grp + n_glob)*1.0/(n_grp*n_glob)) AS drifted
 FROM stats
+"""
+
+
+def _psi_oracle() -> str:
+    """Population Stability Index per source vs pooled, 30 buckets over
+    [0,600], Laplace-smoothed; the cumulative-window trick keeps the
+    double summation in deterministic bucket order on both engines."""
+    return """
+WITH binned AS (
+  SELECT source AS grp,
+         CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 600 THEN 31
+              ELSE CAST(floor(n_chars/20.0) AS BIGINT) + 1 END AS bucket,
+         count(*) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+gtot AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS gcnt FROM binned GROUP BY 1),
+totals AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_grp FROM binned GROUP BY 1),
+nglob AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_glob FROM gtot),
+nb AS (SELECT count(*) AS n_buckets_seen FROM gtot),
+full_grid AS (
+  SELECT g.grp, gl.bucket, coalesce(b.cnt, 0) AS cnt, gl.gcnt
+  FROM (SELECT DISTINCT grp FROM binned) g
+  CROSS JOIN gtot gl
+  LEFT JOIN binned b ON b.grp = g.grp AND b.bucket = gl.bucket),
+terms AS (
+  SELECT f.grp, f.bucket, t.n_grp, n.n_glob,
+         ((f.cnt + 0.5) / (t.n_grp + 0.5 * nb.n_buckets_seen)
+          - (f.gcnt + 0.5) / (n.n_glob + 0.5 * nb.n_buckets_seen))
+         * ln(((f.cnt + 0.5) / (t.n_grp + 0.5 * nb.n_buckets_seen))
+              / ((f.gcnt + 0.5) / (n.n_glob + 0.5 * nb.n_buckets_seen))) AS term
+  FROM full_grid f JOIN totals t ON f.grp = t.grp CROSS JOIN nglob n CROSS JOIN nb),
+cum AS (
+  SELECT grp, bucket, n_grp, n_glob,
+         sum(term) OVER (PARTITION BY grp ORDER BY bucket) AS cpsi
+  FROM terms)
+SELECT grp AS source, n_grp AS n_group, n_glob AS n_global,
+       CAST(round(round(arg_max(cpsi, bucket), 9), 6) AS DOUBLE) AS psi,
+       arg_max(cpsi, bucket) > 0.2 AS drifted
+FROM cum GROUP BY 1, 2, 3
 """
 
 
@@ -1472,6 +1541,48 @@ SELECT doc_id, best.lang AS pred_lang, CAST(round(best.score, 6) AS DOUBLE) AS p
 FROM (
   SELECT doc_id, list_max({arr}) AS best
   FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM documents))
+"""
+
+
+def _langid_ngram_oracle() -> str:
+    from json_schema_modern_spark.operators.text import CHAR_NGRAM_PROFILES
+
+    struct_rows = []
+    for lang, grams in sorted(CHAR_NGRAM_PROFILES.items()):
+        hits = " + ".join(
+            "CASE WHEN contains(lower(text), '" + g.replace("'", "''") + "') THEN 1 ELSE 0 END"
+            for g in grams)
+        struct_rows.append(
+            "{'score': (" + hits + f") / {float(len(grams))!r}, 'lang': '{lang}'}}")
+    arr = "[" + ", ".join(struct_rows) + "]"
+    return f"""
+SELECT doc_id, best.lang AS pred_lang,
+       CAST(round(best.score, 6) AS DOUBLE) AS pred_score
+FROM (SELECT doc_id, list_max({arr}) AS best FROM documents)
+"""
+
+
+def _winnow_oracle(dup_docs: str) -> str:
+    """Recompute the winnowing selection (k=8, w=4) in SQL: md5-derived
+    60-bit hash per 8-gram of the normalized text, min per 4-hash window,
+    distinct per doc, then prints shared by >1 distinct doc."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+  FROM {dup_docs}),
+hs AS (
+  SELECT doc_id,
+         list_transform(range(1, length(t) - 8 + 2),
+           i -> CAST(concat('0x', substring(md5(substring(t, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)) AS h
+  FROM norm WHERE length(t) >= 8),
+sel AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+      i -> list_min(h[CAST(i AS INT):CAST(least(i + 3, len(h)) AS INT)])))) AS hh
+  FROM hs)
+SELECT hh AS h, count(DISTINCT doc_id) AS n_docs
+FROM sel GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
 """
 
 

@@ -106,6 +106,70 @@ def ks_drift(
     )
 
 
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 32,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """(group, n_group, n_global, psi, drifted) — Population Stability
+    Index per group vs the pooled distribution:
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    over fixed width_bucket bins with Laplace smoothing (+0.5 per bucket)
+    so empty buckets stay finite.  The conventional industry reading:
+    psi < 0.1 stable, 0.1–0.25 moderate, > 0.25 major shift; `drifted`
+    flags psi > threshold.  Same 100 TB shape as the binned KS check: the
+    shuffle carries ≤ |groups|×(B+2) rows regardless of input size."""
+    b = F.width_bucket(F.col(value_col).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
+    binned = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), b.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    glob = binned.groupBy("bucket").agg(F.sum("cnt").alias("gcnt"))
+    totals = binned.groupBy("grp").agg(F.sum("cnt").alias("n_grp"))
+    n_global = glob.agg(F.sum("gcnt").alias("n_glob"))
+    nb = glob.agg(F.count(F.lit(1)).alias("n_buckets_seen"))
+
+    full = (
+        binned.select("grp").distinct()
+        .crossJoin(F.broadcast(glob.select("bucket", "gcnt")))
+        .join(binned, ["grp", "bucket"], "left_outer")
+        .select("grp", "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"), "gcnt")
+    )
+    p = (F.col("cnt") + F.lit(0.5)) / (F.col("n_grp") + F.lit(0.5) * F.col("n_buckets_seen"))
+    q = (F.col("gcnt") + F.lit(0.5)) / (F.col("n_glob") + F.lit(0.5) * F.col("n_buckets_seen"))
+    term = (p - q) * F.log(p / q)
+    # cumulative window in bucket order, then take the last row: the
+    # double summation happens in a DETERMINISTIC sequential order (a
+    # plain groupBy-sum would add in shuffle-arrival order, and float
+    # addition isn't associative — the oracle hash would wobble)
+    wnd = Window.partitionBy("grp").orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        full.join(F.broadcast(totals), "grp")
+        .crossJoin(F.broadcast(n_global))
+        .crossJoin(F.broadcast(nb))
+        .select("grp", "bucket", "n_grp", "n_glob",
+                F.sum(term).over(wnd).alias("cpsi"))
+    )
+    stats = cum.groupBy("grp", "n_grp", "n_glob").agg(
+        F.max_by("cpsi", "bucket").alias("psi"))
+    return stats.select(
+        F.col("grp").alias(group_col),
+        F.col("n_grp").alias("n_group"),
+        F.col("n_glob").alias("n_global"),
+        F.round(F.round("psi", 9), 6).alias("psi"),
+        (F.col("psi") > threshold).alias("drifted"),
+    )
+
+
 def ks_drift_pandas(
     df: DataFrame,
     value_col: str,
@@ -144,6 +208,23 @@ def ks_drift_pandas(
 
     return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
         ks, schema=f"{group_col} string, n_group long, ks_d double, threshold double, drifted boolean"
+    )
+
+
+def psi_violations(psi_df: DataFrame, group_col: str, value_col: str,
+                   keyword_location: str = "/x-drift") -> DataFrame:
+    return psi_df.filter(F.col("drifted")).select(
+        F.lit(None).cast("string").alias("doc_id"),
+        F.concat(F.lit(f"/{value_col}")).alias("instance_location"),
+        F.lit(f"{keyword_location}/{value_col}").alias("keyword_location"),
+        F.lit(None).cast("string").alias("absolute_keyword_location"),
+        F.lit("x-drift").alias("keyword"),
+        F.concat(
+            F.lit(f"distribution of {value_col} for {group_col}="),
+            F.col(group_col).cast("string"),
+            F.lit(" shifted: PSI="), F.round("psi", 6).cast("string"),
+        ).alias("error"),
+        F.col(group_col).cast("string").alias("offending_value"),
     )
 
 

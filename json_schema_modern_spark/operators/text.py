@@ -6,6 +6,10 @@ scale.  Formulas are deliberately SQL-portable for oracle checking.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,6 +108,79 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         best.getField("lang").alias("pred_lang"),
         F.round(best.getField("score"), 6).alias("pred_score"),
     )
+
+
+# characteristic character n-grams per language (public linguistic
+# commonplace: frequent trigrams incl. word-boundary spaces; single chars
+# for zh).  Deliberately small so the score is a cheap profile-hit rate.
+CHAR_NGRAM_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", " an", "and", "ing", " of", "ion", "ent", " to"],
+    "es": [" de", "de ", " la", "os ", " qu", "que", " el", "ció", "ent", " en"],
+    "fr": [" de", "es ", " le", "ent", " qu", "que", "les", " la", "ion", " et"],
+    "de": ["en ", "er ", "ch ", " de", "der", "die", "sch", "ein", "ung", " un"],
+    "zh": ["的", "了", "是", "在", "我",
+           "有", "和", "就", "不", "人"],
+}
+
+
+def language_id_ngram(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, pred_lang, pred_score) — character-n-gram heuristic language ID.
+
+    score_lang = fraction of the language's characteristic n-grams that
+    occur in the lowercased text (profile-hit rate); argmax, ties broken by
+    struct comparison (score, then lang).  Pure codegen'd Column exprs —
+    each profile n-gram is one `contains`."""
+    t = F.lower(F.col(text_col))
+    scored = F.array(*[
+        F.struct(
+            (sum((t.contains(F.lit(g)).cast("int") for g in grams), F.lit(0))
+             / F.lit(float(len(grams)))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, grams in sorted(CHAR_NGRAM_PROFILES.items())
+    ])
+    best = F.array_max(scored)
+    return df.select(
+        F.col(id_col),
+        best.getField("lang").alias("pred_lang"),
+        F.round(best.getField("score"), 6).alias("pred_score"),
+    )
+
+
+def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8, w: int = 4) -> DataFrame:
+    """(id, prints array<long>) — winnowing document fingerprints
+    (Schleimer, Wilkerson & Aiken, SIGMOD'03): hash every k-gram of the
+    normalized text, slide a window of w consecutive hashes, keep each
+    window's minimum; the distinct selected hashes are the fingerprint set.
+    Two documents sharing any fingerprint share a ≥k-char run.
+
+    The per-gram hash is the 60-bit md5 digest (engine-portable — the
+    DuckDB oracle recomputes it) standing in for the incremental
+    Rabin-Karp polynomial: selection semantics are identical, and inside
+    the Arrow-batched pandas UDF the md5-per-gram cost is amortized over
+    the batch.  Normalization matches `fingerprint` exactly."""
+
+    @F.pandas_udf("array<long>")
+    def win_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            s = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip(" ")
+            if len(s) < k:
+                out.append([])
+                continue
+            hs = [int(hashlib.md5(s[i:i + k].encode("utf-8")).hexdigest()[:15], 16)
+                  for i in range(len(s) - k + 1)]
+            n_win = max(len(hs) - w + 1, 1)
+            sel = sorted({min(hs[i:i + w]) for i in range(n_win)})
+            out.append(sel)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), win_udf(F.col(text_col)).alias("prints"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

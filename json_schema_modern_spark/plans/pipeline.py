@@ -205,6 +205,19 @@ class ValidationPipeline:
                 continue
             for value_col, cfg in check.params["value"].items():
                 group_col = cfg.get("per", "source")
+                test = cfg.get("test", "ks")
+                if test == "psi":
+                    from json_schema_modern_spark.operators.drift import (
+                        psi_drift, psi_violations,
+                    )
+
+                    d = psi_drift(df, value_col, group_col, 0.0, self.drift_hi,
+                                  min(self.drift_bins, 64),
+                                  threshold=float(cfg.get("threshold", 0.2)))
+                    outs.append(psi_violations(
+                        d, group_col, value_col,
+                        keyword_location=check.keyword_location))
+                    continue
                 alpha = float(cfg.get("alpha", 0.01))
                 d = ks_drift(df, value_col, group_col, 0.0, self.drift_hi,
                              self.drift_bins, alpha=alpha)
