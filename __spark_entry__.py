@@ -662,6 +662,20 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, query_vector(64, seed=42), k=10, n_planes=6, multiprobe=1)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: coarse-quantizer cell pruning (nprobe nearest cells) then
+    exact cosine top-k — the inverted-file counterpart to the sign-LSH
+    path.  Seeded (untrained) cells so the oracle replicates them; the
+    trained k-means path (ivf_centroids) is unit-tested."""
+    from json_schema_modern_spark.operators.similarity import (
+        ivf_topk, query_vector, seed_centroids,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = seed_centroids(64, 8, seed=7)
+    return ivf_topk(emb, query_vector(64, seed=42), cents, k=10, nprobe=2)
+
+
 def _q_neardup_cosine(spark, sf_dir):
     from json_schema_modern_spark.operators.similarity import embedding_near_duplicates
 
@@ -804,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_lsh_buckets": _q_ann_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "neardup_cosine": _q_neardup_cosine,
         "neardup_cosine_lsh": _q_neardup_cosine_lsh,
         "media_resize_plan": _q_media_resize_plan,
@@ -1244,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
     o["ann_lsh_buckets"] = _lsh_bucket_oracle()
     o["neardup_cosine_lsh"] = _neardup_lsh_oracle()
     o["ann_lsh_topk"] = _ann_lsh_topk_oracle()
+    o["ann_ivf_topk"] = _ann_ivf_oracle()
     o["neardup_cosine"] = (
         "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "CAST(round(list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1]*x[2])) "
@@ -1644,6 +1660,37 @@ SELECT vec_id, sim FROM (
       / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) * {qn}), 6) AS DOUBLE) AS sim
   FROM embeddings
   WHERE {_lsh_bucket_sql_expr('embedding')} IN ({probe_list}))
+ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _ann_ivf_oracle() -> str:
+    import math
+
+    from json_schema_modern_spark.operators.similarity import (
+        query_vector, seed_centroids,
+    )
+
+    q = query_vector(64, seed=42)
+    cents = seed_centroids(64, 8, seed=7)
+    d2 = [(sum((a - b) ** 2 for a, b in zip(q, c)), i) for i, c in enumerate(cents)]
+    probe = sorted(i for _, i in sorted(d2)[:2])
+    dist_structs = []
+    for i, c in enumerate(cents):
+        clit = "[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]"
+        dist_structs.append(
+            "{'d': list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), "
+            + clit + "), x -> (x[1]-x[2])*(x[1]-x[2]))), 'i': " + str(i) + "}")
+    cell = "list_min([" + ", ".join(dist_structs) + "]).i"
+    qlit = "[" + ",".join(repr(x) for x in q) + "]::DOUBLE[]"
+    qn = repr(math.sqrt(sum(x * x for x in q)))
+    return f"""
+SELECT vec_id, sim FROM (
+  SELECT vec_id,
+    CAST(round(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), {qlit}), x -> x[1]*x[2]))
+      / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) * {qn}), 6) AS DOUBLE) AS sim
+  FROM embeddings
+  WHERE {cell} IN ({', '.join(str(p) for p in probe)}))
 ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 

@@ -113,6 +113,93 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    sample_mod: int = 10,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic coarse quantizer for IVF: Lloyd's k-means on a BOUNDED
+    deterministic sample (id % sample_mod == 0, collected driver-side —
+    at scale the modulus caps driver memory exactly like the drift
+    reference sample).  Init = the first k sample vectors in id order;
+    fixed iteration count; empty clusters keep their previous centroid.
+    Pure function of (data, parameters) ⇒ the DuckDB oracle re-derives
+    identical centroids through this same helper."""
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(id_col) % sample_mod == 0)
+        .select(id_col, vec_col).orderBy(id_col).collect()
+    )
+    x = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    k = min(n_centroids, len(x))
+    cent = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cent]
+
+
+def seed_centroids(dim: int, k: int, seed: int = 7, scale: float = 0.15) -> list[list[float]]:
+    """Untrained deterministic coarse-quantizer cells (seeded LCG vectors
+    scaled to the embedding range) — the oracle-portable IVF configuration;
+    `ivf_centroids` is the trained path."""
+    return [[v * scale for v in _lcg_floats(dim, seed + 7919 * i)] for i in range(k)]
+
+
+def ivf_assignment(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared-L2 argmin; ties → lowest
+    index via struct comparison)."""
+    scored = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(vec.cast("array<double>"),
+                           F.array(*[F.lit(float(v)) for v in c]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("d2"),
+            F.lit(i).alias("idx"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return F.array_min(scored).getField("idx")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: score only rows whose coarse-quantizer cell is among
+    the `nprobe` cells nearest the query.  At scale the assignment is a
+    partition key (write the table clustered by cell) so a probe reads
+    nprobe/n_centroids of the data; here the cell filter expresses the
+    same pruning."""
+    d2 = [(sum((a - b) ** 2 for a, b in zip(query, c)), i)
+          for i, c in enumerate(centroids)]
+    probe = [i for _, i in sorted(d2)[:nprobe]]
+    cell = ivf_assignment(F.col(vec_col), centroids)
+    return (
+        df.withColumn("_cell", cell)
+        .where(F.col("_cell").isin(probe))
+        .select(F.col(id_col),
+                F.round(cosine_to_query(F.col(vec_col), query), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
