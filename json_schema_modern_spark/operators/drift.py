@@ -61,12 +61,8 @@ def ks_drift(
     totals = binned.groupBy("grp").agg(F.sum("cnt").alias("n_grp"))
     n_global = glob.agg(F.sum("gcnt").alias("n_glob"))
 
-    # dense bucket × group grid so ECDF steps align even for empty buckets
-    grid = (
-        binned.join(F.broadcast(glob), "bucket", "right_outer")
-        .select("grp", "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"), "gcnt")
-    )
-    # fill missing (grp,bucket) combinations: cross groups × buckets
+    # dense bucket × group grid so ECDF steps align even for empty buckets:
+    # cross groups × observed buckets, left-join the group counts back
     groups = binned.select("grp").distinct()
     full = (
         groups.crossJoin(F.broadcast(glob.select("bucket", "gcnt")))
