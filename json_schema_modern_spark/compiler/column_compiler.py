@@ -414,13 +414,14 @@ class ColumnCompiler:
     ):
         self.options = options or CompileOptions()
         self.registry = registry or SchemaRegistry()
-        self.root_uri = self.registry.add_schema(spec, "")
+        self.dialect = _detect_dialect(spec)
+        _check_vocabulary(spec)
+        self.root_uri = self.registry.add_schema(
+            spec, "", legacy_id=(self.dialect == "4"))
         self.spec = spec
         self.df_schema = df_schema
         self.ctx = _Ctx(self.registry, self.options)
         self.fingerprint = spec_fingerprint(spec)
-        self.dialect = _detect_dialect(spec)
-        _check_vocabulary(spec)
 
     def compile(self) -> "CompiledPlan":
         root_target = Target(

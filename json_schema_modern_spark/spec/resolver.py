@@ -86,8 +86,14 @@ class SchemaRegistry:
     dynamic_anchors: dict[tuple[str, str], Resource] = field(default_factory=dict)
     roots: dict[str, Any] = field(default_factory=dict)
 
-    def add_schema(self, schema: Any, default_uri: str = "") -> str:
-        """Register a schema document; returns its canonical root URI."""
+    def add_schema(self, schema: Any, default_uri: str = "",
+                   legacy_id: bool = False) -> str:
+        """Register a schema document; returns its canonical root URI.
+
+        ``legacy_id=True`` (draft4 dialect) additionally honors the plain
+        ``id`` keyword as a base-URI declaration (V/Core.pm legacy list) —
+        gated on the dialect so a modern schema carrying an unrelated
+        ``id`` member is unaffected."""
         if isinstance(schema, bool):
             root_uri = default_uri
             self.roots[root_uri] = schema
@@ -96,12 +102,14 @@ class SchemaRegistry:
         if not isinstance(schema, dict):
             raise SpecError(f"schema must be object or boolean, got {type(schema).__name__}")
         root_id = schema.get("$id")
+        if root_id is None and legacy_id and isinstance(schema.get("id"), str):
+            root_id = schema["id"]
         root_uri = urljoin(default_uri, root_id) if root_id else default_uri
         root_uri, frag = urldefrag(root_uri)
         if frag:
             raise SpecError("root $id must not carry a fragment")
         self.roots[root_uri] = schema
-        self._walk(schema, base_uri=root_uri, pointer="")
+        self._walk(schema, base_uri=root_uri, pointer="", legacy_id=legacy_id)
         return root_uri
 
     def _register(self, uri: str, res: Resource) -> None:
@@ -109,15 +117,17 @@ class SchemaRegistry:
             raise SpecError(f"duplicate canonical URI: {uri!r}")
         self.resources[uri] = res
 
-    def _walk(self, node: Any, base_uri: str, pointer: str) -> None:
+    def _walk(self, node: Any, base_uri: str, pointer: str,
+              legacy_id: bool = False) -> None:
         if isinstance(node, bool):
             return
         if not isinstance(node, dict):
             raise SpecError(f"invalid subschema at {pointer or '/'}: not object/boolean")
 
         this_base = base_uri
-        if "$id" in node:
-            v = node["$id"]
+        has_id = "$id" in node or (legacy_id and isinstance(node.get("id"), str))
+        if has_id:
+            v = node["$id"] if "$id" in node else node["id"]
             if not isinstance(v, str):
                 raise SpecError(f"$id at {pointer or '/'} is not a string")
             new_uri, frag = urldefrag(urljoin(base_uri, v))
@@ -144,16 +154,17 @@ class SchemaRegistry:
         for kw, val in node.items():
             p = f"{pointer}/{json_pointer_escape(kw)}"
             if kw in _SUBSCHEMA_KEYWORDS and (isinstance(val, (dict, bool))):
-                self._walk(val, this_base, p)
+                self._walk(val, this_base, p, legacy_id)
             elif kw == "items" and isinstance(val, list):  # pre-2020-12 array form
                 for i, sub in enumerate(val):
-                    self._walk(sub, this_base, f"{p}/{i}")
+                    self._walk(sub, this_base, f"{p}/{i}", legacy_id)
             elif kw in _SUBSCHEMA_LIST_KEYWORDS and isinstance(val, list):
                 for i, sub in enumerate(val):
-                    self._walk(sub, this_base, f"{p}/{i}")
+                    self._walk(sub, this_base, f"{p}/{i}", legacy_id)
             elif kw in _SUBSCHEMA_MAP_KEYWORDS and isinstance(val, dict):
                 for name, sub in val.items():
-                    self._walk(sub, this_base, f"{p}/{json_pointer_escape(name)}")
+                    self._walk(sub, this_base, f"{p}/{json_pointer_escape(name)}",
+                               legacy_id)
 
     # -- resolution -------------------------------------------------------
 

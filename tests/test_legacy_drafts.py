@@ -116,6 +116,20 @@ def test_unknown_dialect_rejected(spark):
             spark.createDataFrame([(1,)], "v bigint"), id_cols=[])
 
 
+def test_draft4_legacy_id_resolution(spark):
+    """draft4 `id` declares a resource base like `$id` (legacy Core list);
+    only honored under the draft4 dialect so a modern schema with an `id`
+    member is unaffected."""
+    spec = {"$schema": D4, "type": "object",
+            "definitions": {"pos": {"id": "https://ex.org/pos",
+                                    "minimum": 0}},
+            "properties": {"v": {"$ref": "https://ex.org/pos"}}}
+    df = spark.createDataFrame([(5,), (-2,)], "v bigint")
+    rows = Validator(spec).validate(df, id_cols=["v"]).violations.collect()
+    assert [r.v for r in rows] == [-2]
+    assert rows[0].keyword_location == "/properties/v/$ref/minimum"
+
+
 def test_vocabulary_enforcement(spark):
     """$vocabulary (V/Core.pm:363-395): unknown REQUIRED vocabulary aborts
     compilation; optional unknown vocabularies are ignored."""
