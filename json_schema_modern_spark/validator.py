@@ -125,6 +125,31 @@ class ValidationResult:
             .otherwise(F.concat_ws("\n", F.array_distinct(lines)))
         return self.annotated.select(*self.id_cols, doc.alias("result"))
 
+    def recommended_response(self) -> DataFrame:
+        """(id..., status, reason) per row — the reference's
+        recommended_response HTTP tuple (Result.pm:81-96): 200/'OK' for a
+        valid row, 500/'Internal Server Error' when the row carries an
+        exception-style violation, else 400/<first error stringified>
+        ('<instance_location>': <error>, Error.pm:56-60; 'first' = the
+        smallest (instance_location, keyword_location) pair for a
+        deterministic pick where the reference takes evaluation order)."""
+        first = F.array_min(F.transform(
+            F.col("_viols"),
+            lambda v: F.struct(
+                v["instance_location"].alias("il"),
+                v["keyword_location"].alias("kl"),
+                v["error"].alias("err"),
+            ),
+        ))
+        has_exc = F.exists(F.col("_viols"), lambda v: v["error"].startswith("EXCEPTION"))
+        status = F.when(F.col("_valid"), F.lit(200)) \
+            .when(has_exc, F.lit(500)).otherwise(F.lit(400))
+        reason = F.when(F.col("_valid"), F.lit("OK")) \
+            .when(has_exc, F.lit("Internal Server Error")) \
+            .otherwise(F.concat(F.lit("'"), first["il"], F.lit("': "), first["err"]))
+        return self.annotated.select(*self.id_cols, status.alias("status"),
+                                     reason.alias("reason"))
+
     def partition_results(self) -> DataFrame:
         """Per-partition pass/fail rollup (partition_id, valid, doc_count,
         error_count) — the north-rule per-partition output."""

@@ -57,6 +57,19 @@ def test_data_only_output(spark):
     assert docs[1].count("\n") == 1
 
 
+def test_recommended_response(spark):
+    spec = {"type": "object", "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 10}}}
+    df = spark.createDataFrame(
+        [(1, '{"k": 42}'), (2, '{"k": 3}'), (3, 'not json')],
+        "rid int, payload string")
+    res = Validator(spec).validate_json_strings(df, "payload", id_cols=["rid"])
+    out = {r.rid: (r.status, r.reason) for r in res.recommended_response().collect()}
+    assert out[1] == (200, "OK")
+    assert out[2] == (400, "'/k': value is less than 10")
+    assert out[3] == (500, "Internal Server Error")
+
+
 def test_apply_defaults(spark):
     spec = {"type": "object", "properties": {
         "lang": {"type": "string", "default": "en"},
