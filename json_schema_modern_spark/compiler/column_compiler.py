@@ -305,6 +305,62 @@ def _check_vocabulary(spec: Any) -> None:
                 f'EXCEPTION: required vocabulary "{uri}" is not supported')
 
 
+def _shape_check(schema: dict, kloc: str, dialect: str) -> None:
+    """Traverse-phase keyword type checks (the reference's
+    assert_keyword_type layer, U.pm:866-869 / V/Validation.pm traverse
+    subs): malformed specs fail compilation with the reference's message
+    shape instead of surfacing as downstream expression errors."""
+    def err(kw: str, what: str) -> None:
+        n = "n" if what[0] in "aeiou" else ""
+        raise SpecError(f"{kw} value is not a{n} {what}"
+                        + (f" (at {kloc})" if kloc else ""))
+
+    def is_num(v) -> bool:
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+    for kw in ("maximum", "minimum", "exclusiveMaximum", "exclusiveMinimum"):
+        v = schema.get(kw)
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            if dialect != "4" or kw in ("maximum", "minimum"):
+                err(kw, "number")
+        elif not is_num(v):
+            err(kw, "number")
+    for kw in ("maxLength", "minLength", "maxItems", "minItems",
+               "maxProperties", "minProperties", "maxContains", "minContains"):
+        if kw in schema and (not isinstance(schema[kw], int)
+                             or isinstance(schema[kw], bool) or schema[kw] < 0):
+            err(kw, "non-negative integer")
+    for kw in ("pattern", "format", "contentEncoding", "contentMediaType",
+               "$ref", "$dynamicRef", "$anchor", "$dynamicAnchor"):
+        if kw in schema and not isinstance(schema[kw], str):
+            err(kw, "string")
+    if "enum" in schema and not isinstance(schema["enum"], list):
+        err("enum", "array")
+    if "uniqueItems" in schema and not isinstance(schema["uniqueItems"], bool):
+        err("uniqueItems", "boolean")
+    if "required" in schema and (not isinstance(schema["required"], list)
+                                 or any(not isinstance(x, str) for x in schema["required"])):
+        err("required", "array of strings")
+    if "dependentRequired" in schema and (
+            not isinstance(schema["dependentRequired"], dict)
+            or any(not isinstance(v, list)
+                   or any(not isinstance(x, str) for x in v)
+                   for v in schema["dependentRequired"].values())):
+        err("dependentRequired", "object of arrays of strings")
+    for kw in ("properties", "patternProperties", "dependentSchemas",
+               "$defs", "definitions"):
+        if kw in schema and not isinstance(schema[kw], dict):
+            err(kw, "object")
+    for kw in ("allOf", "anyOf", "oneOf"):
+        if kw in schema and (not isinstance(schema[kw], list) or not schema[kw]):
+            err(kw, "non-empty array")
+    if "prefixItems" in schema and (not isinstance(schema["prefixItems"], list)
+                                    or not schema["prefixItems"]):
+        err("prefixItems", "non-empty array")
+
+
 # every keyword the compiler dispatches (strict-mode vocabulary)
 _KNOWN_KEYWORDS = (
     set(_APPLY_TO) | _METADATA_KEYWORDS | {
@@ -465,6 +521,7 @@ class ColumnCompiler:
         return f"{base}#{abs_ptr}" if abs_ptr else base
 
     def _object_schema(self, schema: dict, t: Target, kloc: str, base: str, abs_ptr: str) -> Compiled:
+        _shape_check(schema, kloc, self.dialect)
         if self.options.strict:
             unknown = sorted(k for k in schema
                              if k not in _KNOWN_KEYWORDS and not k.startswith("x-"))

@@ -143,6 +143,27 @@ def test_vocabulary_enforcement(spark):
         Validator(bad).validate(df, id_cols=[])
 
 
+def test_traverse_shape_errors(spark):
+    """Malformed keyword values fail at compile with the reference's
+    assert_keyword_type message shape (U.pm:866-869), not as downstream
+    expression errors."""
+    df = spark.createDataFrame([(1,)], "v bigint")
+    bad = [
+        ({"properties": {"v": {"minLength": -1}}}, "non-negative integer"),
+        ({"properties": {"v": {"minLength": "3"}}}, "non-negative integer"),
+        ({"properties": {"v": {"maximum": "10"}}}, "number"),
+        ({"properties": {"v": {"pattern": 5}}}, "string"),
+        ({"properties": {"v": {"enum": "abc"}}}, "array"),
+        ({"required": "v"}, "array of strings"),
+        ({"properties": {"v": {"anyOf": []}}}, "non-empty array"),
+        ({"properties": "nope"}, "object"),
+        ({"dependentRequired": {"v": [1]}}, "object of arrays"),
+    ]
+    for spec, frag in bad:
+        with pytest.raises(SpecError, match=frag.split()[0]):
+            Validator({"type": "object", **spec}).validate(df, id_cols=[])
+
+
 def test_strict_unknown_keyword(spark):
     """strict mode rejects unknown keywords (Modern.pm:104,817-820);
     default mode ignores them; x-* extension keywords always allowed."""
