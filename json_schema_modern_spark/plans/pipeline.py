@@ -322,6 +322,12 @@ class ValidationPipeline:
                 os.path.join(self.workdir, "histogram"))
         part_res.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.workdir, "partition_results"))
+        # per-keyword violation rollup — the "which checks fire, how often"
+        # metrics table (tiny: ≤ #keyword-locations rows)
+        all_viols.groupBy("keyword", "keyword_location") \
+            .agg(F.count(F.lit(1)).alias("n_violations")) \
+            .coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.workdir, "violation_counts"))
         _write_manifest(self.workdir, run_id, snapshot_id, fingerprint, self.n_buckets)
         return PipelineResult(
             run_id=run_id, violations=all_viols, stats=stats, histogram=hist,

@@ -79,8 +79,11 @@ def test_metrics_tables_persisted(spark, corrupt, tmp_path):
     pipe = ValidationPipeline(SPEC, workdir=wd, n_buckets=4)
     pipe.run(spark, corrupt, source_dict=source_dict_df(spark), snapshot_id="s1")
     for name in ("violations", "lineage", "stats", "histogram",
-                 "partition_results", "run_manifest.json"):
+                 "partition_results", "violation_counts", "run_manifest.json"):
         assert os.path.exists(os.path.join(wd, name)), name
+    vc = spark.read.parquet(os.path.join(wd, "violation_counts"))
+    rollup = {r.keyword: r.n_violations for r in vc.collect()}
+    assert rollup.get("x-unique", 0) > 0 and rollup.get("x-ref", 0) > 0
     stats = spark.read.parquet(os.path.join(wd, "stats"))
     assert {r.column for r in stats.collect()} == {"doc_id", "n_tok", "source"}
     pr = spark.read.parquet(os.path.join(wd, "partition_results"))
