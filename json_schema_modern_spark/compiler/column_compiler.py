@@ -773,7 +773,9 @@ class ColumnCompiler:
 
         has_contains = "contains" in schema and applies("contains")
         if has_contains or (("minContains" in schema or "maxContains" in schema) and jt == "array"):
-            add(self._contains_kw(schema, t, kloc, base, abs_ptr))
+            c = self._contains_kw(schema, t, kloc, base, abs_ptr)
+            add(c)
+            adopt(c, None)   # element-predicate coverage for unevaluatedItems
 
         # ---- object keywords ---------------------------------------------
         if "required" in schema and applies("required"):
@@ -1035,17 +1037,37 @@ class ColumnCompiler:
                     if g is not None and isinstance(p, int):
                         n_cov = F.greatest(n_cov, F.when(F.coalesce(g, F.lit(False)),
                                                          F.lit(p)).otherwise(F.lit(0)))
+                # element-predicate coverage: contains' matched elements
+                # count as evaluated (reference matched-index annotations)
+                epreds = [(g, p[1]) for g, p in cov_items
+                          if isinstance(p, tuple) and p[0] == "epred"]
                 arr = t.value_col()
-                rest = F.slice(arr, n_cov + 1, F.greatest(F.size(arr) - n_cov, F.lit(0)))
                 et = t.dtype.elementType
-                ok_inner = self._items_ok_peephole(s, t.dtype, rest)
-                if ok_inner is None:
-                    def _uneval_pred(x: Column) -> Column:
+                if not epreds:
+                    rest = F.slice(arr, n_cov + 1, F.greatest(F.size(arr) - n_cov, F.lit(0)))
+                    ok_inner = self._items_ok_peephole(s, t.dtype, rest)
+                    if ok_inner is None:
+                        def _uneval_pred(x: Column) -> Column:
+                            elem = Target(col=x, dtype=et, ptr=t.ptr, present=F.lit(True),
+                                          null_is_value=True)
+                            return self._node(s, elem, f"{kloc}/unevaluatedItems",
+                                              base, f"{abs_ptr}/unevaluatedItems").ok
+                        ok_inner = F.forall(rest, _uneval_pred)
+                else:
+                    def _uneval_elem_ok(x: Column, i: Column) -> Column:
                         elem = Target(col=x, dtype=et, ptr=t.ptr, present=F.lit(True),
                                       null_is_value=True)
-                        return self._node(s, elem, f"{kloc}/unevaluatedItems",
-                                          base, f"{abs_ptr}/unevaluatedItems").ok
-                    ok_inner = F.forall(rest, _uneval_pred)
+                        covered = i < n_cov
+                        for g, es in epreds:
+                            m = self._node(es, elem, f"{kloc}/contains",
+                                           base, f"{abs_ptr}/contains").ok
+                            covered = covered | (
+                                m if g is None else F.coalesce(g, F.lit(False)) & m)
+                        return covered | self._node(
+                            s, elem, f"{kloc}/unevaluatedItems",
+                            base, f"{abs_ptr}/unevaluatedItems").ok
+                    ok_inner = F.forall(
+                        F.transform(arr, _uneval_elem_ok), lambda b: b)
                 ok = F.when(~t.present | all_cov, F.lit(True)) \
                     .otherwise(F.coalesce(ok_inner, F.lit(True)))
                 add(Compiled(ok=ok, viols=[_viol(
@@ -1443,6 +1465,7 @@ class ColumnCompiler:
         def loc(kw: str) -> tuple[str, str]:
             return f"{kloc}/{kw}", self._akloc(base, f"{abs_ptr}/{kw}")
 
+        cov_items: list = []
         if "contains" in schema:
             if min_c == 0:
                 ok = F.lit(True)
@@ -1452,6 +1475,12 @@ class ColumnCompiler:
             kp, ap = loc("contains")
             out_viols.append(_viol(ok, t.ptr, kp, ap, "contains",
                                    "subschema is not valid against any item", F.lit(None).cast("string")))
+            # matching ELEMENTS count as evaluated for unevaluatedItems
+            # (the reference's matched-index annotation,
+            # V/Applicator.pm:360-381 + V/Unevaluated.pm:41-98), guarded on
+            # the contains keyword succeeding (failed-subschema annotations
+            # are discarded)
+            cov_items.append((ok, ("epred", contains_schema)))
         if max_c is not None:
             ok = F.when(t.present, matches <= max_c).otherwise(F.lit(True))
             out_oks.append(ok)
@@ -1469,7 +1498,7 @@ class ColumnCompiler:
         ok_all = F.lit(True)
         for o in out_oks:
             ok_all = ok_all & o
-        return Compiled(ok=ok_all, viols=out_viols)
+        return Compiled(ok=ok_all, viols=out_viols, cov_items=cov_items)
 
 
 @dataclass

@@ -132,6 +132,29 @@ GROUPS = [
      {"items": {"minimum": 0}, "unevaluatedItems": False},
      [([0, 99], True, None),
       ([-1], False, {("/v/0", "/properties/v/items/minimum")})]),
+    ("uneval_items_contains", "array<long>",
+     # matched elements count as evaluated (reference matched-index
+     # annotations, V/Applicator.pm:360-381 + V/Unevaluated.pm:41-98)
+     {"contains": {"minimum": 10}, "unevaluatedItems": {"maximum": 0}},
+     [([10, -5], True, None),        # 10 contains-covered, -5 passes uneval
+      ([10, 5], False, {("/v", "/properties/v/unevaluatedItems")}),
+      ([10], True, None),
+      ([1], False, {("/v", "/properties/v/contains"),   # contains failed →
+                    ("/v", "/properties/v/unevaluatedItems")}),  # nothing covered
+      ([], False, {("/v", "/properties/v/contains")})]),
+    ("uneval_items_contains_min0", "array<long>",
+     # minContains:0 ⇒ contains always succeeds; only MATCHING elements
+     # are covered
+     {"contains": {"minimum": 10}, "minContains": 0,
+      "unevaluatedItems": {"maximum": 0}},
+     [([-5], True, None), ([10, -1], True, None),
+      ([5], False, {("/v", "/properties/v/unevaluatedItems")})]),
+    ("uneval_items_prefix_and_contains", "array<long>",
+     {"prefixItems": [{"minimum": 0}], "contains": {"minimum": 10},
+      "unevaluatedItems": False},
+     [([5, 10], True, None),         # idx0 prefix-covered, idx1 contains-covered
+      ([5, 10, 3], False, {("/v", "/properties/v/unevaluatedItems")}),
+      ([5, 10, 11], True, None)]),   # 11 also matches contains → covered
     ("uneval_items_anyof_coverage", "array<long>",
      # index 1 is covered ONLY when the second anyOf branch succeeds —
      # runtime-annotation semantics (V/Unevaluated.pm:41-98) reproduced
