@@ -380,6 +380,13 @@ class _Ctx:
         self.options = options
         self.set_checks: list[SetCheck] = []
         self.depth = 0
+        # compile-time dynamic scope: the chain of schema resources entered
+        # while expanding, outermost first.  Because the compiler INLINES
+        # subschemas, this chain at each $dynamicRef site is exactly the
+        # runtime dynamic scope the reference maintains (Modern.pm
+        # dynamic_scope pushes, Vocabulary.pm:76-94) — so dynamic-anchor
+        # resolution here is fully faithful, not a static approximation.
+        self.dynamic_scope: list[str] = []
 
 
 def _num_str(v: Any) -> str:
@@ -540,6 +547,18 @@ class ColumnCompiler:
             if res is not None and res.node is schema:
                 base, abs_ptr = res.canonical_uri, ""
 
+        scope_pushed = False
+        if not self.ctx.dynamic_scope or self.ctx.dynamic_scope[-1] != base:
+            self.ctx.dynamic_scope.append(base)
+            scope_pushed = True
+        try:
+            return self._object_schema_body(schema, t, kloc, base, abs_ptr)
+        finally:
+            if scope_pushed:
+                self.ctx.dynamic_scope.pop()
+
+    def _object_schema_body(self, schema: dict, t: Target, kloc: str,
+                            base: str, abs_ptr: str) -> Compiled:
         oks: list[Column] = []
         viols: list[Column] = []
         jt = t.json_type()
@@ -596,21 +615,37 @@ class ColumnCompiler:
             add(child)
             adopt(child, child.ok)
         if "$dynamicRef" in schema:
-            # static fallback: resolve like $ref (correct whenever the
-            # dynamic scope introduces no overriding $dynamicAnchor — the
-            # column backend rejects genuinely dynamic cases at compile)
-            res = self.registry.resolve(schema["$dynamicRef"], base)
+            # full dynamic-scope semantics (V/Core.pm:327-361): resolve
+            # like $ref first; if the landing spot carries the matching
+            # $dynamicAnchor, re-resolve through the dynamic scope with the
+            # OUTERMOST declaration winning.  The compiler's inlining chain
+            # is the runtime dynamic scope, so this is exact.
+            from urllib.parse import urldefrag, urljoin
+
+            ref = schema["$dynamicRef"]
+            res = self.registry.resolve(ref, base)
+            _, frag = urldefrag(urljoin(base, ref))
+            if frag and not frag.startswith("/") and isinstance(res.node, dict) \
+                    and res.node.get("$dynamicAnchor") == frag:
+                dyn = self.registry.resolve_dynamic(frag, self.ctx.dynamic_scope)
+                if dyn is not None:
+                    res = dyn
             child = self._node(res.node, t, kloc=f"{kloc}/$dynamicRef", base=res.base_uri, abs_ptr="")
             add(child)
+            adopt(child, child.ok)
         if "$recursiveRef" in schema:
-            # 2019-09 predecessor of $dynamicRef (V/Core.pm:262-279): value
-            # must be "#"; static fallback resolves to the current base
-            # root — correct whenever no outer $recursiveAnchor overrides
-            # (genuinely recursive data can't occur in a typed DataFrame,
-            # so the compile-time depth bound closes the recursion)
+            # 2019-09 predecessor (V/Core.pm:262-279): value must be "#";
+            # lands on the current base root, then re-resolves to the
+            # OUTERMOST dynamic-scope resource declaring
+            # $recursiveAnchor: true — iff the landing root also does
             if schema["$recursiveRef"] != "#":
                 raise SpecError('"$recursiveRef" value must be "#"')
             res = self.registry.resolve("#", base)
+            if isinstance(res.node, dict) and res.node.get("$recursiveAnchor") is True:
+                for outer in self.ctx.dynamic_scope:
+                    if outer in self.registry.recursive_anchors:
+                        res = self.registry.resources[outer]
+                        break
             child = self._node(res.node, t, kloc=f"{kloc}/$recursiveRef",
                                base=res.base_uri, abs_ptr="")
             add(child)

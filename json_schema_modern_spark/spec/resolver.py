@@ -84,6 +84,8 @@ class SchemaRegistry:
     resources: dict[str, Resource] = field(default_factory=dict)
     anchors: dict[tuple[str, str], Resource] = field(default_factory=dict)
     dynamic_anchors: dict[tuple[str, str], Resource] = field(default_factory=dict)
+    # base URIs of resources declaring `$recursiveAnchor: true` (2019-09)
+    recursive_anchors: set[str] = field(default_factory=set)
     roots: dict[str, Any] = field(default_factory=dict)
 
     def add_schema(self, schema: Any, default_uri: str = "",
@@ -137,6 +139,9 @@ class SchemaRegistry:
             self._register(new_uri, Resource(node, new_uri, new_uri, pointer))
         elif pointer == "":
             self._register(base_uri, Resource(node, base_uri, base_uri, ""))
+
+        if node.get("$recursiveAnchor") is True:
+            self.recursive_anchors.add(this_base)
 
         for kw, table in (("$anchor", self.anchors), ("$dynamicAnchor", self.dynamic_anchors)):
             if kw in node:

@@ -101,6 +101,54 @@ def test_recursive_ref_static_fallback(spark):
     assert ("/child/v", "/properties/child/$recursiveRef/properties/v/minimum") in locs
 
 
+def test_dynamic_ref_scope_override(spark):
+    """The generic-list pattern: an OUTER $dynamicAnchor overrides the
+    referenced resource's default through the dynamic scope
+    (V/Core.pm:327-361) — the compile-time inlining chain reproduces the
+    runtime scope exactly."""
+    spec = {
+        "$id": "https://ex.org/strict-list",
+        "$defs": {
+            "list": {"$id": "https://ex.org/list",
+                     "type": "object",
+                     "properties": {"v": {"$dynamicRef": "#T"}},
+                     "$defs": {"default-T": {"$dynamicAnchor": "T"}}},
+            "strict-T": {"$dynamicAnchor": "T", "maximum": 5},
+        },
+        "$ref": "https://ex.org/list",
+    }
+    df = spark.createDataFrame([(3,), (9,)], "v bigint")
+    rows = Validator(spec).validate(df, id_cols=["v"]).violations.collect()
+    assert [r.v for r in rows] == [9]          # outer T (maximum 5) won
+    assert rows[0].keyword_location == "/$ref/properties/v/$dynamicRef/maximum"
+
+
+def test_recursive_ref_outer_override(spark):
+    """2019-09 $recursiveRef: the OUTERMOST $recursiveAnchor: true resource
+    in scope wins (V/Core.pm:308-325)."""
+    spec = {
+        "$schema": D2019, "$id": "https://ex.org/outer",
+        "$recursiveAnchor": True,
+        "properties": {"extra": {"minimum": 100}},
+        "$ref": "https://ex.org/inner",
+        "$defs": {"inner": {"$id": "https://ex.org/inner",
+                            "$recursiveAnchor": True,
+                            "type": "object",
+                            "properties": {"child": {"$recursiveRef": "#"}}}},
+    }
+    df = spark.createDataFrame(
+        [(150, (50, None)), (150, (120, None))],
+        "extra bigint, child struct<extra: bigint, child: string>")
+    res = Validator(spec).validate(df, id_cols=[])
+    rows = res.violations.collect()
+    # child.extra validated against the OUTER root's minimum 100
+    locs = {(r.instance_location, r.keyword_location) for r in rows}
+    assert ("/child/extra",
+            "/$ref/properties/child/$recursiveRef/properties/extra/minimum") in locs
+    flags = [r._valid for r in res.annotated.select("_valid").collect()]
+    assert flags == [False, True]
+
+
 def test_recursive_ref_bad_value(spark):
     spec = {"$schema": D2019, "type": "object",
             "properties": {"v": {"$recursiveRef": "#/other"}}}
