@@ -197,17 +197,24 @@ def ngram_jaccard_pairs(
         # ≈(1-t)² of the pair blow-up on hot shingles), and the exact
         # verification (array_intersect) runs on candidates only.  At
         # t = 0.9 this cuts the self-join input 10× with zero recall loss.
-        srt = sh.select("_id", F.array_sort("_sh").alias("_sh"))
+        srt = sh.select("_id", F.array_sort("_sh").alias("_sh"),
+                        F.size("_sh").alias("_sz"))
         # prefix length p = s - ceil(t·s) + 1, computed with an epsilon so
         # exact-integer t·s doesn't round up through FP error (e.g.
         # 10·(1-0.9) = 0.9999999999999998 would otherwise give p=1, not 2,
         # and drop pairs at exactly-threshold Jaccard)
-        plen = (F.size("_sh")
-                - F.ceil(F.size("_sh") * threshold - F.lit(1e-9)) + 1).cast("int")
-        ex = srt.select("_id", F.explode(F.slice("_sh", 1, plen)).alias("s"))
+        plen = (F.col("_sz")
+                - F.ceil(F.col("_sz") * threshold - F.lit(1e-9)) + 1).cast("int")
+        ex = srt.select("_id", "_sz", F.explode(F.slice("_sh", 1, plen)).alias("s"))
+        # length filter (lossless): J(A,B) ≥ t ⇒ |A∩B| ≥ t·max(|A|,|B|)
+        # and |A∩B| ≤ min(|A|,|B|), so min ≥ t·max — prunes the hot-shingle
+        # pair blow-up between very differently-sized documents before the
+        # exact verification join
         candidates = (
             ex.alias("l").join(ex.alias("r"), "s")
-            .where(F.col("l._id") < F.col("r._id"))
+            .where((F.col("l._id") < F.col("r._id"))
+                   & (F.col("l._sz") >= F.col("r._sz") * threshold - F.lit(1e-9))
+                   & (F.col("r._sz") >= F.col("l._sz") * threshold - F.lit(1e-9)))
             .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
             .distinct()
         )
