@@ -86,6 +86,12 @@ class CompileOptions:
     # (reference: `strict` evaluator option, Modern.pm:104,817-820); off by
     # default — unknown keywords are ignored like annotations
     strict: bool = False
+    # collect MetaData annotations (title/description/default/...) so
+    # basic_output can report them for valid rows (reference:
+    # collect_annotations, Modern.pm:104; annotations from failed
+    # subschemas are discarded via per-entry guards).  Off by default,
+    # like the reference.
+    collect_annotations: bool = False
     # contract flag: array columns contain no null elements (the token-table
     # input_hint guarantees this by construction).  Spark file sources force
     # every schema nullable on read, so this cannot be derived from the
@@ -157,6 +163,10 @@ class Target:
     ptr: Column                  # instance_location (string column)
     present: Column              # is the value present (non-NULL / row root)
     root_schema: T.StructType | None = None   # set for the virtual root
+    # False for targets whose ptr/col reference higher-order-function
+    # lambda variables (array elements inside forall/transform, map
+    # entries): annotation entries cannot be lifted out of a lambda.
+    annotatable: bool = True
     # True for array-element / map-value targets, where a SQL NULL is a
     # PRESENT JSON null (type "null") rather than an absent property.
     # Keyword predicates must then be total: type-gated keywords are
@@ -387,6 +397,9 @@ class _Ctx:
         # dynamic_scope pushes, Vocabulary.pm:76-94) — so dynamic-anchor
         # resolution here is fully faithful, not a static approximation.
         self.dynamic_scope: list[str] = []
+        # collected MetaData annotations (collect_annotations):
+        # dicts {ptr: Column, kloc, akloc, keyword, value, guard: Column|None}
+        self.annotations: list[dict] = []
 
 
 def _num_str(v: Any) -> str:
@@ -498,6 +511,7 @@ class ColumnCompiler:
             set_checks=self.ctx.set_checks,
             fingerprint=self.fingerprint,
             root_uri=self.root_uri,
+            annotations=self.ctx.annotations,
         )
 
     # -- node dispatch ------------------------------------------------------
@@ -562,6 +576,20 @@ class ColumnCompiler:
         oks: list[Column] = []
         viols: list[Column] = []
         jt = t.json_type()
+
+        if self.options.collect_annotations and t.annotatable:
+            # MetaData annotations (V/MetaData.pm:42-77) recorded with
+            # per-entry guards; basic_output reports them for VALID rows,
+            # where every unconditional-path subschema succeeded — so only
+            # branch applicators (anyOf/oneOf/not/if, dependentSchemas
+            # presence) need runtime guards, applied below
+            for _akw in ("title", "description", "default", "deprecated",
+                         "readOnly", "writeOnly", "examples"):
+                if _akw in schema:
+                    self.ctx.annotations.append({
+                        "ptr": t.ptr, "kloc": f"{kloc}/{_akw}",
+                        "akloc": self._akloc(base, f"{abs_ptr}/{_akw}"),
+                        "keyword": _akw, "value": schema[_akw], "guard": None})
 
         cov_names: list = []
         cov_items: list = []
@@ -834,7 +862,9 @@ class ColumnCompiler:
                 pt = t.get_property(prop)
                 if pt is None:
                     continue
+                _amark = len(self.ctx.annotations)
                 child = sub("dependentSchemas", s, t, suffix=f"/{json_pointer_escape(prop)}")
+                self._gate_annotations(_amark, pt.present)
                 ok = F.when(pt.present, child.ok).otherwise(F.lit(True))
                 gated = [F.when(pt.present, v).otherwise(_empty_viols()) for v in child.viols]
                 add(Compiled(ok=ok, viols=gated))
@@ -956,7 +986,12 @@ class ColumnCompiler:
                 add(c)
                 adopt(c, c.ok)
         if "anyOf" in schema:
-            children = [sub("anyOf", s, t, suffix=f"/{i}") for i, s in enumerate(schema["anyOf"])]
+            children = []
+            for i, s in enumerate(schema["anyOf"]):
+                _amark = len(self.ctx.annotations)
+                c = sub("anyOf", s, t, suffix=f"/{i}")
+                self._gate_annotations(_amark, c.ok)
+                children.append(c)
             any_ok = F.lit(False)
             for c in children:
                 any_ok = any_ok | c.ok
@@ -968,7 +1003,12 @@ class ColumnCompiler:
                                "anyOf", "no subschemas are valid", F.lit(None).cast("string")))
             add(Compiled(ok=any_ok, viols=gated))
         if "oneOf" in schema:
-            children = [sub("oneOf", s, t, suffix=f"/{i}") for i, s in enumerate(schema["oneOf"])]
+            children = []
+            for i, s in enumerate(schema["oneOf"]):
+                _amark = len(self.ctx.annotations)
+                c = sub("oneOf", s, t, suffix=f"/{i}")
+                self._gate_annotations(_amark, c.ok)
+                children.append(c)
             for c in children:
                 adopt(c, c.ok)
             count = sum((c.ok.cast("int") for c in children), F.lit(0))
@@ -982,16 +1022,24 @@ class ColumnCompiler:
                                "oneOf", msg, F.lit(None).cast("string")))
             add(Compiled(ok=ok, viols=gated))
         if "not" in schema:
+            _amark = len(self.ctx.annotations)
             child = sub("not", schema["not"], t)
+            self._gate_annotations(_amark, F.lit(False))
             ok = F.when(t.present, ~child.ok).otherwise(F.lit(True))
             # inner errors are discarded (V/Applicator.pm:133-145)
             add(Compiled(ok=ok, viols=[_viol(ok, t.ptr, f"{kloc}/not",
                 self._akloc(base, f"{abs_ptr}/not"), "not", "subschema is valid",
                 F.lit(None).cast("string"))]))
         if "if" in schema:
+            _m_if = len(self.ctx.annotations)
             if_c = self._node(schema["if"], t, f"{kloc}/if", base, f"{abs_ptr}/if")
+            self._gate_annotations(_m_if, if_c.ok)
+            _m_then = len(self.ctx.annotations)
             then_c = sub("then", schema["then"], t) if "then" in schema else Compiled(ok=F.lit(True))
+            self._gate_annotations(_m_then, if_c.ok)
+            _m_else = len(self.ctx.annotations)
             else_c = sub("else", schema["else"], t) if "else" in schema else Compiled(ok=F.lit(True))
+            self._gate_annotations(_m_else, ~F.coalesce(if_c.ok, F.lit(False)))
             ok = F.when(~t.present, F.lit(True)).when(if_c.ok, then_c.ok).otherwise(else_c.ok)
             adopt(if_c, if_c.ok)
             adopt(then_c, if_c.ok & then_c.ok)
@@ -1084,14 +1132,14 @@ class ColumnCompiler:
                     if ok_inner is None:
                         def _uneval_pred(x: Column) -> Column:
                             elem = Target(col=x, dtype=et, ptr=t.ptr, present=F.lit(True),
-                                          null_is_value=True)
+                                          null_is_value=True, annotatable=False)
                             return self._node(s, elem, f"{kloc}/unevaluatedItems",
                                               base, f"{abs_ptr}/unevaluatedItems").ok
                         ok_inner = F.forall(rest, _uneval_pred)
                 else:
                     def _uneval_elem_ok(x: Column, i: Column) -> Column:
                         elem = Target(col=x, dtype=et, ptr=t.ptr, present=F.lit(True),
-                                      null_is_value=True)
+                                      null_is_value=True, annotatable=False)
                         covered = i < n_cov
                         for g, es in epreds:
                             m = self._node(es, elem, f"{kloc}/contains",
@@ -1126,6 +1174,13 @@ class ColumnCompiler:
         return Compiled(ok=ok_all, viols=viols, cov_names=cov_names, cov_items=cov_items)
 
     # -- helpers ------------------------------------------------------------
+
+    def _gate_annotations(self, start: int, guard: Column) -> None:
+        """Apply a success/branch guard to annotations collected since
+        `start` (annotations from failed/untaken subschemas are discarded —
+        U.pm:823-829)."""
+        for a in self.ctx.annotations[start:]:
+            a["guard"] = guard if a["guard"] is None else (a["guard"] & guard)
 
     def _type_kw(self, want: Any, t: Target, E) -> Compiled:
         wants = want if isinstance(want, list) else [want]
@@ -1238,7 +1293,8 @@ class ColumnCompiler:
         def ent_target(e: Column) -> Target:
             return Target(col=e["value"], dtype=vt,
                           ptr=F.concat(t.ptr, F.lit("/"), _ptr_escape_col(e["key"])),
-                          present=F.lit(True), null_is_value=True)
+                          present=F.lit(True), null_is_value=True,
+                          annotatable=False)
 
         def ent_ok(e: Column) -> Column:
             return ~sel(e["key"]) | self._node(s, ent_target(e), kp, base, ap).ok
@@ -1266,7 +1322,7 @@ class ColumnCompiler:
         def name_target(k: Column) -> Target:
             return Target(col=k, dtype=T.StringType(),
                           ptr=F.concat(t.ptr, F.lit("/"), _ptr_escape_col(k)),
-                          present=F.lit(True))
+                          present=F.lit(True), annotatable=False)
 
         def name_ok(k: Column) -> Column:
             return self._node(s, name_target(k), kp, base, ap).ok
@@ -1299,7 +1355,8 @@ class ColumnCompiler:
             idx = i + F.lit(n_prefix)
             elem = Target(col=x, dtype=et,
                           ptr=F.concat(t.ptr, F.lit("/"), idx.cast("string")),
-                          present=F.lit(True), null_is_value=True)
+                          present=F.lit(True), null_is_value=True,
+                          annotatable=False)
             return self._node(items_schema, elem, kp, base, ap)
 
         rest = arr if n_prefix == 0 else F.slice(arr, n_prefix + 1, F.greatest(F.size(arr) - n_prefix, F.lit(0)))
@@ -1488,7 +1545,7 @@ class ColumnCompiler:
 
         def elem_ok(x: Column) -> Column:
             elem = Target(col=x, dtype=et, ptr=t.ptr, present=F.lit(True),
-                          null_is_value=True)
+                          null_is_value=True, annotatable=False)
             return self._node(contains_schema, elem, f"{kloc}/contains", base, f"{abs_ptr}/contains").ok
 
         matches = F.size(F.filter(arr, elem_ok))
@@ -1543,6 +1600,9 @@ class CompiledPlan:
     set_checks: list[SetCheck]
     fingerprint: str
     root_uri: str
+    # collected MetaData annotations (collect_annotations option):
+    # {ptr: Column, kloc, akloc, keyword, value, guard: Column|None}
+    annotations: list = dc_field(default_factory=list)
 
 
 def _spark_schema_from_spec(spec: Any) -> T.StructType | None:

@@ -42,12 +42,21 @@ class ValidationResult:
         short_circuit mode (Modern.pm:69-74)."""
         return self.annotated.filter(~F.col("_valid")).limit(1).isEmpty()
 
-    def basic_output(self) -> DataFrame:
+    def basic_output(self, with_annotations: bool = False) -> DataFrame:
         """Per-row result document in the reference's `basic` output format
         (Result.pm:99,153-223): ``{"valid": bool, "errors": [
         {"instanceLocation", "keywordLocation", "absoluteKeywordLocation",
         "error"}, ...]}`` as a JSON string column next to the id columns.
-        `flag` format is the same with errors omitted (valid only)."""
+        `flag` format is the same with errors omitted (valid only).
+
+        ``with_annotations=True`` (requires
+        CompileOptions(collect_annotations=True)) adds the MetaData
+        annotations for VALID rows, branch-guarded like the reference's
+        runtime collection; the `annotation` field carries the value
+        JSON-encoded as a string (documented deviation from the
+        reference's raw-JSON embedding)."""
+        import json as _json
+
         err_arr = F.transform(
             F.col("_viols"),
             lambda v: F.struct(
@@ -57,10 +66,29 @@ class ValidationResult:
                 v["error"].alias("error"),
             ),
         )
-        doc = F.to_json(F.struct(
+        fields = [
             F.col("_valid").alias("valid"),
             F.when(~F.col("_valid"), err_arr).alias("errors"),
-        ), {"ignoreNullFields": "true"})
+        ]
+        if with_annotations and self.plan.annotations:
+            structs = []
+            for a in self.plan.annotations:
+                s = F.struct(
+                    a["ptr"].cast("string").alias("instanceLocation"),
+                    F.lit(a["kloc"]).alias("keywordLocation"),
+                    F.lit(a["akloc"] or None).cast("string")
+                     .alias("absoluteKeywordLocation"),
+                    F.lit(a["keyword"]).alias("keyword"),
+                    F.lit(_json.dumps(a["value"])).alias("annotation"),
+                )
+                g = a["guard"]
+                structs.append(
+                    s if g is None else F.when(F.coalesce(g, F.lit(False)), s))
+            ann_arr = F.array_compact(F.array(*structs))
+            fields.append(
+                F.when(F.col("_valid") & (F.size(ann_arr) > 0), ann_arr)
+                 .alias("annotations"))
+        doc = F.to_json(F.struct(*fields), {"ignoreNullFields": "true"})
         return self.annotated.select(*self.id_cols, doc.alias("result"))
 
     def strict_basic_output(self) -> DataFrame:

@@ -57,6 +57,42 @@ def test_data_only_output(spark):
     assert docs[1].count("\n") == 1
 
 
+def test_collected_annotations(spark):
+    """collect_annotations: MetaData annotations reported for valid rows;
+    annotations from untaken/failed branches discarded (U.pm:823-829)."""
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    spec = {"type": "object", "title": "row schema",
+            "properties": {"v": {
+                "description": "the value",
+                "anyOf": [
+                    {"title": "small", "maximum": 5},
+                    {"title": "large", "minimum": 100},
+                ]}}}
+    df = spark.createDataFrame([(1, 3), (2, 200), (3, 50)], "rid int, v int")
+    v = Validator(spec, CompileOptions(collect_annotations=True))
+    res = v.validate(df, id_cols=["rid"])
+    docs = {r.rid: json.loads(r.result)
+            for r in res.basic_output(with_annotations=True).collect()}
+
+    def titles(d):
+        return {(a["keywordLocation"], json.loads(a["annotation"]))
+                for a in d.get("annotations", [])}
+
+    assert ("/title", "row schema") in titles(docs[1])
+    assert ("/properties/v/description", "the value") in titles(docs[1])
+    # branch guards: row 1 took 'small', row 2 took 'large'
+    assert ("/properties/v/anyOf/0/title", "small") in titles(docs[1])
+    assert ("/properties/v/anyOf/1/title", "large") not in titles(docs[1])
+    assert ("/properties/v/anyOf/1/title", "large") in titles(docs[2])
+    assert ("/properties/v/anyOf/0/title", "small") not in titles(docs[2])
+    # invalid row: no annotations at all
+    assert docs[3]["valid"] is False and "annotations" not in docs[3]
+    # default call shape unchanged
+    plain = {r.rid: json.loads(r.result) for r in res.basic_output().collect()}
+    assert "annotations" not in plain[1]
+
+
 def test_recommended_response(spark):
     spec = {"type": "object", "required": ["k"],
             "properties": {"k": {"type": "integer", "minimum": 10}}}
