@@ -172,7 +172,12 @@ def main() -> None:
         print(json.dumps({"metric": "token-validation", "cpus": CPUS, **tok}))
         return
 
-    tok = run_token_validation(spark, TOKEN_ROWS, warmup_rows=WARMUP_ROWS)
+    # best-of-3: host contention on this VM is one-sided (only ever adds
+    # time) and can inflate a single run 3-5×; min-of-N estimates the
+    # engine, not the neighbors
+    tok = run_token_validation(
+        spark, TOKEN_ROWS, warmup_rows=WARMUP_ROWS,
+        repeats=int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     queries = run_headline(spark)
     queries["token_full_validation"] = tok["sec"]
     total = round(sum(queries.values()), 3)
