@@ -1202,8 +1202,13 @@ class ColumnCompiler:
         if jt in wants or (jt == "integer" and "number" in wants):
             return Compiled(ok=F.lit(True))
         if jt == "number" and "integer" in wants:
-            # fractional column: 2.0 is an integer (Utilities.pm:152-156);
-            # holds for Double/Float and Decimal alike (floor round-trips)
+            if self.dialect == "4":
+                # draft4 legacy_ints (U.pm:141-147): an integer is "a JSON
+                # number without a fraction part" AS WRITTEN — a
+                # fractional-typed column is never an integer, even at 2.0
+                return E("type", F.lit(False), "got number, not integer")
+            # ≥draft6: 2.0 is an integer (Utilities.pm:152-156); holds for
+            # Double/Float and Decimal alike (floor round-trips)
             v = t.value_col()
             ok = v == F.floor(v).cast(t.dtype)
             return E("type", ok, f"got number, not integer")

@@ -76,6 +76,19 @@ def test_draft4_boolean_exclusive_maximum(spark):
         Validator(spec2020).validate(df, id_cols=["v"])
 
 
+def test_draft4_legacy_ints(spark):
+    """draft4: an integer is a number WITHOUT a fraction part as written —
+    2.0 is NOT an integer (U.pm:141-147 legacy_ints); ≥draft6 accepts it."""
+    d4 = {"$schema": D4, "type": "object",
+          "properties": {"v": {"type": "integer"}}}
+    modern = {"type": "object", "properties": {"v": {"type": "integer"}}}
+    df = spark.createDataFrame([(2.0,), (2.5,)], "v double")
+    assert [r._valid for r in Validator(d4).validate(df, id_cols=[])
+            .annotated.select("_valid").collect()] == [False, False]
+    assert [r._valid for r in Validator(modern).validate(df, id_cols=[])
+            .annotated.select("_valid").collect()] == [True, False]
+
+
 def test_draft4_plain_maximum_unchanged(spark):
     spec = {"$schema": D4, "type": "object",
             "properties": {"v": {"maximum": 10, "exclusiveMaximum": False}}}
