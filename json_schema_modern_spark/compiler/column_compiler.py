@@ -806,7 +806,9 @@ class ColumnCompiler:
                 present_i = t.present & (F.size(t.value_col()) > i)
                 elem = Target(col=elem.col, dtype=elem.dtype, ptr=elem.ptr, present=present_i,
                               null_is_value=True)
+                _amark = len(self.ctx.annotations)
                 add(sub("prefixItems", s, elem, suffix=f"/{i}"))
+                self._gate_annotations(_amark, present_i)
             cov_items.append((None, n_prefix))
 
         if "items" in schema and applies("items"):
@@ -823,7 +825,9 @@ class ColumnCompiler:
                     present_i = t.present & (F.size(t.value_col()) > i)
                     elem = Target(col=elem.col, dtype=elem.dtype, ptr=elem.ptr,
                                   present=present_i, null_is_value=True)
+                    _amark = len(self.ctx.annotations)
                     add(sub("items", s, elem, suffix=f"/{i}"))
+                    self._gate_annotations(_amark, present_i)
                 n_prefix = len(items)
                 cov_items.append((None, n_prefix))
                 if "additionalItems" in schema:
@@ -906,7 +910,10 @@ class ColumnCompiler:
                         pt = self._map_value_target(t, name)
                     else:
                         continue
+                _amark = len(self.ctx.annotations)
                 add(sub("properties", s, pt, suffix=f"/{json_pointer_escape(name)}"))
+                # absent property ⇒ subtree not evaluated ⇒ no annotations
+                self._gate_annotations(_amark, pt.present)
 
         is_map = isinstance(t.dtype, T.MapType)
         pattern_res: list[str] = []
@@ -930,7 +937,9 @@ class ColumnCompiler:
                         if re.search(pat, name):
                             matched_names.add(name)
                             pt = t.get_property(name)
+                            _amark = len(self.ctx.annotations)
                             add(sub("patternProperties", s, pt, suffix=f"/{json_pointer_escape(pat)}"))
+                            self._gate_annotations(_amark, pt.present)
 
         if "additionalProperties" in schema and applies("additionalProperties"):
             s = schema["additionalProperties"]
@@ -955,7 +964,9 @@ class ColumnCompiler:
                           and not any(re.search(p, n) for p in pattern_res)]
                 for name in extras:
                     pt = t.get_property(name)
+                    _amark = len(self.ctx.annotations)
                     add(sub("additionalProperties", s, pt))
+                    self._gate_annotations(_amark, pt.present)
 
         if "propertyNames" in schema and applies("propertyNames"):
             s = schema["propertyNames"]

@@ -88,6 +88,13 @@ def test_collected_annotations(spark):
     assert ("/properties/v/anyOf/0/title", "small") not in titles(docs[2])
     # invalid row: no annotations at all
     assert docs[3]["valid"] is False and "annotations" not in docs[3]
+    # absent property: its subtree was never evaluated → no annotations
+    df2 = spark.createDataFrame([(9, None)], "rid int, v int")
+    res2 = v.validate(df2, id_cols=["rid"])
+    d = json.loads(res2.basic_output(with_annotations=True).first().result)
+    assert ("/title", "row schema") in titles(d)
+    assert not any(a["keywordLocation"].startswith("/properties/v")
+                   for a in d.get("annotations", []))
     # default call shape unchanged
     plain = {r.rid: json.loads(r.result) for r in res.basic_output().collect()}
     assert "annotations" not in plain[1]
