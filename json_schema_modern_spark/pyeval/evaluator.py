@@ -50,141 +50,209 @@ def _type_matches(v: Any, want: str) -> bool:
 
 def evaluate(schema: Any, instance: Any) -> bool:
     """True iff `instance` validates against `schema` (flag output)."""
+    return _eval(schema, instance)[0]
+
+
+def _eval(schema: Any, instance: Any) -> tuple[bool, frozenset, frozenset]:
+    """(valid, evaluated_property_names, evaluated_item_indices) — the
+    annotation-tracking core: property/item coverage is collected from
+    SUCCESSFUL subschemas only (U.pm:823-829) and consumed by
+    unevaluatedProperties/unevaluatedItems exactly like the reference's
+    runtime annotations (V/Unevaluated.pm:41-144)."""
+    empty = frozenset()
     if schema is True or schema == {}:
-        return True
+        return True, empty, empty
     if schema is False:
-        return False
+        return False, empty, empty
 
     t = json_type(instance)
+    valid = True
+    names: set = set()
+    idxs: set = set()
+
+    def child(s: Any, inst: Any) -> bool:
+        return _eval(s, inst)[0]
+
+    def merge_if_ok(s: Any, inst: Any) -> bool:
+        ok, n, i = _eval(s, inst)
+        if ok:
+            names.update(n)
+            idxs.update(i)
+        return ok
+
+    fail = (False, empty, empty)
 
     if "type" in schema:
         wants = schema["type"]
         wants = wants if isinstance(wants, list) else [wants]
         if not any(_type_matches(instance, w) for w in wants):
-            return False
+            return fail
 
     if t in ("integer", "number") and not isinstance(instance, bool):
         if "minimum" in schema and not instance >= schema["minimum"]:
-            return False
+            return fail
         if "maximum" in schema and not instance <= schema["maximum"]:
-            return False
+            return fail
         if "exclusiveMinimum" in schema and not instance > schema["exclusiveMinimum"]:
-            return False
+            return fail
         if "exclusiveMaximum" in schema and not instance < schema["exclusiveMaximum"]:
-            return False
+            return fail
         if "multipleOf" in schema:
             from decimal import Decimal
 
             q = Decimal(str(instance)) / Decimal(str(schema["multipleOf"]))
             if q != q.to_integral_value():
-                return False
+                return fail
 
     if t == "string":
         if "minLength" in schema and len(instance) < schema["minLength"]:
-            return False
+            return fail
         if "maxLength" in schema and len(instance) > schema["maxLength"]:
-            return False
+            return fail
         if "pattern" in schema and not re.search(schema["pattern"], instance):
-            return False
+            return fail
 
     if "enum" in schema and not any(_deep_eq(instance, m) for m in schema["enum"]):
-        return False
+        return fail
     if "const" in schema and not _deep_eq(instance, schema["const"]):
-        return False
+        return fail
 
     if t == "array":
         if "minItems" in schema and len(instance) < schema["minItems"]:
-            return False
+            return fail
         if "maxItems" in schema and len(instance) > schema["maxItems"]:
-            return False
+            return fail
         if schema.get("uniqueItems") is True:
             for i in range(len(instance)):
                 for j in range(i + 1, len(instance)):
                     if _deep_eq(instance[i], instance[j]):
-                        return False
+                        return fail
         n_prefix = 0
         if "prefixItems" in schema:
             subs = schema["prefixItems"]
             n_prefix = len(subs)
             for i, s in enumerate(subs):
-                if i < len(instance) and not evaluate(s, instance[i]):
-                    return False
+                if i < len(instance) and not child(s, instance[i]):
+                    return fail
+            idxs.update(range(min(n_prefix, len(instance))))
         if "items" in schema:
             items = schema["items"]
             if isinstance(items, list):
                 # ≤2019-09 array form: positional + additionalItems rest
                 n_prefix = len(items)
                 for i, s in enumerate(items):
-                    if i < len(instance) and not evaluate(s, instance[i]):
-                        return False
+                    if i < len(instance) and not child(s, instance[i]):
+                        return fail
+                idxs.update(range(min(n_prefix, len(instance))))
                 if "additionalItems" in schema:
                     for x in instance[n_prefix:]:
-                        if not evaluate(schema["additionalItems"], x):
-                            return False
+                        if not child(schema["additionalItems"], x):
+                            return fail
+                    idxs.update(range(n_prefix, len(instance)))
             else:
                 for x in instance[n_prefix:]:
-                    if not evaluate(items, x):
-                        return False
+                    if not child(items, x):
+                        return fail
+                idxs.update(range(n_prefix, len(instance)))
         if "contains" in schema or "minContains" in schema or "maxContains" in schema:
             c = schema.get("contains", True)
-            matches = sum(1 for x in instance if evaluate(c, x))
+            matching = [i for i, x in enumerate(instance) if child(c, x)]
             min_c = schema.get("minContains", 1)
-            if "contains" in schema and matches < (min_c if min_c is not None else 1):
+            contains_ok = True
+            if "contains" in schema and len(matching) < (min_c if min_c is not None else 1):
                 if min_c != 0:
-                    return False
-            if "maxContains" in schema and matches > schema["maxContains"]:
-                return False
+                    contains_ok = False
+            if contains_ok and "contains" in schema:
+                # matched indices are evaluated (matched-index annotation)
+                idxs.update(matching)
+            if not contains_ok:
+                return fail
+            if "maxContains" in schema and len(matching) > schema["maxContains"]:
+                return fail
 
     if t == "object":
         if "required" in schema and any(k not in instance for k in schema["required"]):
-            return False
+            return fail
         if "minProperties" in schema and len(instance) < schema["minProperties"]:
-            return False
+            return fail
         if "maxProperties" in schema and len(instance) > schema["maxProperties"]:
-            return False
+            return fail
         if "dependentRequired" in schema:
             for p, deps in schema["dependentRequired"].items():
                 if p in instance and any(d not in instance for d in deps):
-                    return False
+                    return fail
         if "dependentSchemas" in schema:
             for p, s in schema["dependentSchemas"].items():
-                if p in instance and not evaluate(s, instance):
-                    return False
+                if p in instance and not merge_if_ok(s, instance):
+                    return fail
         if "properties" in schema:
             for name, s in schema["properties"].items():
-                if name in instance and not evaluate(s, instance[name]):
-                    return False
+                if name in instance:
+                    if not child(s, instance[name]):
+                        return fail
+                    names.add(name)
         if "patternProperties" in schema:
             for pat, s in schema["patternProperties"].items():
                 for name, v in instance.items():
-                    if re.search(pat, name) and not evaluate(s, v):
-                        return False
+                    if re.search(pat, name):
+                        if not child(s, v):
+                            return fail
+                        names.add(name)
         if "additionalProperties" in schema:
             matched = set(schema.get("properties", {}))
             pats = list(schema.get("patternProperties", {}))
             for name, v in instance.items():
                 if name in matched or any(re.search(p, name) for p in pats):
                     continue
-                if not evaluate(schema["additionalProperties"], v):
-                    return False
+                if not child(schema["additionalProperties"], v):
+                    return fail
+                names.add(name)
         if "propertyNames" in schema:
             for name in instance:
-                if not evaluate(schema["propertyNames"], name):
-                    return False
+                if not child(schema["propertyNames"], name):
+                    return fail
 
-    if "allOf" in schema and not all(evaluate(s, instance) for s in schema["allOf"]):
-        return False
-    if "anyOf" in schema and not any(evaluate(s, instance) for s in schema["anyOf"]):
-        return False
-    if "oneOf" in schema and sum(evaluate(s, instance) for s in schema["oneOf"]) != 1:
-        return False
-    if "not" in schema and evaluate(schema["not"], instance):
-        return False
+    if "allOf" in schema:
+        for s in schema["allOf"]:
+            if not merge_if_ok(s, instance):
+                return fail
+    if "anyOf" in schema:
+        if not any([merge_if_ok(s, instance) for s in schema["anyOf"]]):
+            return fail
+    if "oneOf" in schema:
+        results = [_eval(s, instance) for s in schema["oneOf"]]
+        if sum(ok for ok, _, _ in results) != 1:
+            return fail
+        for ok, n, i in results:
+            if ok:
+                names.update(n)
+                idxs.update(i)
+    if "not" in schema and child(schema["not"], instance):
+        return fail
     if "if" in schema:
-        branch = "then" if evaluate(schema["if"], instance) else "else"
-        if branch in schema and not evaluate(schema[branch], instance):
-            return False
-    return True
+        if_ok = merge_if_ok(schema["if"], instance)
+        branch = "then" if if_ok else "else"
+        if branch in schema and not merge_if_ok(schema[branch], instance):
+            return fail
+
+    # unevaluated* run LAST, over the complement of everything collected
+    # in this schema's scope (V/Applicator.pm:37-45 ordering)
+    if "unevaluatedProperties" in schema and t == "object":
+        for name, v in instance.items():
+            if name in names:
+                continue
+            if not child(schema["unevaluatedProperties"], v):
+                return fail
+        names.update(instance.keys())
+    if "unevaluatedItems" in schema and t == "array":
+        for i, x in enumerate(instance):
+            if i in idxs:
+                continue
+            if not child(schema["unevaluatedItems"], x):
+                return fail
+        idxs.update(range(len(instance)))
+
+    return True, frozenset(names), frozenset(idxs)
 
 
 def _deep_eq(a: Any, b: Any) -> bool:

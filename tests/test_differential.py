@@ -55,6 +55,7 @@ arr_schema = st.fixed_dictionaries({}, optional={
     "contains": num_schema,
     "maxContains": st.integers(0, 3),
     "minContains": st.integers(0, 2),
+    "unevaluatedItems": st.sampled_from([False, {"minimum": -3}]),
 })
 
 # ≤2019-09 array-form items + additionalItems (compiled positionally under
@@ -82,6 +83,7 @@ map_schema = st.fixed_dictionaries({}, optional={
                                           {"q": {"maximum": 2}}]),
     "additionalProperties": st.sampled_from([False, {"minimum": -1}]),
     "propertyNames": st.sampled_from([{"pattern": "^k"}, {"maxLength": 2}]),
+    "unevaluatedProperties": st.sampled_from([False, {"maximum": 3}]),
 })
 
 
@@ -106,6 +108,7 @@ obj_extras = st.fixed_dictionaries({}, optional={
     "patternProperties": st.sampled_from([{"^a": {"minimum": 0}},
                                           {"r": {"minItems": 1}}]),
     "additionalProperties": st.sampled_from([False, {"minimum": -2}]),
+    "unevaluatedProperties": st.sampled_from([False, {"minimum": -5}]),
 })
 
 base_root = st.builds(
@@ -138,6 +141,13 @@ def _combinators(child):
         st.builds(lambda kid: {"type": "object", "not": kid}, child),
         st.builds(lambda i, t, e: {"type": "object", "if": i, "then": t, "else": e},
                   child, child, child),
+        # cross-branch coverage: unevaluatedProperties consuming the
+        # annotations of applicator children (guarded adoption)
+        st.builds(lambda kid: {"type": "object", "allOf": [kid],
+                               "unevaluatedProperties": {"minimum": -5}}, child),
+        st.builds(lambda kid: {"type": "object",
+                               "anyOf": [kid, {"minProperties": 9}],
+                               "unevaluatedProperties": False}, child),
     )
 
 
