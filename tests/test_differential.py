@@ -180,7 +180,7 @@ def _instance(r):
     return d
 
 
-@settings(max_examples=40, deadline=None,
+@settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(spec=root_schema, rows=st.lists(row, min_size=1, max_size=6))
 def test_spark_agrees_with_pyeval(spark_diff, spec, rows):
@@ -201,7 +201,7 @@ legacy_root = st.builds(
 )
 
 
-@settings(max_examples=20, deadline=None,
+@settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(spec=legacy_root, rows=st.lists(row, min_size=1, max_size=4))
 def test_spark_agrees_with_pyeval_legacy_items(spark_diff, spec, rows):
