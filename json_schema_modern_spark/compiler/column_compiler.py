@@ -918,6 +918,7 @@ class ColumnCompiler:
         is_map = isinstance(t.dtype, T.MapType)
         pattern_res: list[str] = []
         if "patternProperties" in schema and applies("patternProperties"):
+            pat_children: list[Compiled] = []
             for pat, s in schema["patternProperties"].items():
                 pattern_res.append(pat)
                 if is_map:
@@ -925,12 +926,15 @@ class ColumnCompiler:
                     # every entry whose KEY matches at runtime
                     # (V/Applicator.pm:453-490); Java-regex dialect, same
                     # deviation class as `pattern`
-                    add(self._map_props_kw(
+                    c = self._map_props_kw(
                         s, t, (lambda k, _p=pat: k.rlike(_p)),
                         kw="patternProperties",
                         suffix=f"/{json_pointer_escape(pat)}",
                         summary_msg="not all properties are valid",
-                        kloc=kloc, base=base, abs_ptr=abs_ptr))
+                        kloc=kloc, base=base, abs_ptr=abs_ptr,
+                        emit_summary=False)
+                    add(c)
+                    pat_children.append(c)
                     cov_names.append((None, ("pat", pat)))
                 else:
                     for name in t.field_names():
@@ -940,6 +944,18 @@ class ColumnCompiler:
                             _amark = len(self.ctx.annotations)
                             add(sub("patternProperties", s, pt, suffix=f"/{json_pointer_escape(pat)}"))
                             self._gate_annotations(_amark, pt.present)
+            if pat_children:
+                # ONE summary row per patternProperties keyword, however
+                # many patterns fail (Result shape parity: the reference
+                # emits a single 'not all properties are valid' rollup)
+                ok_pp = F.lit(True)
+                for c in pat_children:
+                    ok_pp = ok_pp & c.ok
+                add(Compiled(ok=F.lit(True), viols=[_viol(
+                    ok_pp, t.ptr, f"{kloc}/patternProperties",
+                    self._akloc(base, f"{abs_ptr}/patternProperties"),
+                    "patternProperties", "not all properties are valid",
+                    F.lit(None).cast("string"))]))
 
         if "additionalProperties" in schema and applies("additionalProperties"):
             s = schema["additionalProperties"]
@@ -1286,7 +1302,8 @@ class ColumnCompiler:
         )
 
     def _map_props_kw(self, s: Any, t: Target, sel, kw: str, suffix: str,
-                      summary_msg: str, kloc: str, base: str, abs_ptr: str) -> Compiled:
+                      summary_msg: str, kloc: str, base: str, abs_ptr: str,
+                      emit_summary: bool = True) -> Compiled:
         """Object keyword over a MapType(String, V) column: the subschema
         applies to every entry whose key ``sel(key)`` selects.
 
@@ -1323,6 +1340,8 @@ class ColumnCompiler:
             return F.when(sel(e["key"]), _merge_viols(c.viols)).otherwise(_empty_viols())
 
         leaf = F.when(ok, _empty_viols()).otherwise(F.flatten(F.transform(entries, ent_viols)))
+        if not emit_summary:
+            return Compiled(ok=ok, viols=[leaf])
         summary = _viol(ok, t.ptr, kp_sum, self._akloc(base, ap_sum), kw,
                         summary_msg, F.lit(None).cast("string"))
         return Compiled(ok=ok, viols=[leaf, summary])

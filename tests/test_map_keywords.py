@@ -122,6 +122,22 @@ def test_map_keyword_case(spark, validators, sql_type, schema, value,
         assert locs <= got, f"missing violation locations: {locs - got}; got {got}"
 
 
+def test_multiple_failing_patterns_single_summary(spark):
+    """Several failing patternProperties patterns produce ONE summary row
+    (plus per-entry leaves), matching the reference's single rollup."""
+    spec = {"type": "object", "properties": {"v": {
+        "patternProperties": {"^a": {"minimum": 0}, "^b": {"minimum": 0}}}}}
+    df = spark.createDataFrame([({"a1": -1, "b1": -2},)], "v map<string,bigint>")
+    rows = Validator(spec).validate(df, id_cols=[]).violations.collect()
+    summaries = [r for r in rows if r.keyword == "patternProperties"]
+    assert len(summaries) == 1
+    assert summaries[0].keyword_location == "/properties/v/patternProperties"
+    leaves = {(r.instance_location, r.keyword_location) for r in rows
+              if r.keyword == "minimum"}
+    assert ("/v/a1", "/properties/v/patternProperties/^a/minimum") in leaves
+    assert ("/v/b1", "/properties/v/patternProperties/^b/minimum") in leaves
+
+
 def test_uneval_props_map_through_ref(spark):
     """Coverage adoption across $ref: the referenced schema's
     patternProperties claims keys for unevaluatedProperties in the
