@@ -838,8 +838,10 @@ class ColumnCompiler:
                 add(self._items_kw(items, t, n_prefix, kloc, base, abs_ptr))
                 cov_items.append((None, "all"))
 
-        has_contains = "contains" in schema and applies("contains")
-        if has_contains or (("minContains" in schema or "maxContains" in schema) and jt == "array"):
+        # min/maxContains are evaluated INSIDE the contains keyword and do
+        # nothing without it (V/Applicator.pm:357-405: they live in
+        # _eval_keyword_contains, which only runs when `contains` exists)
+        if "contains" in schema and applies("contains"):
             c = self._contains_kw(schema, t, kloc, base, abs_ptr)
             add(c)
             adopt(c, None)   # element-predicate coverage for unevaluatedItems

@@ -154,20 +154,19 @@ def _eval(schema: Any, instance: Any) -> tuple[bool, frozenset, frozenset]:
                     if not child(items, x):
                         return fail
                 idxs.update(range(n_prefix, len(instance)))
-        if "contains" in schema or "minContains" in schema or "maxContains" in schema:
-            c = schema.get("contains", True)
-            matching = [i for i, x in enumerate(instance) if child(c, x)]
+        # min/maxContains do nothing without `contains` (evaluated inside
+        # _eval_keyword_contains, V/Applicator.pm:357-405)
+        if "contains" in schema:
+            matching = [i for i, x in enumerate(instance)
+                        if child(schema["contains"], x)]
             min_c = schema.get("minContains", 1)
-            contains_ok = True
-            if "contains" in schema and len(matching) < (min_c if min_c is not None else 1):
-                if min_c != 0:
-                    contains_ok = False
-            if contains_ok and "contains" in schema:
-                # matched indices are evaluated (matched-index annotation)
-                idxs.update(matching)
-            if not contains_ok:
+            if len(matching) < (min_c if min_c is not None else 1) and min_c != 0:
                 return fail
+            # matched indices are evaluated (matched-index annotation)
+            idxs.update(matching)
             if "maxContains" in schema and len(matching) > schema["maxContains"]:
+                return fail
+            if "minContains" in schema and len(matching) < min_c:
                 return fail
 
     if t == "object":

@@ -99,6 +99,12 @@ GROUPS = [
     ("maxContains", "array<long>", {"contains": {"minimum": 10}, "maxContains": 1},
      [([10, 1], True, None),
       ([10, 11], False, {("/v", "/properties/v/maxContains")})]),
+    ("maxContains_without_contains", "array<long>", {"maxContains": 1},
+     # min/maxContains do NOTHING without `contains` (they are evaluated
+     # inside _eval_keyword_contains, V/Applicator.pm:357-405)
+     [([1, 2, 3], True, None), ([], True, None)]),
+    ("minContains_without_contains", "array<long>", {"minContains": 2},
+     [([1], True, None), ([], True, None)]),
     ("allOf", "long", {"allOf": [{"minimum": 0}, {"maximum": 10}]},
      [(5, True, None),
       (-1, False, {("/v", "/properties/v/allOf/0/minimum")}),
