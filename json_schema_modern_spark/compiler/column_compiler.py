@@ -453,6 +453,76 @@ def _name_covered(name: str, payload) -> bool:
     return name in payload
 
 
+def _const_eq(col: Column, v: Any, dtype: T.DataType) -> Column | None:
+    """Deep type-strict equality of a column value with a schema constant
+    (is_equal semantics, U.pm:242-299: order-insensitive objects,
+    order-sensitive arrays, booleans ≠ numbers ≠ strings).  None = the
+    constant can never equal a value of this type (statically false);
+    nested impossibilities collapse to lit(False).  May yield SQL NULL on
+    NULL inputs — callers coalesce."""
+    jt = _json_type_of(dtype)
+    if isinstance(v, bool):
+        return (col == F.lit(v)) if jt == "boolean" else None
+    if isinstance(v, (int, float)):
+        if jt in ("integer", "number"):
+            if jt == "integer" and isinstance(v, float) and v != int(v):
+                return None
+            return col == F.lit(v).cast(dtype)
+        return None
+    if isinstance(v, str):
+        return (col == F.lit(v)) if jt == "string" else None
+    if v is None:
+        return None          # null members handled by the null_is_value path
+    if isinstance(v, list) and isinstance(dtype, T.ArrayType):
+        conds = [F.size(col) == len(v)]
+        for i, x in enumerate(v):
+            e = F.element_at(col, i + 1)
+            if x is None:
+                conds.append(e.isNull())
+                continue
+            ee = _const_eq(e, x, dtype.elementType)
+            conds.append(F.coalesce(ee, F.lit(False)) if ee is not None
+                         else F.lit(False))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+    if isinstance(v, dict) and isinstance(dtype, T.StructType):
+        if set(v) - set(dtype.fieldNames()):
+            return F.lit(False)      # constant has a key the type can't hold
+        conds = []
+        for f in dtype.fields:
+            fv = col.getField(f.name)
+            if f.name not in v:
+                conds.append(fv.isNull())    # absent in const ⇒ absent here
+            elif v[f.name] is None:
+                conds.append(fv.isNull())
+            else:
+                ee = _const_eq(fv, v[f.name], f.dataType)
+                conds.append(F.coalesce(ee, F.lit(False)) if ee is not None
+                             else F.lit(False))
+        out = F.lit(True)
+        for c in conds:
+            out = out & c
+        return out
+    if isinstance(v, dict) and isinstance(dtype, T.MapType):
+        conds = [F.size(col) == len(v)]
+        for k, x in v.items():
+            conds.append(F.map_contains_key(col, F.lit(k)))
+            e = F.element_at(col, F.lit(k))
+            if x is None:
+                conds.append(F.map_contains_key(col, F.lit(k)) & e.isNull())
+            else:
+                ee = _const_eq(e, x, dtype.valueType)
+                conds.append(F.coalesce(ee, F.lit(False)) if ee is not None
+                             else F.lit(False))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+    return None
+
+
 def _lit_value(v: Any, dtype: T.DataType) -> Column | None:
     """Literal for enum/const comparison against a column of ``dtype``;
     None when the schema value can never equal a value of this type
@@ -684,23 +754,22 @@ class ColumnCompiler:
             add(self._type_kw(schema["type"], t, E))
 
         if "enum" in schema and not t.is_root:
-            lits = [c for c in (_lit_value(v, t.dtype) for v in schema["enum"]) if c is not None]
+            eqs = [c for c in (_const_eq(t.value_col(), v, t.dtype)
+                               for v in schema["enum"]) if c is not None]
             ok = F.lit(False)
-            for c in lits:
-                ok = ok | (t.value_col() == c)
+            for c in eqs:
+                ok = ok | F.coalesce(c, F.lit(False))
             if t.null_is_value:
                 # type-strict equality: JSON null matches only a null member
                 null_ok = F.lit(any(v is None for v in schema["enum"]))
-                ok = F.when(t.value_col().isNull(), null_ok) \
-                    .otherwise(F.coalesce(ok, F.lit(False)))
+                ok = F.when(t.value_col().isNull(), null_ok).otherwise(ok)
             add(E("enum", ok, "value does not match", null_vacuous=False))
         if "const" in schema and not t.is_root:
-            c = _lit_value(schema["const"], t.dtype)
-            ok = F.lit(False) if c is None else (t.value_col() == c)
+            c = _const_eq(t.value_col(), schema["const"], t.dtype)
+            ok = F.lit(False) if c is None else F.coalesce(c, F.lit(False))
             if t.null_is_value:
                 ok = F.when(t.value_col().isNull(),
-                            F.lit(schema["const"] is None)) \
-                    .otherwise(F.coalesce(ok, F.lit(False)))
+                            F.lit(schema["const"] is None)).otherwise(ok)
             add(E("const", ok, "value does not match", null_vacuous=False))
 
         if "multipleOf" in schema and applies("multipleOf"):

@@ -56,6 +56,7 @@ arr_schema = st.fixed_dictionaries({}, optional={
     "maxContains": st.integers(0, 3),
     "minContains": st.integers(0, 2),
     "unevaluatedItems": st.sampled_from([False, {"minimum": -3}]),
+    "const": st.sampled_from([[1, 2], [0, None], []]),
 })
 
 # ≤2019-09 array-form items + additionalItems (compiled positionally under
@@ -84,6 +85,9 @@ map_schema = st.fixed_dictionaries({}, optional={
     "additionalProperties": st.sampled_from([False, {"minimum": -1}]),
     "propertyNames": st.sampled_from([{"pattern": "^k"}, {"maxLength": 2}]),
     "unevaluatedProperties": st.sampled_from([False, {"maximum": 3}]),
+    # deep equality over object values (order-insensitive, null members)
+    "const": st.sampled_from([{"k1": 1}, {"k1": 1, "k2": None}, {}]),
+    "enum": st.sampled_from([[{"k1": 1}], [{"k1": 1}, {"k2": 2}, {}]]),
 })
 
 

@@ -122,6 +122,37 @@ def test_map_keyword_case(spark, validators, sql_type, schema, value,
         assert locs <= got, f"missing violation locations: {locs - got}; got {got}"
 
 
+def test_const_enum_deep_equality(spark):
+    """const/enum with OBJECT and ARRAY members: deep type-strict equality
+    (is_equal, U.pm:242-299) over map, struct and array columns —
+    order-insensitive objects, order-sensitive arrays, null members."""
+    # map column
+    spec = {"type": "object", "properties": {"v": {"const": {"k1": 1, "k2": None}}}}
+    v = Validator(spec)
+    ok = spark.createDataFrame([({"k2": None, "k1": 1},)], "v map<string,bigint>")
+    assert v.validate(ok, id_cols=[]).flag() is True
+    for bad in [{"k1": 1}, {"k1": 2, "k2": None}, {"k1": 1, "k2": 3},
+                {"k1": 1, "k2": None, "k3": 0}]:
+        df = spark.createDataFrame([(bad,)], "v map<string,bigint>")
+        assert v.validate(df, id_cols=[]).flag() is False, bad
+    # struct column (absent field ⇔ key absent from the const)
+    spec_s = {"type": "object", "properties": {"v": {"const": {"a": 1}}}}
+    vs = Validator(spec_s)
+    df = spark.createDataFrame([((1, None),), ((1, 2),), ((2, None),)],
+                               "v struct<a: bigint, b: bigint>")
+    flags = [r._valid for r in vs.validate(df, id_cols=[])
+             .annotated.select("_valid").collect()]
+    assert flags == [True, False, False]
+    # array member with a null element; order-sensitive
+    spec_a = {"type": "object", "properties": {"v": {"enum": [[0, None], [1, 2]]}}}
+    va = Validator(spec_a)
+    df = spark.createDataFrame([([0, None],), ([1, 2],), ([2, 1],), ([0],)],
+                               "v array<bigint>")
+    flags = [r._valid for r in va.validate(df, id_cols=[])
+             .annotated.select("_valid").collect()]
+    assert flags == [True, True, False, False]
+
+
 def test_multiple_failing_patterns_single_summary(spark):
     """Several failing patternProperties patterns produce ONE summary row
     (plus per-entry leaves), matching the reference's single rollup."""
