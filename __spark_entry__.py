@@ -758,57 +758,14 @@ def _q_events_window(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate checks the FIRST 50
+    # entries of this dict.  Queries with the thinnest driver-verification
+    # history (the text/ANN/near-dup/media/streaming tail, never or r1-only
+    # verified through round 2) are deliberately placed inside that window;
+    # kw_* rows with two rounds of green history are rotated to the back.
     return {
+        # -- flagship + previously under-verified tail (window) ------------
         "flagship_violations": _q_flagship,
-        "kw_min_max": _q_kw_min_max,
-        "kw_exclusive": _q_kw_exclusive,
-        "kw_length": _q_kw_length,
-        "kw_pattern": _q_kw_pattern,
-        "kw_enum": _q_kw_enum,
-        "kw_const": _q_kw_const,
-        "kw_multipleof": _q_kw_multipleof,
-        "kw_required": _q_kw_required,
-        "kw_items": _q_kw_items,
-        "kw_minmaxitems": _q_kw_minmaxitems,
-        "kw_contains": _q_kw_contains,
-        "kw_prefixitems": _q_kw_prefixitems,
-        "kw_oneof": _q_kw_oneof,
-        "kw_ifthenelse": _q_kw_ifthenelse,
-        "kw_anyof_not": _q_kw_anyof_not,
-        "kw_uniqueitems": _q_kw_uniqueitems,
-        "kw_dependentrequired": _q_kw_dependentrequired,
-        "kw_dependentschemas": _q_kw_dependentschemas,
-        "kw_nested_struct": _q_kw_nested_struct,
-        "kw_format": _q_kw_format,
-        "kw_ref_defs": _q_kw_ref_defs,
-        "kw_type_integer_frac": _q_kw_type_integer_frac,
-        "kw_content_json": _q_kw_content_json,
-        "kw_map_props": _q_kw_map_props,
-        "kw_uneval_props_map": _q_kw_uneval_props_map,
-        "kw_mincontains": _q_kw_mincontains,
-        "kw_minmaxprops": _q_kw_minmaxprops,
-        "kw_dependencies": _q_kw_dependencies,
-        "kw_anchor": _q_kw_anchor,
-        "kw_uneval_items": _q_kw_uneval_items,
-        "kw_uneval_props": _q_kw_uneval_props,
-        "kw_items_legacy": _q_kw_items_legacy,
-        "kw_dynamicref": _q_kw_dynamicref,
-        "kw_recursiveref": _q_kw_recursiveref,
-        "stats_lineitem": _q_stats,
-        "hist_n_chars": _q_hist,
-        "unique_doc_ids": _q_unique,
-        "ref_broadcast": _q_ref_broadcast,
-        "ref_sortmerge_salted": _q_ref_sortmerge,
-        "drift_ks_n_chars": _q_drift,
-        "drift_ks_pandas": _q_drift_pandas,
-        "drift_psi": _q_drift_psi,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_jaccard_ppjoin": _q_dedup_ppjoin,
-        "minhash_bands": _q_minhash_buckets,
-        "dedup_minhash_lsh": _q_dedup_minhash_pairs,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_clusters": _q_dedup_clusters,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_langid_ngram": _q_text_langid_ngram,
@@ -826,6 +783,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "events_window_counts": _q_events_window,
         "streaming_validation": _q_streaming_validation,
+        # -- dedup / stats / drift (window) ---------------------------------
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_jaccard_ppjoin": _q_dedup_ppjoin,
+        "minhash_bands": _q_minhash_buckets,
+        "dedup_minhash_lsh": _q_dedup_minhash_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "stats_lineitem": _q_stats,
+        "hist_n_chars": _q_hist,
+        "unique_doc_ids": _q_unique,
+        "ref_broadcast": _q_ref_broadcast,
+        "ref_sortmerge_salted": _q_ref_sortmerge,
+        "drift_ks_n_chars": _q_drift,
+        "drift_ks_pandas": _q_drift_pandas,
+        "drift_psi": _q_drift_psi,
+        # -- kw rows touched or riskiest this round (window) ----------------
+        "kw_format": _q_kw_format,
+        "kw_map_props": _q_kw_map_props,
+        "kw_uneval_props_map": _q_kw_uneval_props_map,
+        "kw_uneval_items": _q_kw_uneval_items,
+        "kw_uneval_props": _q_kw_uneval_props,
+        "kw_dynamicref": _q_kw_dynamicref,
+        "kw_recursiveref": _q_kw_recursiveref,
+        "kw_items_legacy": _q_kw_items_legacy,
+        "kw_content_json": _q_kw_content_json,
+        "kw_anchor": _q_kw_anchor,
+        "kw_ref_defs": _q_kw_ref_defs,
+        "kw_dependencies": _q_kw_dependencies,
+        "kw_nested_struct": _q_kw_nested_struct,
+        "kw_contains": _q_kw_contains,
+        "kw_mincontains": _q_kw_mincontains,
+        "kw_enum": _q_kw_enum,
+        "kw_items": _q_kw_items,
+        # ---- driver correctness window boundary (50 entries above) --------
+        # -- long-stable kw rows, green in r1 AND r2 ------------------------
+        "kw_min_max": _q_kw_min_max,
+        "kw_exclusive": _q_kw_exclusive,
+        "kw_length": _q_kw_length,
+        "kw_pattern": _q_kw_pattern,
+        "kw_const": _q_kw_const,
+        "kw_multipleof": _q_kw_multipleof,
+        "kw_required": _q_kw_required,
+        "kw_minmaxitems": _q_kw_minmaxitems,
+        "kw_prefixitems": _q_kw_prefixitems,
+        "kw_oneof": _q_kw_oneof,
+        "kw_ifthenelse": _q_kw_ifthenelse,
+        "kw_anyof_not": _q_kw_anyof_not,
+        "kw_uniqueitems": _q_kw_uniqueitems,
+        "kw_dependentrequired": _q_kw_dependentrequired,
+        "kw_dependentschemas": _q_kw_dependentschemas,
+        "kw_type_integer_frac": _q_kw_type_integer_frac,
+        "kw_minmaxprops": _q_kw_minmaxprops,
     }
 
 
