@@ -611,7 +611,11 @@ def _q_text_winnow(spark, sf_dir):
     normalized run)."""
     from json_schema_modern_spark.operators.text import winnowing_fingerprints
 
-    fp = winnowing_fingerprints(_dup_docs(spark, sf_dir))
+    # small-SF input arrives as ~2 parquet splits; spread the Arrow-batched
+    # hashing UDF across all cores (at cluster scale the scan already has
+    # thousands of splits and this repartition is a cheap rebalance)
+    docs = _dup_docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    fp = winnowing_fingerprints(docs)
     return (fp.select("doc_id", F.explode("prints").alias("h"))
             .groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
             .filter(F.col("n_docs") > 1))
@@ -1589,9 +1593,16 @@ FROM (SELECT doc_id, list_max({arr}) AS best FROM documents)
 
 
 def _winnow_oracle(dup_docs: str) -> str:
-    """Recompute the winnowing selection (k=8, w=4) in SQL: md5-derived
-    60-bit hash per 8-gram of the normalized text, min per 4-hash window,
-    distinct per doc, then prints shared by >1 distinct doc."""
+    """Recompute the winnowing selection (k=8, w=4) in SQL: exact base-128
+    polynomial hash (Σ ascii(c_j) << 7*(7-j), ≤56 bits so BIGINT-exact)
+    per 8-gram of the normalized text, min per 4-hash window, distinct per
+    doc, then prints shared by >1 distinct doc."""
+    # outer CAST: DuckDB list_sum yields HUGEINT; the comparison hash is
+    # type-strict, so pin it back to BIGINT (value is < 2^56, always safe)
+    gram_hash = (
+        "CAST(list_sum(list_transform(range(0, 8), "
+        "j -> CAST(ascii(substring(t, CAST(i + j AS INT), 1)) AS BIGINT) << CAST(7 * (7 - j) AS INT))) AS BIGINT)"
+    )
     return f"""
 WITH norm AS (
   SELECT doc_id,
@@ -1599,8 +1610,7 @@ WITH norm AS (
   FROM {dup_docs}),
 hs AS (
   SELECT doc_id,
-         list_transform(range(1, length(t) - 8 + 2),
-           i -> CAST(concat('0x', substring(md5(substring(t, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)) AS h
+         list_transform(range(1, length(t) - 8 + 2), i -> {gram_hash}) AS h
   FROM norm WHERE length(t) >= 8),
 sel AS (
   SELECT doc_id, unnest(list_distinct(

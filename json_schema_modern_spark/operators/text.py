@@ -6,10 +6,11 @@ scale.  Formulas are deliberately SQL-portable for oracle checking.
 
 from __future__ import annotations
 
-import hashlib
 import re
 
+import numpy as np
 import pandas as pd
+from numpy.lib.stride_tricks import sliding_window_view
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -156,11 +157,18 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     window's minimum; the distinct selected hashes are the fingerprint set.
     Two documents sharing any fingerprint share a ≥k-char run.
 
-    The per-gram hash is the 60-bit md5 digest (engine-portable — the
-    DuckDB oracle recomputes it) standing in for the incremental
-    Rabin-Karp polynomial: selection semantics are identical, and inside
-    the Arrow-batched pandas UDF the md5-per-gram cost is amortized over
-    the batch.  Normalization matches `fingerprint` exactly."""
+    The per-gram hash is the exact base-128 polynomial over the gram's
+    ASCII codes (normalization leaves only [a-z0-9 ]): h = Σ c_j·128^(k-1-j).
+    For k ≤ 8 that is at most 56 bits, so it fits an int64 with NO modulus —
+    the hash is injective on k-grams (strictly better collision behavior
+    than the former truncated-md5 digest) and exactly replicable in the
+    DuckDB oracle via bit shifts.  The whole gram→hash→window-min pipeline
+    is numpy (sliding_window_view + matmul) — no per-gram Python, which is
+    what keeps this Arrow batch CPU-viable at 100 TB.
+    Normalization matches `fingerprint` exactly."""
+    if k > 8:
+        raise ValueError("base-128 polynomial is exact only for k <= 8")
+    weights = np.left_shift(np.int64(1), 7 * np.arange(k - 1, -1, -1, dtype=np.int64))
 
     @F.pandas_udf("array<long>")
     def win_udf(texts: pd.Series) -> pd.Series:
@@ -173,11 +181,11 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
             if len(s) < k:
                 out.append([])
                 continue
-            hs = [int(hashlib.md5(s[i:i + k].encode("utf-8")).hexdigest()[:15], 16)
-                  for i in range(len(s) - k + 1)]
+            codes = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.int64)
+            hs = sliding_window_view(codes, k) @ weights
             n_win = max(len(hs) - w + 1, 1)
-            sel = sorted({min(hs[i:i + w]) for i in range(n_win)})
-            out.append(sel)
+            mins = sliding_window_view(hs, min(w, len(hs)))[:n_win].min(axis=1)
+            out.append(np.unique(mins).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col), win_udf(F.col(text_col)).alias("prints"))
