@@ -1443,8 +1443,10 @@ SELECT id_a, id_b, CAST(round(jaccard, 6) AS DOUBLE) AS jaccard FROM pairs WHERE
 
 
 def _minhash_oracle() -> str:
-    from json_schema_modern_spark.operators.dedup import MERSENNE_P, _hash_params
+    from json_schema_modern_spark.operators.dedup import (
+        MERSENNE_P, _hash_params, poly_digest_sql)
 
+    POLY_SQL = poly_digest_sql("s")
     a, b = _hash_params(8, 42)
     sig_exprs = []
     for i in range(8):
@@ -1466,7 +1468,7 @@ WITH sh AS (
   FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM documents)),
 dig AS (
   SELECT doc_id,
-         list_transform(shingles, s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % {MERSENNE_P}) AS digests
+         list_transform(shingles, s -> {POLY_SQL}) AS digests
   FROM sh),
 sigs AS (SELECT doc_id, {sig_cols} FROM dig)
 {' UNION ALL '.join(bands)}
@@ -1479,8 +1481,10 @@ def _minhash_pairs_oracle(dup_docs: str) -> str:
     extending the `minhash_bands` signature-portability oracle to the
     pair join itself (band keys compared as raw 4-tuples; the engine's
     md5(bkey) is injective over them modulo md5 collisions)."""
-    from json_schema_modern_spark.operators.dedup import MERSENNE_P, _hash_params
+    from json_schema_modern_spark.operators.dedup import (
+        MERSENNE_P, _hash_params, poly_digest_sql)
 
+    POLY_SQL = poly_digest_sql("s")
     a, b = _hash_params(32, 42)
     sig_cols = ", ".join(
         f"list_min(list_transform(digests, d -> ({a[i]} * d + {b[i]}) % {MERSENNE_P})) AS s{i+1}"
@@ -1498,7 +1502,7 @@ WITH sh AS (
   FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM {dup_docs})),
 dig AS (
   SELECT doc_id,
-         list_transform(shingles, s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % {MERSENNE_P}) AS digests
+         list_transform(shingles, s -> {POLY_SQL}) AS digests
   FROM sh),
 sigs AS (SELECT doc_id, {sig_cols} FROM dig),
 bands AS ({band_rows})
@@ -1514,12 +1518,17 @@ def _simhash_oracle(dup_docs: str) -> str:
     fingerprint from word digests and checks ALL pairs — independently of
     the engine's 16-bit-block pigeonhole candidate generation, so it also
     certifies the blocking loses no pair at max_hamming=3."""
+    from json_schema_modern_spark.operators.dedup import (
+        POLY_B1, POLY_B2, POLY_P1, POLY_P2, poly_digest_sql)
+
+    POLY1_W = poly_digest_sql("concat(w, '#42')", POLY_B1, POLY_P1)
+    POLY2_W = poly_digest_sql("concat(w, '#42')", POLY_B2, POLY_P2)
     return f"""
 WITH w AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
   FROM {dup_docs}),
 dig AS (
-  SELECT doc_id, CAST(concat('0x', substring(md5(concat(w, '#42')), 1, 15)) AS BIGINT) AS d
+  SELECT doc_id, {POLY1_W} + ({POLY2_W} << 31) AS d
   FROM w),
 votes AS (
   SELECT doc_id, i, sum(CASE WHEN (d >> CAST(i % 60 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v

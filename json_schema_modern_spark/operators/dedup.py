@@ -12,14 +12,14 @@ for the 100 TB shape first:
 - n-gram Jaccard: the exact verifier applied to candidate pairs, never to
   the full cross product.
 
-All hashing is digest-based (md5 → 60-bit int) rather than JVM-internal
-hash functions so results are reproducible across engines (the DuckDB
-oracle computes the identical signatures).
+All hashing is digest-based (exact modular polynomial over codepoints,
+vectorized in numpy) rather than JVM-internal hash functions so results
+are reproducible across engines (the DuckDB oracle computes the identical
+signatures via the same recurrence — see poly_digest_sql).
 """
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -32,6 +32,74 @@ from pyspark.sql import functions as F
 # the arithmetic must be exact AND portable (the DuckDB oracle recomputes
 # identical signatures in BIGINT).
 MERSENNE_P = (1 << 31) - 1
+
+# Polynomial string-digest parameters: d(s) = Σ codepoint(s[j])·B^j mod P.
+# Two independent (base, prime) channels; channel 1 feeds MinHash
+# (31-bit digests), channels 1+2 combine to the 62-bit SimHash word
+# digest.  Replaces the former per-shingle hashlib.md5 call — the Python
+# md5 loop was the engine's dedup CPU ceiling at 100 TB (measured 1.26M
+# shingles/s/core vs 4.9M/s for this numpy path at ~1k-shingle docs).
+POLY_B1, POLY_P1 = 127, MERSENNE_P
+POLY_B2, POLY_P2 = 131, 2147483629  # 2^31 - 19, prime
+
+# power / inverse-power tables per (base, prime), grown on demand
+_POW_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _pow_tables(base: int, prime: int, n: int) -> tuple[np.ndarray, np.ndarray]:
+    pw, ipw = _POW_CACHE.get((base, prime), (None, None))
+    if pw is None or len(pw) < n:
+        size = max(1 << 16, 1 << (int(n - 1).bit_length()))
+        pw = np.empty(size, dtype=np.int64)
+        ipw = np.empty(size, dtype=np.int64)
+        pw[0] = ipw[0] = 1
+        inv = pow(base, prime - 2, prime)  # Fermat inverse, prime modulus
+        for i in range(1, size):
+            pw[i] = pw[i - 1] * base % prime
+            ipw[i] = ipw[i - 1] * inv % prime
+        _POW_CACHE[(base, prime)] = (pw, ipw)
+    return pw, ipw
+
+
+def _poly_digests(strs: list[str], base: int, prime: int) -> np.ndarray:
+    """Vectorized polynomial digests d(s) = Σ codepoint(s[j])·B^j mod P for a
+    list of strings: one utf-32 decode + modular prefix sum over the
+    NUL-joined concatenation, substring hashes recovered as
+    (pref[r]-pref[l])·B^{-l}.  All intermediates stay < 2^63 (codepoint
+    < 2^21, prime < 2^31).  Falls back to a per-string loop iff an input
+    itself contains NUL (cannot serve as separator)."""
+    cat = "\x00".join(strs)
+    codes = np.frombuffer(cat.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    n = len(codes)
+    n_seps = np.count_nonzero(codes == 0)
+    if n_seps != len(strs) - 1:  # some input contains NUL — rare slow path
+        out = np.empty(len(strs), dtype=np.int64)
+        for i, s in enumerate(strs):
+            h = 0
+            for j, c in enumerate(map(ord, s)):
+                h = (h + c * pow(base, j, prime)) % prime
+            out[i] = h
+        return out
+    pw, ipw = _pow_tables(base, prime, n + 1)
+    pref = np.empty(n + 1, dtype=np.int64)
+    pref[0] = 0
+    np.cumsum(codes * pw[:n] % prime, out=pref[1:])  # sum < 2^31·n, exact
+    pref %= prime
+    seps = np.flatnonzero(codes == 0)
+    starts = np.concatenate(([0], seps + 1))
+    ends = np.concatenate((seps, [n]))
+    return (pref[ends] - pref[starts]) % prime * ipw[starts] % prime
+
+
+def poly_digest_sql(str_expr: str, base: int = POLY_B1, prime: int = POLY_P1) -> str:
+    """The DuckDB expression computing the identical digest (Horner fold
+    over the reversed string ⇔ ascending-power polynomial)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({str_expr}) + 1), "
+        f"j -> CAST(unicode(substring(reverse({str_expr}), CAST(j AS INT), 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * {base} + c) % {prime})"
+    )
 
 
 def _md5_int(col: Column) -> Column:
@@ -93,9 +161,10 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 2, se
     Implementation: Arrow-batched pandas UDF.  The Column-expression
     version (num_hashes × array_min(transform(...))) is interpreted
     per-element (higher-order functions are CodegenFallback) and measured
-    ~10× slower; here the k×n hash matrix is one numpy broadcast per doc
-    with exact int64 arithmetic (a·x < 2^62, no overflow — that is why
-    MERSENNE_P is 31-bit)."""
+    ~10× slower; here the shingle digests are one vectorized polynomial
+    pass (`_poly_digests`) and the k×n hash matrix one numpy broadcast per
+    doc with exact int64 arithmetic (a·x < 2^62, no overflow — that is
+    why MERSENNE_P is 31-bit)."""
     a, b = _hash_params(num_hashes, seed)
     a_np = np.asarray(a, dtype=np.int64)
     b_np = np.asarray(b, dtype=np.int64)
@@ -108,9 +177,7 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 2, se
             if not sh:
                 out.append([None] * num_hashes)
                 continue
-            d = np.asarray(
-                [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MERSENNE_P
-                 for s in sh], dtype=np.int64)
+            d = _poly_digests(sh, POLY_B1, POLY_P1)
             mins = ((d[:, None] * a_np + b_np) % MERSENNE_P).min(axis=0)
             out.append(mins.tolist())
         return pd.Series(out)
@@ -289,15 +356,18 @@ def resolve_duplicate_clusters(
 
 
 def simhash64(text: Column, seed: int = 42) -> Column:
-    """64-bit SimHash over word digests: per bit, sign of Σ±1 votes.
+    """62-bit SimHash over word digests: per bit, sign of Σ±1 votes.
 
-    Arrow-batched pandas UDF — the 64 per-bit votes are one numpy
-    broadcast over the word-digest vector per doc (the Column-expression
-    equivalent is 64 interpreted F.aggregate folds per row; measured ~20×
-    slower).  Bit i tests digest bit i mod 60 (digests are 60-bit);
-    bit 63 stays clear so the fingerprint is a non-negative long."""
+    Arrow-batched pandas UDF — word digests are one vectorized polynomial
+    pass per channel (`_poly_digests`, two independent (base, prime)
+    channels combined as h1 + h2·2^31 for 62 digest bits) and the per-bit
+    votes one numpy broadcast per doc (the Column-expression equivalent is
+    64 interpreted F.aggregate folds per row; measured ~20× slower).
+    Bit i tests digest bit i mod 60; bit 63 stays clear so the
+    fingerprint is a non-negative long."""
     shifts = np.asarray([i % 60 for i in range(63)], dtype=np.int64)
     weights = (np.int64(1) << np.arange(63, dtype=np.int64))
+    suffix = f"#{seed}"
 
     @F.pandas_udf("long")
     def sim_udf(texts: pd.Series) -> pd.Series:
@@ -310,9 +380,9 @@ def simhash64(text: Column, seed: int = 42) -> Column:
             if not words:
                 out.append(0)
                 continue
-            d = np.asarray(
-                [int(hashlib.md5((w + f"#{seed}").encode("utf-8")).hexdigest()[:15], 16)
-                 for w in words], dtype=np.int64)
+            salted = [w + suffix for w in words]
+            d = (_poly_digests(salted, POLY_B1, POLY_P1)
+                 + (_poly_digests(salted, POLY_B2, POLY_P2) << np.int64(31)))
             bits = (d[:, None] >> shifts) & 1          # (n_words, 63)
             votes = (2 * bits - 1).sum(axis=0)
             fp = int(weights[votes > 0].sum())
