@@ -157,19 +157,29 @@ def run_validation(spec, args) -> int:
     if args.output_format != "violations":
         res = Validator(spec, extra_schemas=extra) \
             .validate(df, id_cols=[args.id_col])
-        out_df = {
-            "basic": res.basic_output,
-            "strict_basic": res.strict_basic_output,
-            "terse": res.terse_output,
-            "data_only": res.data_only_output,
-        }[args.output_format]()
-        n_rows = out_df.count()
-        if args.output:
-            import os as _os
+        # all three actions below (count, write, flag) derive from the
+        # annotated DF — cache it so the validation computes once
+        res.annotated.persist()
+        try:
+            out_df = {
+                "basic": res.basic_output,
+                "strict_basic": res.strict_basic_output,
+                "terse": res.terse_output,
+                "data_only": res.data_only_output,
+            }[args.output_format]()
+            n_rows = out_df.count()
+            if args.output:
+                import os as _os
 
-            out_df.write.mode("overwrite").parquet(
-                _os.path.join(args.output, f"results_{args.output_format}"))
-        valid = res.flag()
+                # terse is a violation-rows table, not per-row result
+                # documents — name the artifact accordingly
+                artifact = ("violations_terse" if args.output_format == "terse"
+                            else f"results_{args.output_format}")
+                out_df.write.mode("overwrite").parquet(
+                    _os.path.join(args.output, artifact))
+            valid = res.flag()
+        finally:
+            res.annotated.unpersist()
         print(json.dumps({"valid": bool(valid),
                           "output_format": args.output_format,
                           "rows": n_rows}))

@@ -379,6 +379,7 @@ _KNOWN_KEYWORDS = (
         "exclusiveMinimum", "maxLength", "minLength", "pattern",
         "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
         "maxContains", "minContains", "additionalItems",
+        "id",  # draft4 base-URI declaration (pre-$id spelling)
         "x-unique", "x-ref", "x-drift",
     }
 )

@@ -120,20 +120,30 @@ def ivf_centroids(
     n_centroids: int = 8,
     sample_mod: int = 10,
     iters: int = 5,
+    max_sample: int = 200_000,
 ) -> list[list[float]]:
     """Deterministic coarse quantizer for IVF: Lloyd's k-means on a BOUNDED
-    deterministic sample (id % sample_mod == 0, collected driver-side —
-    at scale the modulus caps driver memory exactly like the drift
-    reference sample).  Init = the first k sample vectors in id order;
-    fixed iteration count; empty clusters keep their previous centroid.
-    Pure function of (data, parameters) ⇒ the DuckDB oracle re-derives
-    identical centroids through this same helper."""
+    deterministic sample (id % sample_mod == 0, collected driver-side).
+    Init = the first k sample vectors in id order; fixed iteration count;
+    empty clusters keep their previous centroid.  Pure function of
+    (data, parameters) ⇒ the DuckDB oracle re-derives identical centroids
+    through this same helper.
+
+    ``max_sample`` is an absolute driver-memory guard: the modulus alone
+    does NOT bound the sample (10% of a 10^12-row table is not a driver
+    sample), so the sampled count is checked first and the call fails fast
+    with the modulus to use instead of OOM-ing the driver."""
     import numpy as np
 
-    rows = (
-        df.filter(F.col(id_col) % sample_mod == 0)
-        .select(id_col, vec_col).orderBy(id_col).collect()
-    )
+    sampled = df.filter(F.col(id_col) % sample_mod == 0).select(id_col, vec_col)
+    n = sampled.count()
+    if n > max_sample:
+        need = sample_mod * (n // max_sample + 1)
+        raise ValueError(
+            f"ivf_centroids: id % {sample_mod} == 0 selects {n} rows "
+            f"(> max_sample={max_sample}); raise sample_mod to ~{need} "
+            f"or raise max_sample explicitly")
+    rows = sampled.orderBy(id_col).collect()
     x = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
     k = min(n_centroids, len(x))
     cent = x[:k].copy()

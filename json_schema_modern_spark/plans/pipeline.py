@@ -93,7 +93,14 @@ class ValidationPipeline:
     ):
         self.spec = spec
         self.id_col = id_col
-        self.workdir = workdir
+        if workdir is not None and "://" in workdir and not workdir.startswith("file://"):
+            # checkpoint cleanup + lineage appends use os-level file ops;
+            # a remote URI (hdfs://, s3a://) would silently no-op the
+            # stale-partition deletes and corrupt resume semantics.
+            raise ValueError(
+                "workdir must be a local filesystem path (remote URIs are "
+                "not supported; point workdir at a shared local mount)")
+        self.workdir = workdir[7:] if workdir and workdir.startswith("file://") else workdir
         self.n_buckets = n_buckets
         self.drift_bins = drift_bins
         self.drift_hi = drift_hi
@@ -300,12 +307,19 @@ class ValidationPipeline:
                 (run_id, snapshot_id, fingerprint, -1, "done", 0, None, time.time())
             ])
 
-        try:
-            all_viols = (spark.read.parquet(viol_path)
-                         .filter(F.col("fp") == fingerprint).drop("fp"))
-        except Exception:
-            # a fully-clean run writes no partition files at all — an empty
-            # violations table, not an error (the CLI must exit 0)
+        # read this spec's partition subtree directly (never sibling
+        # fingerprints' files); a fully-clean run writes no partition files
+        # at all — that is an empty violations table, not an error (the CLI
+        # must exit 0).  Any OTHER read failure (corrupt files, permission)
+        # must propagate: treating it as "no violations" would report a
+        # dirty dataset as valid.
+        fp_dir = os.path.join(viol_path, f"fp={fingerprint}")
+        has_files = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(fp_dir) for f in files)
+        if has_files:
+            all_viols = spark.read.parquet(fp_dir)
+        else:
             all_viols = spark.createDataFrame(
                 [], ", ".join(f"{c} string" for c in VIOL_COLS) + ", bucket int")
         stats = column_stats(df, stats_columns or [c for c in df.columns if c != "tokens"])

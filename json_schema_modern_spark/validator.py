@@ -10,6 +10,7 @@ per-partition rollup the distributed analogue of Result's validity.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 from typing import Any
 
@@ -286,9 +287,19 @@ class Validator:
         out = df
         for ptr, v in self.defaults_map().items():
             name = ptr[1:]
-            if name in df.columns:
-                out = out.withColumn(name, F.coalesce(
-                    F.col(name), F.lit(v).cast(df.schema[name].dataType)))
+            if name not in df.columns:
+                continue
+            if isinstance(v, dict):
+                # object default: F.lit cannot take a dict — decode it into
+                # the column's struct/map type via from_json (still a pure
+                # Column expression, evaluated once as a literal)
+                filler = F.from_json(F.lit(json.dumps(v)), df.schema[name].dataType)
+            elif isinstance(v, (list, tuple)):
+                filler = F.array(*[F.lit(x) for x in v]).cast(df.schema[name].dataType) \
+                    if v else F.array().cast(df.schema[name].dataType)
+            else:
+                filler = F.lit(v).cast(df.schema[name].dataType)
+            out = out.withColumn(name, F.coalesce(F.col(name), filler))
         return out
 
     def validate_json_strings(

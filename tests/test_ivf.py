@@ -55,3 +55,15 @@ def test_ivf_probe_prunes(spark):
     n_all = probed.count()
     one_cell_max = probed.groupBy("_c").count().agg(F.max("count")).first()[0]
     assert one_cell_max < n_all                      # pruning is real
+
+
+def test_centroid_sample_cap_fails_fast(spark):
+    """The absolute driver-memory guard: an over-selecting modulus must
+    raise (with the modulus to use) rather than collect the table."""
+    import pytest
+
+    df = _clustered_df(spark)
+    with pytest.raises(ValueError, match="raise sample_mod"):
+        ivf_centroids(df, n_centroids=3, sample_mod=2, max_sample=10)
+    # and the suggested shape passes
+    assert len(ivf_centroids(df, n_centroids=3, sample_mod=11, max_sample=10)) == 3
