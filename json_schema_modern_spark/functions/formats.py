@@ -28,9 +28,14 @@ FORMAT_REGEX: dict[str, str] = {
     "date": rf"^{_DATE}$",
     "time": rf"^{_TIME}$",
     "date-time": rf"^{_DATE}[Tt]{_TIME}$",
+    # contiguous units only: days may only follow months, seconds only
+    # follow minutes — P1Y2D / PT1H2S are invalid (the reference's nested
+    # Y(M(D)?)? regex, FormatAssertion.pm:70-86); integer quantities only
     "duration": (
-        r"^P(?:\d+W|(?=\d|T\d)(?:\d+Y)?(?:\d+M)?(?:\d+D)?"
-        r"(?:T(?=\d)(?:\d+H)?(?:\d+M)?(?:\d+S)?)?)$"
+        r"^P(?:\d+W"
+        r"|(?:\d+Y(?:\d+M(?:\d+D)?)?|\d+M(?:\d+D)?|\d+D)"
+        r"(?:T(?:\d+H(?:\d+M(?:\d+S)?)?|\d+M(?:\d+S)?|\d+S))?"
+        r"|T(?:\d+H(?:\d+M(?:\d+S)?)?|\d+M(?:\d+S)?|\d+S))$"
     ),
     "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
     "ipv4": (
@@ -77,7 +82,35 @@ FORMAT_REGEX: dict[str, str] = {
 # date formats additionally need a real-calendar check: regex admits Feb 30.
 _SEMANTIC_DATE = {"date", "date-time"}
 
+# UTC dates that really ended in 23:59:60 (IERS; mirrors formats_py.py —
+# the reference defers to DateTime's identical table for :60 instants)
+from json_schema_modern_spark.functions.formats_py import LEAP_SECOND_DATES
+
 _custom: dict[str, Callable[[Column], Column]] = {}
+
+
+def _leap_second_guard(col: Column, with_date: bool) -> Column:
+    """Second == 60 is only valid when the zulu-normalized wall time is
+    23:59 (FormatAssertion.pm:124-136) — and for date-time, only on a date
+    in the published leap-second table.  Pure Column arithmetic: regex
+    extracts stay in codegen, no Python in the loop."""
+    off = 11 if with_date else 0      # 'YYYY-MM-DDT' prefix length
+    hh = F.substring(col, off + 1, 2).cast("int")
+    mm = F.substring(col, off + 4, 2).cast("int")
+    ss = F.substring(col, off + 7, 2).cast("int")
+    tz = F.regexp_extract(col, r"([Zz]|[+-]\d{2}:\d{2})$", 1)
+    sign = F.when(F.substring(tz, 1, 1) == "+", F.lit(1)) \
+        .when(F.substring(tz, 1, 1) == "-", F.lit(-1)).otherwise(F.lit(0))
+    oh = F.when(F.length(tz) == 6, F.substring(tz, 2, 2).cast("int")).otherwise(F.lit(0))
+    om = F.when(F.length(tz) == 6, F.substring(tz, 5, 2).cast("int")).otherwise(F.lit(0))
+    total_min = hh * 60 + mm - sign * (oh * 60 + om)
+    if not with_date:
+        return (ss != 60) | (F.pmod(total_min, F.lit(24 * 60)) == 23 * 60 + 59)
+    shift = F.floor(total_min.cast("double") / F.lit(1440.0)).cast("int")
+    zdate = F.date_add(F.to_date(F.substring(col, 1, 10)), shift)
+    return (ss != 60) | (
+        (total_min - shift * 1440 == 23 * 60 + 59)
+        & zdate.cast("string").isin(*sorted(LEAP_SECOND_DATES)))
 
 
 def register_format(name: str, factory: Callable[[Column], Column]) -> None:
@@ -124,4 +157,9 @@ def format_predicate(name: str, col: Column) -> Column | None:
     if name in _SEMANTIC_DATE:
         date_part = F.substring(col, 1, 10)
         ok = ok & F.try_to_timestamp(date_part, F.lit("yyyy-MM-dd")).isNotNull()
+    if name in ("time", "date-time"):
+        ok = ok & _leap_second_guard(col, with_date=(name == "date-time"))
+    if name == "hostname":
+        # a bare IPv4 address is not a hostname (Data::Validate::Domain)
+        ok = ok & ~col.rlike(FORMAT_REGEX["ipv4"])
     return ok
