@@ -1,0 +1,404 @@
+"""Full pure-Python JSON Schema evaluator: lazy $ref resolution, dynamic
+scope, $vocabulary-aware metaschemas, and format assertion.
+
+This is the driver-side acceptance oracle — the component that consumes
+the reference's own published test corpora
+(/root/reference/t/additional-tests-draft2020-12/*.json, harness at
+t/lib/Acceptance.pm:76-112) and the engine behind metaschema
+self-validation (the ``validate_schema`` flow, Modern.pm:491-511).  It
+shares the symbol table (``spec.resolver.SchemaRegistry``) with the Spark
+compiler, so both tiers see identical $id/$anchor/$dynamicAnchor
+resolution; evaluation here is per-document recursive like the
+reference's ``_evaluate_subschema`` (Modern.pm:691-856), with:
+
+- LAZY reference resolution: a well-formed $ref to a missing document is
+  an error only if evaluation reaches it (badRef.json semantics); the
+  fragment-syntax check happens at add time, in the registry walk;
+- dynamic scope as the chain of schema resources entered, outermost
+  first, for $dynamicRef/$recursiveRef (V/Core.pm:327-361);
+- annotation sets (evaluated property names / item indices) merged from
+  successful subschemas only, consumed by unevaluated*;
+- $vocabulary validation when a registered schema is used as a
+  metaschema via $schema (vocabulary.json semantics);
+- format assertion through ``functions.formats_py`` (validate_formats=1,
+  matching the reference's additional-tests harness config).
+
+No Spark imports — unit-testable standalone.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal
+from typing import Any
+from urllib.parse import urldefrag, urljoin
+
+from json_schema_modern_spark.functions.formats_py import check_format
+from json_schema_modern_spark.pyeval.evaluator import _deep_eq, _type_matches, json_type
+from json_schema_modern_spark.spec.resolver import SchemaRegistry, SpecError
+
+STANDARD_DIALECTS = {
+    "https://json-schema.org/draft/2020-12/schema",
+    "https://json-schema.org/draft/2019-09/schema",
+    "http://json-schema.org/draft-07/schema",
+    "http://json-schema.org/draft-07/schema#",
+    "http://json-schema.org/draft-06/schema",
+    "http://json-schema.org/draft-06/schema#",
+    "http://json-schema.org/draft-04/schema",
+    "http://json-schema.org/draft-04/schema#",
+}
+
+VOCABS_2020_12 = {
+    f"https://json-schema.org/draft/2020-12/vocab/{n}"
+    for n in ("core", "applicator", "validation", "unevaluated",
+              "format-annotation", "format-assertion", "content", "meta-data")
+}
+
+_MAX_DEPTH = 256
+
+
+class EvalError(Exception):
+    """Evaluation aborted (unresolvable ref, bad metaschema, depth blown) —
+    the reference's exception Result: the instance is reported invalid."""
+
+
+class PyEvaluator:
+    """One evaluator = one registry of schema documents (the reference's
+    JSON::Schema::Modern object: documents added once, evaluated many)."""
+
+    def __init__(self, validate_formats: bool = True, dialect: str = "2020-12"):
+        self.registry = SchemaRegistry()
+        self.validate_formats = validate_formats
+        self.dialect = dialect
+        self._metaschema_ok: dict[str, str | None] = {}  # uri -> error or None
+
+    # -- document management ------------------------------------------------
+
+    def add_schema(self, schema: Any, default_uri: str = "") -> str:
+        """Register a document (traverse phase — raises SpecError on
+        malformed $id/$anchor/ref-fragment syntax, even in branches
+        evaluation would never reach)."""
+        return self.registry.add_schema(
+            schema, default_uri, legacy_id=(self.dialect == "4"))
+
+    # -- public evaluation ---------------------------------------------------
+
+    def evaluate_uri(self, uri: str, instance: Any) -> bool:
+        """Validity of `instance` against the registered root `uri`;
+        evaluation-time errors (unresolvable $ref, invalid metaschema in
+        $schema) surface as EvalError."""
+        root = self.registry.roots.get(uri)
+        if root is None:
+            raise EvalError(f"no registered schema at {uri!r}")
+        if isinstance(root, dict) and isinstance(root.get("$schema"), str):
+            err = self._metaschema_error(root["$schema"], uri)
+            if err:
+                raise EvalError(err)
+        ok, _, _ = self._eval(root, instance, uri, (uri,), 0)
+        return ok
+
+    def evaluate(self, schema: Any, instance: Any, default_uri: str = "") -> bool:
+        """Convenience: add (if new) + evaluate."""
+        uri = self.registry.add_schema(schema, default_uri,
+                                       legacy_id=(self.dialect == "4")) \
+            if default_uri not in self.registry.roots else default_uri
+        return self.evaluate_uri(uri, instance)
+
+    # -- metaschema / $vocabulary -------------------------------------------
+
+    def _metaschema_error(self, meta_uri: str, base: str) -> str | None:
+        key = urldefrag(urljoin(base, meta_uri))[0]
+        if meta_uri in STANDARD_DIALECTS or key in STANDARD_DIALECTS:
+            return None
+        if key in self._metaschema_ok:
+            return self._metaschema_ok[key]
+        meta = self.registry.roots.get(key)
+        err = None
+        if meta is None:
+            err = f"EXCEPTION: unable to find resource '{meta_uri}'"
+        elif isinstance(meta, dict) and "$vocabulary" in meta:
+            vocab = meta["$vocabulary"]
+            if not isinstance(vocab, dict):
+                err = "metaschema $vocabulary is not an object"
+            else:
+                core = "https://json-schema.org/draft/2020-12/vocab/core"
+                if vocab.get(core) is not True:
+                    err = "the Core vocabulary must be specified, with a value of true"
+                for vuri, req in vocab.items():
+                    if not isinstance(req, bool):
+                        err = f"$vocabulary value for {vuri!r} is not a boolean"
+                    elif vuri.startswith("https://json-schema.org/draft/") \
+                            and vuri not in VOCABS_2020_12:
+                        err = f"{vuri!r} uses a different specification version"
+                    elif req and vuri not in VOCABS_2020_12:
+                        err = f"{vuri!r} is not a known vocabulary"
+        self._metaschema_ok[key] = err
+        return err
+
+    # -- core ---------------------------------------------------------------
+
+    def _eval(self, node: Any, inst: Any, base: str, scope: tuple[str, ...],
+              depth: int) -> tuple[bool, frozenset, frozenset]:
+        empty = frozenset()
+        if depth > _MAX_DEPTH:
+            raise EvalError("evaluation depth exceeded (circular references?)")
+        if node is True or node == {}:
+            return True, empty, empty
+        if node is False:
+            return False, empty, empty
+        if not isinstance(node, dict):
+            raise EvalError(f"subschema is {type(node).__name__}, not object/boolean")
+
+        # resource entry: $id re-bases and pushes onto the dynamic scope
+        if isinstance(node.get("$id"), str):
+            base = urldefrag(urljoin(base, node["$id"]))[0]
+        if not scope or scope[-1] != base:
+            scope = scope + (base,)
+
+        fail = (False, empty, empty)
+        names: set = set()
+        idxs: set = set()
+
+        def child(s: Any, i: Any) -> bool:
+            return self._eval(s, i, base, scope, depth + 1)[0]
+
+        def merge_if_ok(s: Any, i: Any) -> bool:
+            ok, n, ix = self._eval(s, i, base, scope, depth + 1)
+            if ok:
+                names.update(n)
+                idxs.update(ix)
+            return ok
+
+        def eval_resource(res, i: Any) -> bool:
+            ok, n, ix = self._eval(res.node, i, res.base_uri, scope, depth + 1)
+            if ok:
+                names.update(n)
+                idxs.update(ix)
+            return ok
+
+        # ---- core vocabulary: references evaluate first ----
+        if isinstance(node.get("$ref"), str):
+            try:
+                res = self.registry.resolve(node["$ref"], base)
+            except SpecError as exc:
+                raise EvalError(str(exc)) from exc
+            if not eval_resource(res, inst):
+                return fail
+
+        if self.dialect == "2020-12" and isinstance(node.get("$dynamicRef"), str):
+            ref = node["$dynamicRef"]
+            uri, frag = self.registry.split_ref(ref, base)
+            if frag and not frag.startswith("/") \
+                    and (uri, frag) in self.registry.dynamic_anchors:
+                # bookended: the OUTERMOST in-scope resource declaring the
+                # same $dynamicAnchor wins; fall back to the static target
+                res = next(
+                    (self.registry.dynamic_anchors[(b, frag)]
+                     for b in scope if (b, frag) in self.registry.dynamic_anchors),
+                    self.registry.dynamic_anchors[(uri, frag)])
+            else:
+                try:
+                    res = self.registry.resolve(ref, base)
+                except SpecError as exc:
+                    raise EvalError(str(exc)) from exc
+            if not eval_resource(res, inst):
+                return fail
+
+        if self.dialect == "2019-09" and "$recursiveRef" in node:
+            cur = self.registry.resources.get(base)
+            if cur is None:
+                raise EvalError(f"no resource at {base!r} for $recursiveRef")
+            res = cur
+            if base in self.registry.recursive_anchors:
+                for b in scope:
+                    if b in self.registry.recursive_anchors:
+                        res = self.registry.resources[b]
+                        break
+            if not eval_resource(res, inst):
+                return fail
+
+        t = json_type(inst)
+
+        # ---- validation vocabulary ----
+        if "type" in node:
+            wants = node["type"]
+            wants = wants if isinstance(wants, list) else [wants]
+            if not any(_type_matches(inst, w) for w in wants):
+                return fail
+
+        if t in ("integer", "number") and not isinstance(inst, bool):
+            if "minimum" in node and not inst >= node["minimum"]:
+                return fail
+            if "maximum" in node and not inst <= node["maximum"]:
+                return fail
+            if "exclusiveMinimum" in node and not inst > node["exclusiveMinimum"]:
+                return fail
+            if "exclusiveMaximum" in node and not inst < node["exclusiveMaximum"]:
+                return fail
+            if "multipleOf" in node:
+                q = Decimal(str(inst)) / Decimal(str(node["multipleOf"]))
+                if q != q.to_integral_value():
+                    return fail
+
+        if t == "string":
+            if "minLength" in node and len(inst) < node["minLength"]:
+                return fail
+            if "maxLength" in node and len(inst) > node["maxLength"]:
+                return fail
+            if "pattern" in node and not re.search(node["pattern"], inst):
+                return fail
+
+        if "enum" in node and not any(_deep_eq(inst, m) for m in node["enum"]):
+            return fail
+        if "const" in node and not _deep_eq(inst, node["const"]):
+            return fail
+
+        if self.validate_formats and isinstance(node.get("format"), str):
+            if not check_format(node["format"], inst):
+                return fail
+
+        if t == "array":
+            if "minItems" in node and len(inst) < node["minItems"]:
+                return fail
+            if "maxItems" in node and len(inst) > node["maxItems"]:
+                return fail
+            if node.get("uniqueItems") is True:
+                for i in range(len(inst)):
+                    for j in range(i + 1, len(inst)):
+                        if _deep_eq(inst[i], inst[j]):
+                            return fail
+            n_prefix = 0
+            if "prefixItems" in node and self.dialect == "2020-12":
+                subs = node["prefixItems"]
+                n_prefix = len(subs)
+                for i, s in enumerate(subs):
+                    if i < len(inst) and not child(s, inst[i]):
+                        return fail
+                idxs.update(range(min(n_prefix, len(inst))))
+            if "items" in node:
+                items = node["items"]
+                if isinstance(items, list):
+                    if self.dialect == "2020-12":
+                        raise EvalError("array-form items is invalid in 2020-12")
+                    n_prefix = len(items)
+                    for i, s in enumerate(items):
+                        if i < len(inst) and not child(s, inst[i]):
+                            return fail
+                    idxs.update(range(min(n_prefix, len(inst))))
+                    if "additionalItems" in node:
+                        for x in inst[n_prefix:]:
+                            if not child(node["additionalItems"], x):
+                                return fail
+                        idxs.update(range(n_prefix, len(inst)))
+                else:
+                    for x in inst[n_prefix:]:
+                        if not child(items, x):
+                            return fail
+                    idxs.update(range(n_prefix, len(inst)))
+            if "contains" in node:
+                matching = [i for i, x in enumerate(inst)
+                            if child(node["contains"], x)]
+                min_c = node.get("minContains", 1)
+                if len(matching) < (min_c if min_c is not None else 1) and min_c != 0:
+                    return fail
+                idxs.update(matching)
+                if "maxContains" in node and len(matching) > node["maxContains"]:
+                    return fail
+                if "minContains" in node and len(matching) < min_c:
+                    return fail
+
+        if t == "object":
+            if "required" in node and any(k not in inst for k in node["required"]):
+                return fail
+            if "minProperties" in node and len(inst) < node["minProperties"]:
+                return fail
+            if "maxProperties" in node and len(inst) > node["maxProperties"]:
+                return fail
+            if "dependentRequired" in node:
+                for p, deps in node["dependentRequired"].items():
+                    if p in inst and any(d not in inst for d in deps):
+                        return fail
+            if "dependentSchemas" in node:
+                for p, s in node["dependentSchemas"].items():
+                    if p in inst and not merge_if_ok(s, inst):
+                        return fail
+            if "dependencies" in node and self.dialect in ("4", "6", "7"):
+                for p, dep in node["dependencies"].items():
+                    if p not in inst:
+                        continue
+                    if isinstance(dep, list):
+                        if any(d not in inst for d in dep):
+                            return fail
+                    elif not merge_if_ok(dep, inst):
+                        return fail
+            if "properties" in node:
+                for name, s in node["properties"].items():
+                    if name in inst:
+                        if not child(s, inst[name]):
+                            return fail
+                        names.add(name)
+            if "patternProperties" in node:
+                for pat, s in node["patternProperties"].items():
+                    for name, v in inst.items():
+                        if re.search(pat, name):
+                            if not child(s, v):
+                                return fail
+                            names.add(name)
+            if "additionalProperties" in node:
+                matched = set(node.get("properties", {}))
+                pats = list(node.get("patternProperties", {}))
+                for name, v in inst.items():
+                    if name in matched or any(re.search(p, name) for p in pats):
+                        continue
+                    if not child(node["additionalProperties"], v):
+                        return fail
+                    names.add(name)
+            if "propertyNames" in node:
+                for name in inst:
+                    if not child(node["propertyNames"], name):
+                        return fail
+
+        # ---- in-place applicators ----
+        if "allOf" in node:
+            for s in node["allOf"]:
+                if not merge_if_ok(s, inst):
+                    return fail
+        if "anyOf" in node:
+            # evaluate ALL branches (no short-circuit): annotations merge
+            # from every successful one (Acceptance.pm dual-mode contract)
+            if not any([merge_if_ok(s, inst) for s in node["anyOf"]]):
+                return fail
+        if "oneOf" in node:
+            results = [self._eval(s, inst, base, scope, depth + 1)
+                       for s in node["oneOf"]]
+            if sum(ok for ok, _, _ in results) != 1:
+                return fail
+            for ok, n, ix in results:
+                if ok:
+                    names.update(n)
+                    idxs.update(ix)
+        if "not" in node and child(node["not"], inst):
+            return fail
+        if "if" in node:
+            if_ok = merge_if_ok(node["if"], inst)
+            branch = "then" if if_ok else "else"
+            if branch in node and not merge_if_ok(node[branch], inst):
+                return fail
+
+        # ---- unevaluated*: last, over the complement of the merged sets ----
+        if "unevaluatedProperties" in node and t == "object":
+            for name, v in inst.items():
+                if name in names:
+                    continue
+                if not child(node["unevaluatedProperties"], v):
+                    return fail
+            names.update(inst.keys())
+        if "unevaluatedItems" in node and t == "array":
+            for i, x in enumerate(inst):
+                if i in idxs:
+                    continue
+                if not child(node["unevaluatedItems"], x):
+                    return fail
+            idxs.update(range(len(inst)))
+
+        return True, frozenset(names), frozenset(idxs)

@@ -34,6 +34,26 @@ _SUBSCHEMA_MAP_KEYWORDS = {
 }
 
 _ANCHOR_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9._-]*$")
+_JSON_POINTER_RE = re.compile(r"^(/([^/~]|~[01])*)*$")
+
+
+def _check_ref_fragment(ref: str, kw: str, pointer: str) -> None:
+    """Traverse-time $ref/$dynamicRef fragment SYNTAX check (the reference
+    rejects malformed fragments when the document is added, even in
+    never-evaluated branches — Document.pm traverse; exercised by
+    t/additional-tests-draft2020-12/{ref,badRef}.json).  Resolution itself
+    stays lazy: a well-formed ref to a missing document only errors if
+    evaluation actually reaches it."""
+    frag = ref.partition("#")[2]
+    if not frag:
+        return
+    if frag.startswith("/"):
+        if not _JSON_POINTER_RE.match(frag):
+            raise SpecError(
+                f"{kw} at {pointer or '/'}: invalid JSON-pointer fragment {frag!r}")
+    elif not _ANCHOR_RE.match(frag):
+        raise SpecError(
+            f"{kw} at {pointer or '/'}: invalid anchor fragment {frag!r}")
 
 
 class SpecError(ValueError):
@@ -132,6 +152,10 @@ class SchemaRegistry:
             v = node["$id"] if "$id" in node else node["id"]
             if not isinstance(v, str):
                 raise SpecError(f"$id at {pointer or '/'} is not a string")
+            if v in ("", "#"):
+                # empty / empty-fragment $id is not a URI-reference that can
+                # name a resource (t/additional-tests-draft2020-12/id.json)
+                raise SpecError(f"$id at {pointer or '/'} must not be {v!r}")
             new_uri, frag = urldefrag(urljoin(base_uri, v))
             if frag:
                 raise SpecError(f"$id at {pointer or '/'} must not carry a fragment")
@@ -155,6 +179,10 @@ class SchemaRegistry:
                 if kw == "$dynamicAnchor":
                     # a $dynamicAnchor is also addressable as a plain anchor
                     self.anchors.setdefault(key, table[key])
+
+        for kw in ("$ref", "$dynamicRef"):
+            if kw in node and isinstance(node[kw], str):
+                _check_ref_fragment(node[kw], kw, pointer)
 
         for kw, val in node.items():
             p = f"{pointer}/{json_pointer_escape(kw)}"
@@ -194,10 +222,18 @@ class SchemaRegistry:
             return node[token]
         raise SpecError(f"cannot index {type(node).__name__} with {token!r}")
 
+    def split_ref(self, ref: str, base_uri: str) -> tuple[str, str]:
+        """(document URI, fragment) for a $ref value.  Fragment-only refs
+        stay within the base document WITHOUT urljoin (urljoin cannot
+        handle non-hierarchical schemes like tag:/urn: used for synthetic
+        root URIs)."""
+        if ref.startswith("#"):
+            return base_uri, ref[1:]
+        return urldefrag(urljoin(base_uri, ref))
+
     def resolve(self, ref: str, base_uri: str) -> Resource:
         """Resolve a $ref value against the base URI in force."""
-        target = urljoin(base_uri, ref)
-        uri, frag = urldefrag(target)
+        uri, frag = self.split_ref(ref, base_uri)
         if frag and not frag.startswith("/"):
             res = self.anchors.get((uri, frag))
             if res is None:
@@ -208,13 +244,26 @@ class SchemaRegistry:
             raise SpecError(f"unresolvable $ref {ref!r} (base {base_uri!r})")
         if not frag:
             return base
-        node = self._pointer_get(base.node, frag)
-        # base URI in force at the target: nearest enclosing $id wins; a
-        # pointer hop cannot cross into a nested $id'd resource without the
-        # target itself carrying the $id, which _walk registered — re-derive.
+        # Walk the pointer tracking the base URI in force: every $id'd
+        # resource the pointer crosses re-bases refs found inside the
+        # target (reference: pointer hops land mid-document and the
+        # enclosing resource's canonical URI governs — Modern.pm:1114-1174;
+        # exercised by ref.json "change folder in subschema").
+        node = base.node
         inner_base = base.canonical_uri
-        if isinstance(node, dict) and "$id" in node:
-            inner_base, _ = urldefrag(urljoin(base.base_uri, node["$id"]))
+        tokens = [] if frag == "" else [json_pointer_unescape(t)
+                                        for t in frag.lstrip("/").split("/")]
+        for token in tokens:
+            node = self._step(node, token)
+            if isinstance(node, dict):
+                for k in ("$id", "id"):
+                    v = node.get(k)
+                    if isinstance(v, str) and v not in ("", "#"):
+                        cand = urldefrag(urljoin(inner_base, v))[0]
+                        if cand in self.resources \
+                                and self.resources[cand].node is node:
+                            inner_base = cand
+                            break
         return Resource(node, f"{base.canonical_uri}#{frag}", inner_base, frag)
 
     def resolve_dynamic(self, name: str, dynamic_scope: list[str]) -> Resource | None:
