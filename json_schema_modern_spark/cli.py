@@ -94,15 +94,28 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def check_spec(spec, extra_schemas=None) -> int:
-    """Compile the spec against a representative token-table schema —
-    traverse-phase errors (bad keywords, unresolvable $ref) surface here
-    without touching data (reference: traverse()-only path)."""
+    """Validate the SPEC itself — the reference's validate_schema flow
+    (Modern.pm:491-511), two tiers:
+
+    1. metaschema self-validation: the spec evaluated as instance data
+       against its declared ($schema) or default draft2020-12 metaschema,
+       driver-side through pyeval (no Spark needed — schemas are tiny);
+    2. compile against a representative token-table schema so Spark-tier
+       traverse errors (unsupported constructs, unresolvable $ref)
+       surface without touching data (reference: traverse()-only path).
+    """
     from pyspark.sql import types as T
 
     from json_schema_modern_spark.compiler.column_compiler import (
         CompileOptions, compile_spec,
     )
+    from json_schema_modern_spark.pyeval.metaschema import validate_schema
     from json_schema_modern_spark.spec.resolver import SpecError
+
+    meta_res = validate_schema(spec)
+    if not meta_res.valid:
+        print(json.dumps({"valid": False, "errors": meta_res.errors}))
+        return 1
 
     schema = T.StructType([
         T.StructField("doc_id", T.StringType()),

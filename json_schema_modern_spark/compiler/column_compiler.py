@@ -403,6 +403,31 @@ class _Ctx:
         self.annotations: list[dict] = []
 
 
+def _match_any_key(patterns: list):
+    """Arity-1 key selector for F.filter: key matches ANY of `patterns`
+    (explicit closure — Spark higher-order lambdas must not carry default
+    args)."""
+    def sel(k: Column) -> Column:
+        cond = F.lit(False)
+        for p in patterns:
+            cond = cond | k.rlike(p)
+        return cond
+    return sel
+
+
+def _unmatched_key(names: list, patterns: list):
+    """Arity-1 key selector: key matched by NEITHER the literal name set
+    nor any pattern (the additionalProperties complement)."""
+    def sel(k: Column) -> Column:
+        cond = F.lit(True)
+        if names:
+            cond = cond & ~k.isin(names)
+        for p in patterns:
+            cond = cond & ~k.rlike(p)
+        return cond
+    return sel
+
+
 def _num_str(v: Any) -> str:
     """Format a schema number the way the reference's sprintf_num does."""
     if isinstance(v, bool):
@@ -851,6 +876,14 @@ class ColumnCompiler:
         ):
             add(self._content_kw(schema, t, kloc, base, abs_ptr, E))
 
+        if "format" in schema and isinstance(schema["format"], str) \
+                and self.options.collect_annotations and t.annotatable:
+            # the format name is ALWAYS annotated when the keyword is
+            # evaluated, independent of assertion mode
+            # (FormatAnnotation.pm:47-48: A($state, $schema->{format})
+            # before the validate_formats check)
+            self._annotate(t, kloc, base, abs_ptr, "format",
+                           value=schema["format"])
         if "format" in schema and self.options.validate_formats and applies("format"):
             pred = format_predicate(schema["format"], t.value_col().cast("string"))
             if pred is not None:
@@ -972,8 +1005,11 @@ class ColumnCompiler:
             add(E("minProperties", self._prop_count(t) >= n,
                   f"object has fewer than {n} propert{'ies' if n != 1 else 'y'}"))
 
+        annotating = (self.options.collect_annotations and t.annotatable
+                      and jt == "object")
         matched_names: set[str] = set()
         if "properties" in schema and applies("properties"):
+            prop_present: list = []
             for name, s in schema["properties"].items():
                 pt = t.get_property(name)
                 matched_names.add(name)
@@ -982,14 +1018,20 @@ class ColumnCompiler:
                         pt = self._map_value_target(t, name)
                     else:
                         continue
+                prop_present.append((name, pt.present))
                 _amark = len(self.ctx.annotations)
                 add(sub("properties", s, pt, suffix=f"/{json_pointer_escape(name)}"))
                 # absent property ⇒ subtree not evaluated ⇒ no annotations
                 self._gate_annotations(_amark, pt.present)
+            if annotating:
+                # evaluated-names annotation (V/Applicator.pm:448)
+                self._annotate_names("properties", prop_present, t,
+                                     kloc, base, abs_ptr)
 
         is_map = isinstance(t.dtype, T.MapType)
         pattern_res: list[str] = []
         if "patternProperties" in schema and applies("patternProperties"):
+            pat_matched: list = []
             pat_children: list[Compiled] = []
             for pat, s in schema["patternProperties"].items():
                 pattern_res.append(pat)
@@ -1013,9 +1055,20 @@ class ColumnCompiler:
                         if re.search(pat, name):
                             matched_names.add(name)
                             pt = t.get_property(name)
+                            if not any(n == name for n, _ in pat_matched):
+                                pat_matched.append((name, pt.present))
                             _amark = len(self.ctx.annotations)
                             add(sub("patternProperties", s, pt, suffix=f"/{json_pointer_escape(pat)}"))
                             self._gate_annotations(_amark, pt.present)
+            if annotating:
+                # matched-names annotation (V/Applicator.pm:487, uniqstr)
+                if is_map:
+                    self._annotate_map_keys(
+                        "patternProperties", _match_any_key(pattern_res), t,
+                        kloc, base, abs_ptr)
+                else:
+                    self._annotate_names("patternProperties", pat_matched, t,
+                                         kloc, base, abs_ptr)
             if pat_children:
                 # ONE summary row per patternProperties keyword, however
                 # many patterns fail (Result shape parity: the reference
@@ -1047,6 +1100,10 @@ class ColumnCompiler:
                     s, t, _extra_sel, kw="additionalProperties", suffix="",
                     summary_msg="not all additional properties are valid",
                     kloc=kloc, base=base, abs_ptr=abs_ptr))
+                if annotating:
+                    self._annotate_map_keys(
+                        "additionalProperties",
+                        _unmatched_key(names, pats), t, kloc, base, abs_ptr)
             else:
                 extras = [n for n in t.field_names() if n not in matched_names
                           and not any(re.search(p, n) for p in pattern_res)]
@@ -1055,6 +1112,12 @@ class ColumnCompiler:
                     _amark = len(self.ctx.annotations)
                     add(sub("additionalProperties", s, pt))
                     self._gate_annotations(_amark, pt.present)
+                if annotating:
+                    # evaluated-extras annotation (V/Applicator.pm:523)
+                    self._annotate_names(
+                        "additionalProperties",
+                        [(n, t.get_property(n).present) for n in extras],
+                        t, kloc, base, abs_ptr)
 
         if "propertyNames" in schema and applies("propertyNames"):
             s = schema["propertyNames"]
@@ -1280,6 +1343,40 @@ class ColumnCompiler:
         U.pm:823-829)."""
         for a in self.ctx.annotations[start:]:
             a["guard"] = guard if a["guard"] is None else (a["guard"] & guard)
+
+    def _annotate(self, t: Target, kloc: str, base: str, abs_ptr: str,
+                  keyword: str, value: Any = None,
+                  value_col: Column | None = None) -> None:
+        """Record one annotation entry.  Static values are JSON-encoded at
+        compile time; `value_col` carries a row-dependent value as a
+        JSON-text Column (the applicator annotations — evaluated property
+        names — are per-row in a MapType/struct world)."""
+        self.ctx.annotations.append({
+            "ptr": t.ptr, "kloc": f"{kloc}/{keyword}",
+            "akloc": self._akloc(base, f"{abs_ptr}/{keyword}"),
+            "keyword": keyword, "value": value, "value_col": value_col,
+            "guard": None})
+
+    def _annotate_names(self, kw: str, pairs: list, t: Target, kloc: str,
+                        base: str, abs_ptr: str) -> None:
+        """Applicator annotation whose value is the list of property names
+        the keyword evaluated on this row (V/Applicator.pm:448,487,523 —
+        properties/patternProperties/additionalProperties push the names
+        seen; name order is sorted here where the reference's Perl hash
+        iteration is unspecified).  `pairs` = (name, presence Column)."""
+        if pairs:
+            arr = F.array_sort(F.array_compact(F.array(
+                *[F.when(p, F.lit(n)) for n, p in pairs])))
+        else:
+            arr = F.array().cast("array<string>")
+        self._annotate(t, kloc, base, abs_ptr, kw, value_col=F.to_json(arr))
+
+    def _annotate_map_keys(self, kw: str, key_sel, t: Target, kloc: str,
+                           base: str, abs_ptr: str) -> None:
+        """Same as _annotate_names for an open-properties MapType column:
+        the evaluated names are the runtime keys `key_sel` selects."""
+        keys = F.array_sort(F.filter(F.map_keys(t.value_col()), key_sel))
+        self._annotate(t, kloc, base, abs_ptr, kw, value_col=F.to_json(keys))
 
     def _type_kw(self, want: Any, t: Target, E) -> Compiled:
         wants = want if isinstance(want, list) else [want]

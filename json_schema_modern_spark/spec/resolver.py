@@ -36,6 +36,47 @@ _SUBSCHEMA_MAP_KEYWORDS = {
 _ANCHOR_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9._-]*$")
 _JSON_POINTER_RE = re.compile(r"^(/([^/~]|~[01])*)*$")
 
+# RFC 3986 characters legal anywhere in a URI (sans '#', handled as the
+# fragment separator): unreserved / gen-delims / sub-delims / pct-encoded.
+# The reference's equivalent is a Mojo::URL encode round-trip
+# (Utilities.pm:885-899) — any character Mojo would percent-encode (space,
+# '^', non-ASCII, a bare '%') makes the round-trip differ and the value
+# invalid; this character class is that same criterion stated directly.
+_URI_CHARS_RE = re.compile(
+    r"^(?:[A-Za-z0-9\-._~:/?\[\]@!$&'()*+,;=]|%[0-9A-Fa-f]{2})*$")
+_URI_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+# fragment forms a schema-internal URI may carry: empty, plain-name anchor
+# (superset across drafts), or JSON pointer (Utilities.pm:893-896)
+_FRAG_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_:.\-]*$")
+
+
+def _assert_uri_reference(value: Any, kw: str, pointer: str) -> None:
+    """Traverse-time URI-reference well-formedness (assert_uri_reference,
+    Utilities.pm:885-899): ASCII only, no characters that would need
+    percent-encoding, and any fragment restricted to the three schema
+    fragment forms.  Raises SpecError — the reference turns this into a
+    traverse error that invalidates the whole document."""
+    if not isinstance(value, str):
+        raise SpecError(f"{kw} at {pointer or '/'} is not a string")
+    head, sep, frag = value.partition("#")
+    if not _URI_CHARS_RE.match(head) or not _URI_CHARS_RE.match(frag):
+        raise SpecError(
+            f"{kw} at {pointer or '/'}: {value!r} is not a valid URI-reference")
+    if sep and frag and not _FRAG_NAME_RE.match(frag) \
+            and not _JSON_POINTER_RE.match(frag):
+        raise SpecError(
+            f"{kw} at {pointer or '/'}: {value!r} is not a valid URI-reference")
+
+
+def _assert_uri(value: Any, kw: str, pointer: str) -> None:
+    """Absolute-URI well-formedness (assert_uri, Utilities.pm:903-920):
+    URI-reference rules plus a required scheme."""
+    _assert_uri_reference(value, kw, pointer)
+    if not _URI_SCHEME_RE.match(value):
+        raise SpecError(
+            f"{kw} at {pointer or '/'}: {value!r} is not a valid URI "
+            "(missing scheme)")
+
 
 def _check_ref_fragment(ref: str, kw: str, pointer: str) -> None:
     """Traverse-time $ref/$dynamicRef fragment SYNTAX check (the reference
@@ -152,6 +193,7 @@ class SchemaRegistry:
             v = node["$id"] if "$id" in node else node["id"]
             if not isinstance(v, str):
                 raise SpecError(f"$id at {pointer or '/'} is not a string")
+            _assert_uri_reference(v, "$id", pointer)
             if v in ("", "#"):
                 # empty / empty-fragment $id is not a URI-reference that can
                 # name a resource (t/additional-tests-draft2020-12/id.json)
@@ -180,9 +222,39 @@ class SchemaRegistry:
                     # a $dynamicAnchor is also addressable as a plain anchor
                     self.anchors.setdefault(key, table[key])
 
-        for kw in ("$ref", "$dynamicRef"):
+        for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
             if kw in node and isinstance(node[kw], str):
+                # URI character well-formedness first (assert_uri_reference,
+                # Core.pm _traverse_keyword_ref), then the per-form fragment
+                # syntax — both at ADD time even in never-evaluated branches
+                # (t/invalid-schemas/ref.json)
+                _assert_uri_reference(node[kw], kw, pointer)
                 _check_ref_fragment(node[kw], kw, pointer)
+
+        if isinstance(node.get("$schema"), str):
+            # $schema must be a well-formed absolute URI
+            # (Core.pm _traverse_keyword_schema → assert_uri)
+            _assert_uri(node["$schema"], "$schema", pointer)
+
+        if "$vocabulary" in node and not legacy_id:
+            # Core.pm:363-391: object with boolean values, absolute-URI
+            # keys, and only at a schema resource root.  Vocabulary-LIST
+            # semantics (core required, unknown-REQUIRED aborts) stay where
+            # the reference puts them — at metaschema USE time
+            # (_check_vocabulary in the compiler, _metaschema_error in
+            # pyeval.full).
+            vocab = node["$vocabulary"]
+            if not isinstance(vocab, dict):
+                raise SpecError(
+                    f"$vocabulary at {pointer or '/'} is not an object")
+            if not has_id and pointer != "":
+                raise SpecError(
+                    "$vocabulary can only appear at the schema resource root")
+            for vuri, req in vocab.items():
+                if not isinstance(req, bool):
+                    raise SpecError(
+                        f'$vocabulary value at "{vuri}" is not a boolean')
+                _assert_uri(vuri, "$vocabulary", pointer)
 
         for kw, val in node.items():
             p = f"{pointer}/{json_pointer_escape(kw)}"

@@ -74,13 +74,19 @@ class ValidationResult:
         if with_annotations and self.plan.annotations:
             structs = []
             for a in self.plan.annotations:
+                # static values (MetaData, format) are JSON-encoded at
+                # compile time; applicator annotations (evaluated property
+                # names) arrive as a row-dependent JSON-text Column
+                val = a.get("value_col")
+                if val is None:
+                    val = F.lit(_json.dumps(a["value"]))
                 s = F.struct(
                     a["ptr"].cast("string").alias("instanceLocation"),
                     F.lit(a["kloc"]).alias("keywordLocation"),
                     F.lit(a["akloc"] or None).cast("string")
                      .alias("absoluteKeywordLocation"),
                     F.lit(a["keyword"]).alias("keyword"),
-                    F.lit(_json.dumps(a["value"])).alias("annotation"),
+                    val.alias("annotation"),
                 )
                 g = a["guard"]
                 structs.append(

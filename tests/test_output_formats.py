@@ -76,8 +76,12 @@ def test_collected_annotations(spark):
             for r in res.basic_output(with_annotations=True).collect()}
 
     def titles(d):
-        return {(a["keywordLocation"], json.loads(a["annotation"]))
-                for a in d.get("annotations", [])}
+        out = set()
+        for a in d.get("annotations", []):
+            val = json.loads(a["annotation"])
+            out.add((a["keywordLocation"],
+                     tuple(val) if isinstance(val, list) else val))
+        return out
 
     assert ("/title", "row schema") in titles(docs[1])
     assert ("/properties/v/description", "the value") in titles(docs[1])
@@ -98,6 +102,63 @@ def test_collected_annotations(spark):
     # default call shape unchanged
     plain = {r.rid: json.loads(r.result) for r in res.basic_output().collect()}
     assert "annotations" not in plain[1]
+
+
+def test_applicator_and_format_annotations(spark):
+    """properties/patternProperties/additionalProperties annotate the
+    EVALUATED property names (V/Applicator.pm:448,487,523) and format
+    annotates its name independent of assertion mode
+    (FormatAnnotation.pm:47-48)."""
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    spec = {"type": "object",
+            "properties": {"rid": {"type": "integer"},
+                           "email": {"type": "string", "format": "email"},
+                           "v": {"type": "integer"}},
+            "patternProperties": {"^x_": {"type": "string"}},
+            "additionalProperties": {"type": "string"}}
+    df = spark.createDataFrame(
+        [(1, "a@b.co", 3, "yes", "extra"),       # everything present
+         (2, None, 7, None, None)],              # only v present
+        "rid int, email string, v int, x_tag string, note string")
+    v = Validator(spec, CompileOptions(collect_annotations=True,
+                                       validate_formats=True))
+    res = v.validate(df, id_cols=["rid"])
+    docs = {r.rid: json.loads(r.result)
+            for r in res.basic_output(with_annotations=True).collect()}
+
+    def ann(d):
+        return {(a["keywordLocation"], a["keyword"]): json.loads(a["annotation"])
+                for a in d.get("annotations", [])}
+
+    a1, a2 = ann(docs[1]), ann(docs[2])
+    assert a1[("/properties", "properties")] == ["email", "rid", "v"]
+    assert a1[("/patternProperties", "patternProperties")] == ["x_tag"]
+    assert a1[("/additionalProperties", "additionalProperties")] == ["note"]
+    # format name annotated on the evaluated (present) string property
+    assert a1[("/properties/email/format", "format")] == "email"
+    # row 2: only v present — names shrink per row, absent email subtree
+    # contributes no format annotation
+    assert a2[("/properties", "properties")] == ["rid", "v"]
+    assert a2[("/patternProperties", "patternProperties")] == []
+    assert a2[("/additionalProperties", "additionalProperties")] == []
+    assert ("/properties/email/format", "format") not in a2
+
+    # MapType runtime object: names computed from the live keys
+    spec_m = {"type": "object",
+              "patternProperties": {"^k": {"type": "string"}},
+              "additionalProperties": True}
+    dfm = spark.createDataFrame(
+        [(1, {"k1": "a", "k2": "b", "other": "c"})],
+        "rid int, m map<string,string>")
+    vm = Validator({"type": "object", "properties": {"m": spec_m}},
+                   CompileOptions(collect_annotations=True))
+    dm = json.loads(vm.validate(dfm, id_cols=["rid"])
+                    .basic_output(with_annotations=True).first().result)
+    am = {a["keywordLocation"]: json.loads(a["annotation"])
+          for a in dm["annotations"]}
+    assert am["/properties/m/patternProperties"] == ["k1", "k2"]
+    assert am["/properties/m/additionalProperties"] == ["other"]
 
 
 def test_recommended_response(spark):
