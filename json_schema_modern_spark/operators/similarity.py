@@ -218,24 +218,56 @@ def embedding_near_duplicates(
     n_planes: int = 8,
     seed: int = 42,
     exact: bool = False,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """(id_a, id_b, sim) pairs with cosine ≥ threshold.
 
     exact=False joins within LSH buckets only (misses a sliver of pairs on
     bucket boundaries — the documented ANN trade); exact=True self-joins
-    everything (verification/small-data)."""
+    everything (verification/small-data).
+
+    Hot-bucket skew: a within-bucket self-join is QUADRATIC in bucket
+    size, so one dense bucket (e.g. a mass of near-zero embeddings all
+    landing on the same sign pattern) becomes a single straggler task at
+    scale.  Buckets larger than ``max_bucket_size`` are therefore
+    sub-blocked: rows hash into m = ⌈size/max⌉ sub-blocks and the bucket's
+    self-join becomes its m(m+1)/2 sub-block pairs, each a bounded task —
+    the per-bucket analogue of the exact path's block-matrix layout.  The
+    pair SET is unchanged (every within-bucket pair lands in exactly one
+    sub-block pair); normal buckets take m=1 and degenerate to the plain
+    join.  The bucket-size aggregate is tiny (≤ 2^n_planes rows) and
+    broadcast back."""
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
     if exact:
         return _blockpair_near_duplicates(base, threshold)
-    else:
-        planes = hyperplanes(df.select(F.size(vec_col)).first()[0], n_planes, seed)
-        b = base.withColumn("_bucket", lsh_bucket_ids(F.col("_v"), planes))
-        joined = b.alias("l").join(b.alias("r"), "_bucket").where(F.col("l._id") < F.col("r._id"))
+    planes = hyperplanes(df.select(F.size(vec_col)).first()[0], n_planes, seed)
+    b = base.withColumn("_bucket", lsh_bucket_ids(F.col("_v"), planes))
+    sizes = b.groupBy("_bucket").agg(
+        F.ceil(F.count(F.lit(1)) / max_bucket_size).cast("int").alias("_m"))
+    bc = (
+        b.join(F.broadcast(sizes), "_bucket")
+        .withColumn("_sb", F.pmod(F.xxhash64(F.col("_id").cast("string")),
+                                  F.col("_m")).cast("int"))
+    )
+    # left row in sub-block i serves pair keys (i, j) for j ≥ i; right row
+    # in sub-block j serves (i, j) for i ≤ j — each unordered sub-block
+    # pair materializes once, diagonal pairs dedup on id order
+    lhs = bc.withColumn("_bj", F.explode(F.sequence(F.col("_sb"), F.col("_m") - 1))) \
+            .withColumnRenamed("_sb", "_bi")
+    rhs = bc.withColumn("_bi", F.explode(F.sequence(F.lit(0), F.col("_sb")))) \
+            .withColumnRenamed("_sb", "_bj")
+    joined = (
+        lhs.alias("l").join(rhs.alias("r"), ["_bucket", "_bi", "_bj"])
+        .where((F.col("_bi") != F.col("_bj"))
+               | (F.col("l._id") < F.col("r._id")))
+    )
     sim = F.aggregate(
         F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, c: a * c), F.lit(0.0), lambda a, x: a + x
     ) / (norm(F.col("l._v")) * norm(F.col("r._v")))
     return (
-        joined.select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), F.round(sim, 6).alias("sim"))
+        joined.select(F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
+                      F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
+                      F.round(sim, 6).alias("sim"))
         .where(F.col("sim") >= threshold)
         .distinct()
     )
