@@ -752,6 +752,27 @@ def _q_streaming_validation(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_contamination(spark, sf_dir):
+    """Benchmark-contamination check: the documents table split into a
+    deterministic 'benchmark' slice (doc_id % 19 == 0) and the training
+    remainder; per-doc distinct word-3-gram overlap with the benchmark.
+    Broadcast semi-join on the gram — the training side never shuffles."""
+    from json_schema_modern_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    train = docs.filter(F.col("doc_id") % 19 != 0)
+    out = ngram_contamination(train, bench, n=3)
+    return out.select(
+        "doc_id",
+        F.col("total_ngrams").cast("long").alias("total_ngrams"),
+        F.col("contaminated_ngrams").cast("long").alias("contaminated_ngrams"),
+        "contamination_rate",
+    )
+
+
 def _q_events_window(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -795,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "contamination_ngram": _q_contamination,
         "stats_lineitem": _q_stats,
         "hist_n_chars": _q_hist,
         "unique_doc_ids": _q_unique,
@@ -820,9 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_contains": _q_kw_contains,
         "kw_mincontains": _q_kw_mincontains,
         "kw_enum": _q_kw_enum,
-        "kw_items": _q_kw_items,
         # ---- driver correctness window boundary (50 entries above) --------
         # -- long-stable kw rows, green in r1 AND r2 ------------------------
+        "kw_items": _q_kw_items,
         "kw_min_max": _q_kw_min_max,
         "kw_exclusive": _q_kw_exclusive,
         "kw_length": _q_kw_length,
@@ -950,6 +972,28 @@ def oracle_sql() -> dict[str, str]:
     o = _simple_range_oracle()
     o["flagship_violations"] = _FLAGSHIP_ORACLE_ABS
     o["streaming_validation"] = _FLAGSHIP_ORACLE
+
+    # benchmark contamination: same normalization / gram construction /
+    # benchmark split as operators/contamination.py, stated in SQL
+    o["contamination_ngram"] = (
+        "WITH toks AS (SELECT doc_id, list_filter(string_split("
+        "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), "
+        "x -> x <> '') AS w FROM documents), "
+        "grams AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct("
+        "list_transform(generate_series(1, len(w) - 2), "
+        "i -> array_to_string(w[i:i+2], ' '))) ELSE [] END AS gs FROM toks), "
+        "bench AS (SELECT DISTINCT unnest(gs) AS gram FROM grams "
+        "WHERE doc_id % 19 = 0), "
+        "doc_grams AS (SELECT doc_id, unnest(gs) AS gram FROM grams "
+        "WHERE doc_id % 19 <> 0), "
+        "hits AS (SELECT doc_id, count(*) AS contaminated FROM doc_grams "
+        "JOIN bench USING (gram) GROUP BY doc_id) "
+        "SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS total_ngrams, "
+        "CAST(coalesce(h.contaminated, 0) AS BIGINT) AS contaminated_ngrams, "
+        "CAST(round(coalesce(h.contaminated, 0) / greatest(len(g.gs), 1), 6) "
+        "AS DOUBLE) AS contamination_rate "
+        "FROM grams g LEFT JOIN hits h USING (doc_id) WHERE g.doc_id % 19 <> 0"
+    )
 
     # per-element items violations + per-row summary
     o["kw_items"] = (

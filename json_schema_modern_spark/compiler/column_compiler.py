@@ -589,7 +589,7 @@ class ColumnCompiler:
         self.dialect = _detect_dialect(spec)
         _check_vocabulary(spec)
         self.root_uri = self.registry.add_schema(
-            spec, "", legacy_id=(self.dialect == "4"))
+            spec, "", dialect=self.dialect)
         self.spec = spec
         self.df_schema = df_schema
         self.ctx = _Ctx(self.registry, self.options)

@@ -1,0 +1,89 @@
+"""Benchmark-contamination detection: word-n-gram overlap between a
+training corpus and a benchmark/eval set.
+
+The standard decontamination primitive for LLM training pipelines (the
+n-gram collision check popularized by GPT-3/PaLM data cards): a training
+document is contaminated to the degree its word n-grams also appear in
+the benchmark set.  Spark shape chosen for 100 TB:
+
+- the BENCHMARK side is the small one — its distinct gram set is built
+  once and broadcast, so the (huge) training side never shuffles for the
+  join: explode → broadcast-hash semi-join → partial-aggregated count per
+  doc.  The only wide exchange is the final per-doc count rollup, which
+  carries (doc_id, count) — not text.
+- n-gram construction is pure Column expressions (split / slice /
+  concat_ws under transform), codegen'd, no Python in the row loop, and
+  SQL-portable so the DuckDB oracle replays it exactly.
+
+With ``broadcast=False`` (benchmark too big for one executor's memory)
+the same plan degrades to a shuffled hash join on the gram — the
+documented scale fallback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_words(text: Column) -> Column:
+    """Lowercased alnum word array (same normalization as
+    text.fingerprint: casing/punct/whitespace-insensitive)."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "), r"\s+", " "))
+    return F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """DISTINCT space-joined word n-grams of the normalized text (empty
+    array when the text has fewer than n words)."""
+    w = normalized_words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """(id, total_ngrams, contaminated_ngrams, contamination_rate) per
+    training document: how many of its distinct word n-grams appear
+    anywhere in the benchmark set.
+
+    n=8 is the conventional decontamination gram size; lower n trades
+    precision for recall."""
+    bench_text_col = bench_text_col or text_col
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(F.col(bench_text_col), n)).alias("gram")
+    ).distinct()
+    if broadcast:
+        bench_grams = F.broadcast(bench_grams)
+    with_grams = docs.select(F.col(id_col), word_ngrams(F.col(text_col), n).alias("_gs"))
+    hits = (
+        with_grams.select(F.col(id_col), F.explode("_gs").alias("gram"))
+        .join(bench_grams, "gram")                     # grams are distinct per doc
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+    )
+    total = with_grams.select(F.col(id_col), F.size("_gs").alias("total_ngrams"))
+    return (
+        total.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("total_ngrams"),
+            F.coalesce(F.col("contaminated_ngrams"), F.lit(0)).alias("contaminated_ngrams"),
+            F.round(
+                F.coalesce(F.col("contaminated_ngrams"), F.lit(0))
+                / F.greatest(F.col("total_ngrams"), F.lit(1)), 6
+            ).alias("contamination_rate"),
+        )
+    )

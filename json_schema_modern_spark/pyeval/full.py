@@ -35,7 +35,11 @@ from urllib.parse import urldefrag, urljoin
 
 from json_schema_modern_spark.functions.formats_py import check_format
 from json_schema_modern_spark.pyeval.evaluator import _deep_eq, _type_matches, json_type
-from json_schema_modern_spark.spec.resolver import SchemaRegistry, SpecError
+from json_schema_modern_spark.spec.resolver import (
+    _DIALECT_RANK,
+    SchemaRegistry,
+    SpecError,
+)
 
 STANDARD_DIALECTS = {
     "https://json-schema.org/draft/2020-12/schema",
@@ -48,11 +52,20 @@ STANDARD_DIALECTS = {
     "http://json-schema.org/draft-04/schema#",
 }
 
-VOCABS_2020_12 = {
-    f"https://json-schema.org/draft/2020-12/vocab/{n}"
-    for n in ("core", "applicator", "validation", "unevaluated",
-              "format-annotation", "format-assertion", "content", "meta-data")
+VOCABS_BY_DIALECT = {
+    "2020-12": {
+        f"https://json-schema.org/draft/2020-12/vocab/{n}"
+        for n in ("core", "applicator", "validation", "unevaluated",
+                  "format-annotation", "format-assertion", "content",
+                  "meta-data")
+    },
+    "2019-09": {
+        f"https://json-schema.org/draft/2019-09/vocab/{n}"
+        for n in ("core", "applicator", "validation", "format", "content",
+                  "meta-data")
+    },
 }
+VOCABS_2020_12 = VOCABS_BY_DIALECT["2020-12"]
 
 _MAX_DEPTH = 256
 
@@ -70,6 +83,11 @@ class PyEvaluator:
         self.registry = SchemaRegistry()
         self.validate_formats = validate_formats
         self.dialect = dialect
+        # draft rank (4 < 6 < 7 < 2019-09 < 2020-12) gates keyword
+        # applicability: a keyword from a later draft is an UNKNOWN keyword
+        # in an earlier dialect and must be ignored, and removed keywords
+        # (draft≤7 $ref sibling masking, dependencies) come back
+        self.rank = _DIALECT_RANK[dialect]
         self._metaschema_ok: dict[str, str | None] = {}  # uri -> error or None
 
     # -- document management ------------------------------------------------
@@ -78,8 +96,8 @@ class PyEvaluator:
         """Register a document (traverse phase — raises SpecError on
         malformed $id/$anchor/ref-fragment syntax, even in branches
         evaluation would never reach)."""
-        return self.registry.add_schema(
-            schema, default_uri, legacy_id=(self.dialect == "4"))
+        return self.registry.add_schema(schema, default_uri,
+                                        dialect=self.dialect)
 
     # -- public evaluation ---------------------------------------------------
 
@@ -100,7 +118,7 @@ class PyEvaluator:
     def evaluate(self, schema: Any, instance: Any, default_uri: str = "") -> bool:
         """Convenience: add (if new) + evaluate."""
         uri = self.registry.add_schema(schema, default_uri,
-                                       legacy_id=(self.dialect == "4")) \
+                                       dialect=self.dialect) \
             if default_uri not in self.registry.roots else default_uri
         return self.evaluate_uri(uri, instance)
 
@@ -118,19 +136,20 @@ class PyEvaluator:
             err = f"EXCEPTION: unable to find resource '{meta_uri}'"
         elif isinstance(meta, dict) and "$vocabulary" in meta:
             vocab = meta["$vocabulary"]
+            known = VOCABS_BY_DIALECT.get(self.dialect, set())
             if not isinstance(vocab, dict):
                 err = "metaschema $vocabulary is not an object"
             else:
-                core = "https://json-schema.org/draft/2020-12/vocab/core"
+                core = f"https://json-schema.org/draft/{self.dialect}/vocab/core"
                 if vocab.get(core) is not True:
                     err = "the Core vocabulary must be specified, with a value of true"
                 for vuri, req in vocab.items():
                     if not isinstance(req, bool):
                         err = f"$vocabulary value for {vuri!r} is not a boolean"
                     elif vuri.startswith("https://json-schema.org/draft/") \
-                            and vuri not in VOCABS_2020_12:
+                            and vuri not in known:
                         err = f"{vuri!r} uses a different specification version"
-                    elif req and vuri not in VOCABS_2020_12:
+                    elif req and vuri not in known:
                         err = f"{vuri!r} is not a known vocabulary"
         self._metaschema_ok[key] = err
         return err
@@ -150,8 +169,11 @@ class PyEvaluator:
             raise EvalError(f"subschema is {type(node).__name__}, not object/boolean")
 
         # resource entry: $id re-bases and pushes onto the dynamic scope
-        if isinstance(node.get("$id"), str):
-            base = urldefrag(urljoin(base, node["$id"]))[0]
+        # (draft4 spells it `id`; drafts 4-7 fragment-only ids are anchors,
+        # not resource bases)
+        _idv = node.get("id" if self.rank == 0 else "$id")
+        if isinstance(_idv, str) and not (self.rank <= 2 and _idv.startswith("#")):
+            base = urldefrag(urljoin(base, _idv))[0]
         if not scope or scope[-1] != base:
             scope = scope + (base,)
 
@@ -182,6 +204,12 @@ class PyEvaluator:
                 res = self.registry.resolve(node["$ref"], base)
             except SpecError as exc:
                 raise EvalError(str(exc)) from exc
+            if self.rank <= 2:
+                # drafts 4-7: $ref MASKS all sibling keywords — the ref
+                # target is the entire schema (V/Core.pm draft≤7 dispatch)
+                ok, n, ix = self._eval(res.node, inst, res.base_uri,
+                                       scope, depth + 1)
+                return (True, n, ix) if ok else fail
             if not eval_resource(res, inst):
                 return fail
 
@@ -204,15 +232,25 @@ class PyEvaluator:
             if not eval_resource(res, inst):
                 return fail
 
-        if self.dialect == "2019-09" and "$recursiveRef" in node:
-            cur = self.registry.resources.get(base)
-            if cur is None:
-                raise EvalError(f"no resource at {base!r} for $recursiveRef")
-            res = cur
-            if base in self.registry.recursive_anchors:
+        if self.dialect == "2019-09" and isinstance(node.get("$recursiveRef"), str):
+            # resolve statically like $ref; ONLY if the landing spot
+            # declares $recursiveAnchor:true does the ref re-resolve
+            # against the outermost in-scope recursive anchor
+            # (Core.pm:310-325 — exercised by recursive-dynamic.json's
+            # "$recursiveRef points to a boolean schema")
+            ref = node["$recursiveRef"]
+            try:
+                res = self.registry.resolve(ref, base)
+            except SpecError as exc:
+                raise EvalError(str(exc)) from exc
+            if isinstance(res.node, dict) \
+                    and res.node.get("$recursiveAnchor") is True:
                 for b in scope:
                     if b in self.registry.recursive_anchors:
-                        res = self.registry.resources[b]
+                        try:
+                            res = self.registry.resolve(ref, b)
+                        except SpecError as exc:
+                            raise EvalError(str(exc)) from exc
                         break
             if not eval_resource(res, inst):
                 return fail
@@ -223,18 +261,40 @@ class PyEvaluator:
         if "type" in node:
             wants = node["type"]
             wants = wants if isinstance(wants, list) else [wants]
-            if not any(_type_matches(inst, w) for w in wants):
+            if self.rank == 0:
+                # draft4: integers are INTEGER-TYPED values only — 2.0 is a
+                # number, never an integer (zero-fraction float acceptance
+                # starts at draft6)
+                if not any(t == w or (w == "number" and t == "integer")
+                           for w in wants):
+                    return fail
+            elif not any(_type_matches(inst, w) for w in wants):
                 return fail
 
         if t in ("integer", "number") and not isinstance(inst, bool):
-            if "minimum" in node and not inst >= node["minimum"]:
-                return fail
-            if "maximum" in node and not inst <= node["maximum"]:
-                return fail
-            if "exclusiveMinimum" in node and not inst > node["exclusiveMinimum"]:
-                return fail
-            if "exclusiveMaximum" in node and not inst < node["exclusiveMaximum"]:
-                return fail
+            if self.rank == 0:
+                # draft4 boolean-modifier exclusive forms
+                if "minimum" in node:
+                    if node.get("exclusiveMinimum") is True:
+                        if not inst > node["minimum"]:
+                            return fail
+                    elif not inst >= node["minimum"]:
+                        return fail
+                if "maximum" in node:
+                    if node.get("exclusiveMaximum") is True:
+                        if not inst < node["maximum"]:
+                            return fail
+                    elif not inst <= node["maximum"]:
+                        return fail
+            else:
+                if "minimum" in node and not inst >= node["minimum"]:
+                    return fail
+                if "maximum" in node and not inst <= node["maximum"]:
+                    return fail
+                if "exclusiveMinimum" in node and not inst > node["exclusiveMinimum"]:
+                    return fail
+                if "exclusiveMaximum" in node and not inst < node["exclusiveMaximum"]:
+                    return fail
             if "multipleOf" in node:
                 q = Decimal(str(inst)) / Decimal(str(node["multipleOf"]))
                 if q != q.to_integral_value():
@@ -250,7 +310,7 @@ class PyEvaluator:
 
         if "enum" in node and not any(_deep_eq(inst, m) for m in node["enum"]):
             return fail
-        if "const" in node and not _deep_eq(inst, node["const"]):
+        if "const" in node and self.rank >= 1 and not _deep_eq(inst, node["const"]):
             return fail
 
         if self.validate_formats and isinstance(node.get("format"), str):
@@ -295,17 +355,19 @@ class PyEvaluator:
                         if not child(items, x):
                             return fail
                     idxs.update(range(n_prefix, len(inst)))
-            if "contains" in node:
+            if "contains" in node and self.rank >= 1:
                 matching = [i for i, x in enumerate(inst)
                             if child(node["contains"], x)]
-                min_c = node.get("minContains", 1)
+                # minContains/maxContains exist from 2019-09
+                min_c = node.get("minContains", 1) if self.rank >= 3 else 1
                 if len(matching) < (min_c if min_c is not None else 1) and min_c != 0:
                     return fail
                 idxs.update(matching)
-                if "maxContains" in node and len(matching) > node["maxContains"]:
-                    return fail
-                if "minContains" in node and len(matching) < min_c:
-                    return fail
+                if self.rank >= 3:
+                    if "maxContains" in node and len(matching) > node["maxContains"]:
+                        return fail
+                    if "minContains" in node and len(matching) < min_c:
+                        return fail
 
         if t == "object":
             if "required" in node and any(k not in inst for k in node["required"]):
@@ -314,11 +376,11 @@ class PyEvaluator:
                 return fail
             if "maxProperties" in node and len(inst) > node["maxProperties"]:
                 return fail
-            if "dependentRequired" in node:
+            if "dependentRequired" in node and self.rank >= 3:
                 for p, deps in node["dependentRequired"].items():
                     if p in inst and any(d not in inst for d in deps):
                         return fail
-            if "dependentSchemas" in node:
+            if "dependentSchemas" in node and self.rank >= 3:
                 for p, s in node["dependentSchemas"].items():
                     if p in inst and not merge_if_ok(s, inst):
                         return fail
@@ -353,7 +415,7 @@ class PyEvaluator:
                     if not child(node["additionalProperties"], v):
                         return fail
                     names.add(name)
-            if "propertyNames" in node:
+            if "propertyNames" in node and self.rank >= 1:
                 for name in inst:
                     if not child(node["propertyNames"], name):
                         return fail
@@ -379,13 +441,15 @@ class PyEvaluator:
                     idxs.update(ix)
         if "not" in node and child(node["not"], inst):
             return fail
-        if "if" in node:
+        if "if" in node and self.rank >= 2:
             if_ok = merge_if_ok(node["if"], inst)
             branch = "then" if if_ok else "else"
             if branch in node and not merge_if_ok(node[branch], inst):
                 return fail
 
         # ---- unevaluated*: last, over the complement of the merged sets ----
+        if self.rank < 3:
+            return True, frozenset(names), frozenset(idxs)
         if "unevaluatedProperties" in node and t == "object":
             for name, v in inst.items():
                 if name in names:

@@ -142,7 +142,7 @@ def validate_schema(schema: Any,
 
     try:
         SchemaRegistry().add_schema(schema, "tag:validate-schema:root",
-                                    legacy_id=(dialect == "4"))
+                                    dialect=dialect)
     except SpecError as exc:
         return SchemaValidationResult(False, [str(exc)])
 

@@ -21,17 +21,34 @@ from dataclasses import dataclass, field
 from typing import Any
 from urllib.parse import urldefrag, urljoin
 
-# Keywords whose values are (or contain) subschemas, used by the walker.
-_SUBSCHEMA_KEYWORDS = {
-    "additionalProperties", "contains", "else", "if", "items", "not",
-    "propertyNames", "then", "unevaluatedItems", "unevaluatedProperties",
-    "contentSchema",
-}
-_SUBSCHEMA_LIST_KEYWORDS = {"allOf", "anyOf", "oneOf", "prefixItems"}
-_SUBSCHEMA_MAP_KEYWORDS = {
-    "$defs", "definitions", "dependentSchemas", "patternProperties",
-    "properties",
-}
+# Dialect ranks: draft4 < draft6 < draft7 < 2019-09 < 2020-12.  The walker
+# visits ONLY keyword positions the dialect defines — a $id/$anchor inside
+# an unknown keyword (or a keyword from a later draft) is plain data and
+# must not register (t/additional-tests-*/unknownKeyword.json,
+# faux-buggy-schemas.json, not-an-anchor.json).
+_DIALECT_RANK = {"4": 0, "6": 1, "7": 2, "2019-09": 3, "2020-12": 4}
+
+
+def _walk_tables(rank: int) -> tuple[set, set, set]:
+    """(single-subschema, list-of-subschemas, map-of-subschemas) keyword
+    sets for a dialect rank (the reference's per-draft vocabulary keyword
+    lists, Vocabulary/*.pm)."""
+    single = {"additionalProperties", "items", "not"}
+    lists = {"allOf", "anyOf", "oneOf"}
+    maps = {"definitions", "patternProperties", "properties"}
+    if rank <= 3:
+        single.add("additionalItems")        # removed in 2020-12
+    if rank >= 1:
+        single |= {"contains", "propertyNames"}
+    if rank >= 2:
+        single |= {"if", "then", "else"}
+    if rank >= 3:
+        single |= {"unevaluatedItems", "unevaluatedProperties",
+                   "contentSchema"}
+        maps |= {"$defs", "dependentSchemas"}
+    if rank >= 4:
+        lists.add("prefixItems")
+    return single, lists, maps
 
 _ANCHOR_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9._-]*$")
 _JSON_POINTER_RE = re.compile(r"^(/([^/~]|~[01])*)*$")
@@ -150,13 +167,16 @@ class SchemaRegistry:
     roots: dict[str, Any] = field(default_factory=dict)
 
     def add_schema(self, schema: Any, default_uri: str = "",
-                   legacy_id: bool = False) -> str:
+                   legacy_id: bool = False, dialect: str | None = None) -> str:
         """Register a schema document; returns its canonical root URI.
 
-        ``legacy_id=True`` (draft4 dialect) additionally honors the plain
-        ``id`` keyword as a base-URI declaration (V/Core.pm legacy list) —
-        gated on the dialect so a modern schema carrying an unrelated
-        ``id`` member is unaffected."""
+        ``dialect`` selects the draft's identifier/keyword rules (see
+        _walk_tables); default 2020-12.  ``legacy_id=True`` is the
+        backward-compatible spelling of ``dialect="4"`` — draft4's plain
+        ``id`` keyword as base-URI declaration (V/Core.pm legacy list)."""
+        if dialect is None:
+            dialect = "4" if legacy_id else "2020-12"
+        rank = _DIALECT_RANK[dialect]
         if isinstance(schema, bool):
             root_uri = default_uri
             self.roots[root_uri] = schema
@@ -164,15 +184,16 @@ class SchemaRegistry:
             return root_uri
         if not isinstance(schema, dict):
             raise SpecError(f"schema must be object or boolean, got {type(schema).__name__}")
-        root_id = schema.get("$id")
-        if root_id is None and legacy_id and isinstance(schema.get("id"), str):
-            root_id = schema["id"]
-        root_uri = urljoin(default_uri, root_id) if root_id else default_uri
+        id_kw = "id" if rank == 0 else "$id"
+        root_id = schema.get(id_kw)
+        root_uri = urljoin(default_uri, root_id) \
+            if isinstance(root_id, str) else default_uri
         root_uri, frag = urldefrag(root_uri)
-        if frag:
+        if frag and not (rank <= 2 and isinstance(root_id, str)
+                         and root_id.startswith("#")):
             raise SpecError("root $id must not carry a fragment")
         self.roots[root_uri] = schema
-        self._walk(schema, base_uri=root_uri, pointer="", legacy_id=legacy_id)
+        self._walk(schema, base_uri=root_uri, pointer="", rank=rank)
         return root_uri
 
     def _register(self, uri: str, res: Resource) -> None:
@@ -181,35 +202,65 @@ class SchemaRegistry:
         self.resources[uri] = res
 
     def _walk(self, node: Any, base_uri: str, pointer: str,
-              legacy_id: bool = False) -> None:
+              rank: int = 4) -> None:
         if isinstance(node, bool):
             return
         if not isinstance(node, dict):
             raise SpecError(f"invalid subschema at {pointer or '/'}: not object/boolean")
 
         this_base = base_uri
-        has_id = "$id" in node or (legacy_id and isinstance(node.get("id"), str))
+        id_kw = "id" if rank == 0 else "$id"
+        has_id = id_kw in node
         if has_id:
-            v = node["$id"] if "$id" in node else node["id"]
+            v = node[id_kw]
             if not isinstance(v, str):
-                raise SpecError(f"$id at {pointer or '/'} is not a string")
-            _assert_uri_reference(v, "$id", pointer)
+                raise SpecError(f"{id_kw} at {pointer or '/'} is not a string")
+            _assert_uri_reference(v, id_kw, pointer)
             if v in ("", "#"):
                 # empty / empty-fragment $id is not a URI-reference that can
                 # name a resource (t/additional-tests-draft2020-12/id.json)
-                raise SpecError(f"$id at {pointer or '/'} must not be {v!r}")
-            new_uri, frag = urldefrag(urljoin(base_uri, v))
-            if frag:
-                raise SpecError(f"$id at {pointer or '/'} must not carry a fragment")
-            this_base = new_uri
-            self._register(new_uri, Resource(node, new_uri, new_uri, pointer))
+                raise SpecError(f"{id_kw} at {pointer or '/'} must not be {v!r}")
+            if rank <= 2 and v.startswith("#"):
+                # drafts 4-7 declare plain-name ANCHORS through a
+                # fragment-only $id / id (V/Core.pm legacy anchor path)
+                name = v[1:]
+                if not _ANCHOR_RE.match(name):
+                    raise SpecError(
+                        f"invalid anchor {id_kw} at {pointer or '/'}: {v!r}")
+                key = (this_base, name)
+                if key in self.anchors:
+                    raise SpecError(
+                        f"duplicate anchor {name!r} in resource {this_base!r}")
+                self.anchors[key] = Resource(
+                    node, f"{this_base}#{name}", this_base, pointer)
+                has_id = False           # not a resource base
+                if pointer == "":
+                    self._register(base_uri, Resource(node, base_uri, base_uri, ""))
+            else:
+                new_uri, frag = urldefrag(urljoin(base_uri, v))
+                if frag:
+                    if rank > 2 or not _ANCHOR_RE.match(frag):
+                        raise SpecError(f"{id_kw} at {pointer or '/'} must not carry a fragment")
+                    # drafts 4-7: `id: "doc.json#name"` BOTH re-bases the
+                    # resource and declares a plain-name anchor on it
+                    # (t/additional-tests-draft4/id.json "weird but valid")
+                    self.anchors[(new_uri, frag)] = Resource(
+                        node, f"{new_uri}#{frag}", new_uri, pointer)
+                this_base = new_uri
+                self._register(new_uri, Resource(node, new_uri, new_uri, pointer))
         elif pointer == "":
             self._register(base_uri, Resource(node, base_uri, base_uri, ""))
 
-        if node.get("$recursiveAnchor") is True:
+        if rank == 3 and node.get("$recursiveAnchor") is True:
             self.recursive_anchors.add(this_base)
 
-        for kw, table in (("$anchor", self.anchors), ("$dynamicAnchor", self.dynamic_anchors)):
+        anchor_kws = ()
+        if rank == 3:
+            anchor_kws = (("$anchor", self.anchors),)
+        elif rank >= 4:
+            anchor_kws = (("$anchor", self.anchors),
+                          ("$dynamicAnchor", self.dynamic_anchors))
+        for kw, table in anchor_kws:
             if kw in node:
                 name = node[kw]
                 if not isinstance(name, str) or not _ANCHOR_RE.match(name):
@@ -222,7 +273,12 @@ class SchemaRegistry:
                     # a $dynamicAnchor is also addressable as a plain anchor
                     self.anchors.setdefault(key, table[key])
 
-        for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
+        ref_kws = ["$ref"]
+        if rank == 3:
+            ref_kws.append("$recursiveRef")
+        if rank >= 4:
+            ref_kws.append("$dynamicRef")
+        for kw in ref_kws:
             if kw in node and isinstance(node[kw], str):
                 # URI character well-formedness first (assert_uri_reference,
                 # Core.pm _traverse_keyword_ref), then the per-form fragment
@@ -236,13 +292,14 @@ class SchemaRegistry:
             # (Core.pm _traverse_keyword_schema → assert_uri)
             _assert_uri(node["$schema"], "$schema", pointer)
 
-        if "$vocabulary" in node and not legacy_id:
+        if "$vocabulary" in node and rank >= 3:
             # Core.pm:363-391: object with boolean values, absolute-URI
             # keys, and only at a schema resource root.  Vocabulary-LIST
             # semantics (core required, unknown-REQUIRED aborts) stay where
             # the reference puts them — at metaschema USE time
             # (_check_vocabulary in the compiler, _metaschema_error in
-            # pyeval.full).
+            # pyeval.full).  In drafts 4-7 $vocabulary is an unknown
+            # keyword — ignored (t/additional-tests-draft7/vocabulary.json).
             vocab = node["$vocabulary"]
             if not isinstance(vocab, dict):
                 raise SpecError(
@@ -256,20 +313,27 @@ class SchemaRegistry:
                         f'$vocabulary value at "{vuri}" is not a boolean')
                 _assert_uri(vuri, "$vocabulary", pointer)
 
+        single, lists, maps = _walk_tables(rank)
         for kw, val in node.items():
             p = f"{pointer}/{json_pointer_escape(kw)}"
-            if kw in _SUBSCHEMA_KEYWORDS and (isinstance(val, (dict, bool))):
-                self._walk(val, this_base, p, legacy_id)
+            if kw in single and (isinstance(val, (dict, bool))):
+                self._walk(val, this_base, p, rank)
             elif kw == "items" and isinstance(val, list):  # pre-2020-12 array form
                 for i, sub in enumerate(val):
-                    self._walk(sub, this_base, f"{p}/{i}", legacy_id)
-            elif kw in _SUBSCHEMA_LIST_KEYWORDS and isinstance(val, list):
+                    self._walk(sub, this_base, f"{p}/{i}", rank)
+            elif kw in lists and isinstance(val, list):
                 for i, sub in enumerate(val):
-                    self._walk(sub, this_base, f"{p}/{i}", legacy_id)
-            elif kw in _SUBSCHEMA_MAP_KEYWORDS and isinstance(val, dict):
+                    self._walk(sub, this_base, f"{p}/{i}", rank)
+            elif kw in maps and isinstance(val, dict):
                 for name, sub in val.items():
                     self._walk(sub, this_base, f"{p}/{json_pointer_escape(name)}",
-                               legacy_id)
+                               rank)
+            elif kw == "dependencies" and rank <= 2 and isinstance(val, dict):
+                # draft4-7 schema-form dependencies values are subschemas
+                for name, sub in val.items():
+                    if not isinstance(sub, list):
+                        self._walk(sub, this_base,
+                                   f"{p}/{json_pointer_escape(name)}", rank)
 
     # -- resolution -------------------------------------------------------
 

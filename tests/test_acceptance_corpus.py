@@ -1,26 +1,29 @@
 """The reference's OWN published acceptance corpora, driven end-to-end.
 
-``tests/corpus/additional-tests-draft2020-12/`` is a verbatim vendored copy
-of ``/root/reference/t/additional-tests-draft2020-12/*.json`` — plain data
-files in the ``[{description, schema, tests:[{data, valid}]}]`` format the
-reference harness consumes (t/lib/Acceptance.pm:76-112, driven by
-t/additional-tests-draft2020-12.t with ``validate_formats => 1``).
+``tests/corpus/additional-tests-*/`` are verbatim vendored copies of
+``/root/reference/t/additional-tests-{draft4,draft7,draft2019-09,
+draft2020-12}/*.json`` — plain data files in the ``[{description, schema,
+tests:[{data, valid}]}]`` format the reference harness consumes
+(t/lib/Acceptance.pm:76-112, driven by the t/additional-tests-*.t scripts
+with ``validate_formats => 1`` and the matching specification_version).
 
 Two tiers, mirroring the reference's dual-evaluation contract:
 
 1. every case through the pure-Python evaluator (``pyeval.full`` — lazy
-   $ref resolution, dynamic scope, $vocabulary-aware metaschemas, format
-   assertion).  One evaluator is shared across all groups of a file, like
-   the harness shares one JSON::Schema::Modern instance: earlier groups
-   register resources ($id'd metaschemas in vocabulary.json) that later
-   groups address via $schema.
+   $ref resolution, dialect-gated keywords, dynamic scope,
+   $vocabulary-aware metaschemas, format assertion).  One evaluator is
+   shared across all groups of a file, like the harness shares one
+   JSON::Schema::Modern instance: earlier groups register resources
+   ($id'd metaschemas in vocabulary.json) that later groups address via
+   $schema.
 2. the tabularizable subset through the SPARK engine
    (``Validator.validate_json_strings``) — object-shaped instances whose
    keys are all materialized by the spec-derived decode schema, asserting
    per-row validity parity with the corpus expectation.
 
-Current score: 1088/1088 — no TODO-skips (the reference's own run of this
-directory is also fully green, t/results/draft2020-12-additional-tests.txt).
+Current score: 2907/2907 across the four dialect directories — no
+TODO-skips (the reference's own runs are also green,
+t/results/*-additional-tests.txt).
 """
 
 from __future__ import annotations
@@ -33,14 +36,26 @@ import pytest
 from json_schema_modern_spark.pyeval.full import EvalError, PyEvaluator
 from json_schema_modern_spark.spec.resolver import SpecError
 
-CORPUS = pathlib.Path(__file__).parent / "corpus" / "additional-tests-draft2020-12"
+_ROOT = pathlib.Path(__file__).parent / "corpus"
+CORPUS = _ROOT / "additional-tests-draft2020-12"
 FILES = sorted(CORPUS.glob("*.json"))
 
+# (directory, evaluator dialect) — one entry per reference .t script
+DIALECT_DIRS = [
+    ("additional-tests-draft4", "4"),
+    ("additional-tests-draft7", "7"),
+    ("additional-tests-draft2019-09", "2019-09"),
+    ("additional-tests-draft2020-12", "2020-12"),
+]
+DIALECT_FILES = [(d, dialect, p)
+                 for d, dialect in DIALECT_DIRS
+                 for p in sorted((_ROOT / d).glob("*.json"))]
 
-def _run_file(path: pathlib.Path) -> list[str]:
+
+def _run_file(path: pathlib.Path, dialect: str = "2020-12") -> list[str]:
     """All mismatches in one corpus file (empty == green)."""
     groups = json.loads(path.read_text())
-    ev = PyEvaluator(validate_formats=True)
+    ev = PyEvaluator(validate_formats=True, dialect=dialect)
     mismatches = []
     for gi, group in enumerate(groups):
         uri = f"https://corpus.invalid/{path.stem}/{gi}"
@@ -64,17 +79,28 @@ def _run_file(path: pathlib.Path) -> list[str]:
     return mismatches
 
 
-@pytest.mark.parametrize("path", FILES, ids=[p.stem for p in FILES])
-def test_corpus_pyeval(path):
-    mismatches = _run_file(path)
+@pytest.mark.parametrize(
+    "dirname,dialect,path", DIALECT_FILES,
+    ids=[f"{d.removeprefix('additional-tests-')}-{p.stem}"
+         for d, _, p in DIALECT_FILES])
+def test_corpus_pyeval(dirname, dialect, path):
+    mismatches = _run_file(path, dialect)
     assert not mismatches, f"{len(mismatches)} mismatches:\n" + "\n".join(mismatches)
 
 
 def test_corpus_complete():
-    """The vendored corpus is the complete reference directory and carries
-    the expected case volume."""
-    n = sum(len(t["tests"]) for p in FILES for t in json.loads(p.read_text()))
-    assert len(FILES) == 25 and n >= 1000, (len(FILES), n)
+    """The vendored corpora are the complete reference directories and
+    carry the expected case volume (65 + 761 + 993 + 1088 = 2907)."""
+    per_dir = {
+        d: sum(len(g["tests"])
+               for p in sorted((_ROOT / d).glob("*.json"))
+               for g in json.loads(p.read_text()))
+        for d, _ in DIALECT_DIRS
+    }
+    assert len(FILES) == 25 and per_dir["additional-tests-draft2020-12"] >= 1000
+    assert per_dir["additional-tests-draft2019-09"] >= 900
+    assert per_dir["additional-tests-draft7"] >= 700
+    assert per_dir["additional-tests-draft4"] >= 60
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,64 @@
+"""Benchmark-contamination operator: word-n-gram overlap vs a benchmark
+set (operators/contamination.py)."""
+
+from pyspark.sql import functions as F
+
+from json_schema_modern_spark.operators.contamination import (
+    ngram_contamination,
+    word_ngrams,
+)
+
+
+def test_word_ngrams_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "The  QUICK, brown fox! jumps"),
+         (2, "tiny"),
+         (3, None)],
+        "id int, text string")
+    out = {r.id: r.g for r in df.select(
+        "id", word_ngrams(F.col("text"), 3).alias("g")).collect()}
+    assert out[1] == ["the quick brown", "quick brown fox",
+                      "brown fox jumps"]
+    assert out[2] == []          # fewer than n words
+    assert out[3] == []          # NULL text -> size(w) >= n is false
+
+
+def test_ngram_contamination_counts(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id int, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma epsilon"),      # 1 of 2 grams contaminated
+         (2, "zeta eta theta iota"),           # clean
+         (3, "x alpha beta gamma delta y")],   # 2 of 4 grams contaminated
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in
+           ngram_contamination(docs, bench, n=3).collect()}
+    assert (out[1].total_ngrams, out[1].contaminated_ngrams) == (2, 1)
+    assert out[1].contamination_rate == 0.5
+    assert (out[2].total_ngrams, out[2].contaminated_ngrams) == (2, 0)
+    assert (out[3].total_ngrams, out[3].contaminated_ngrams) == (4, 2)
+    assert out[3].contamination_rate == 0.5
+
+
+def test_repeated_grams_counted_once(spark):
+    """Grams are DISTINCT per document: repetition inside one doc does not
+    inflate the contaminated count."""
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id int, text string")
+    docs = spark.createDataFrame([(1, "a b c a b c a b c")],
+                                 "doc_id int, text string")
+    r = ngram_contamination(docs, bench, n=3).first()
+    # distinct grams of the doc: {a b c, b c a, c a b, c b a?} -> exactly
+    # {'a b c', 'b c a', 'c a b'}; only 'a b c' is in the benchmark
+    assert r.total_ngrams == 3 and r.contaminated_ngrams == 1
+
+
+def test_no_broadcast_fallback_same_result(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id int, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma epsilon"), (2, "zeta eta theta iota")],
+        "doc_id int, text string")
+    a = sorted(map(tuple, ngram_contamination(docs, bench, n=3).collect()))
+    b = sorted(map(tuple, ngram_contamination(docs, bench, n=3,
+                                              broadcast=False).collect()))
+    assert a == b

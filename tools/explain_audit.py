@@ -162,6 +162,19 @@ def main() -> None:
     check("ANN near-dup: LSH bucket join is equi (no cross product)",
           no_cross(nd_plan))
 
+    # 9. contamination: benchmark gram set must broadcast so the (huge)
+    #    training side never shuffles for the join
+    from json_schema_modern_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    train = docs.filter(F.col("doc_id") % 19 != 0)
+    ct_plan = explain_str(ngram_contamination(train, bench, n=3))
+    check("contamination: benchmark grams broadcast-joined",
+          "BroadcastHashJoin" in ct_plan)
+    check("contamination: training side not cross-joined", no_cross(ct_plan))
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
