@@ -443,6 +443,24 @@ def _q_hist(spark, sf_dir):
         .select("bucket", F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"), "cnt")
 
 
+def _q_stats_quantiles(spark, sf_dir):
+    """Exact distributed percentiles (linear interpolation — DuckDB's
+    quantile_cont formula) for three lineitem numerics, one scan."""
+    from json_schema_modern_spark.operators.stats import numeric_quantiles
+
+    df = _read(spark, sf_dir, "lineitem")
+    return numeric_quantiles(df, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def _q_stats_by_source(spark, sf_dir):
+    """Per-source rollup of n_chars over documents — the segmented stats
+    pass a per-source drift monitor starts from."""
+    from json_schema_modern_spark.operators.stats import segmented_stats
+
+    df = _read(spark, sf_dir, "documents")
+    return segmented_stats(df, "source", "n_chars")
+
+
 def _dup_docs(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     return d.unionAll(d.filter(F.col("doc_id") % 97 == 0))
@@ -818,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "contamination_ngram": _q_contamination,
         "stats_lineitem": _q_stats,
+        "stats_quantiles": _q_stats_quantiles,
+        "stats_by_source": _q_stats_by_source,
         "hist_n_chars": _q_hist,
         "unique_doc_ids": _q_unique,
         "ref_broadcast": _q_ref_broadcast,
@@ -840,10 +860,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_dependencies": _q_kw_dependencies,
         "kw_nested_struct": _q_kw_nested_struct,
         "kw_contains": _q_kw_contains,
-        "kw_mincontains": _q_kw_mincontains,
-        "kw_enum": _q_kw_enum,
         # ---- driver correctness window boundary (50 entries above) --------
         # -- long-stable kw rows, green in r1 AND r2 ------------------------
+        "kw_mincontains": _q_kw_mincontains,
+        "kw_enum": _q_kw_enum,
         "kw_items": _q_kw_items,
         "kw_min_max": _q_kw_min_max,
         "kw_exclusive": _q_kw_exclusive,
@@ -1253,6 +1273,28 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'l_orderkey' AS \"column\", n AS n_rows, n1 AS null_count, round(n1*1.0/n, 9) AS null_fraction, mn1 AS \"min\", mx1 AS \"max\", d1 AS distinct_count FROM t "
         "UNION ALL SELECT 'l_quantity', n, n2, round(n2*1.0/n, 9), mn2, mx2, d2 FROM t "
         "UNION ALL SELECT 'l_returnflag', n, n3, round(n3*1.0/n, 9), mn3, mx3, d3 FROM t"
+    )
+    o["stats_quantiles"] = (
+        # quantile_cont = linear interpolation at p*(n-1), the same formula
+        # as Spark's exact percentile aggregate
+        "WITH q AS (SELECT "
+        " quantile_cont(CAST(l_quantity AS DOUBLE), [0.25,0.5,0.75,0.9,0.99]) q1, "
+        " quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.25,0.5,0.75,0.9,0.99]) q2, "
+        " quantile_cont(CAST(l_discount AS DOUBLE), [0.25,0.5,0.75,0.9,0.99]) q3 "
+        " FROM lineitem), "
+        "ps AS (SELECT unnest([0.25,0.5,0.75,0.9,0.99]) AS p, "
+        "  unnest(generate_series(1, 5)) AS i) "
+        "SELECT 'l_quantity' AS \"column\", p, CAST(round(q1[i], 6) AS DOUBLE) AS q FROM q, ps "
+        "UNION ALL SELECT 'l_extendedprice', p, CAST(round(q2[i], 6) AS DOUBLE) FROM q, ps "
+        "UNION ALL SELECT 'l_discount', p, CAST(round(q3[i], 6) AS DOUBLE) FROM q, ps"
+    )
+    o["stats_by_source"] = (
+        "SELECT source AS segment, count(*) AS n_rows, "
+        "CAST(sum((n_chars IS NULL)::bigint) AS BIGINT) AS null_count, "
+        "CAST(min(n_chars) AS DOUBLE) AS \"min\", "
+        "CAST(max(n_chars) AS DOUBLE) AS \"max\", "
+        "CAST(round(avg(n_chars), 6) AS DOUBLE) AS mean "
+        "FROM documents GROUP BY source"
     )
     o["hist_n_chars"] = (
         "SELECT bucket, CAST(round((bucket-1)*50.0, 6) AS DOUBLE) AS lo, "

@@ -61,6 +61,62 @@ def column_stats(
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def numeric_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """(column, p, q) — per-column percentiles, one scan for all columns.
+
+    exact=True uses Spark's sort-free exact percentile aggregate (a
+    value→count map per partition, merged at the driver side of the agg) —
+    right when per-column cardinality is bounded (token lengths, prices,
+    categorical-ish numerics) and for oracle checking (linear
+    interpolation, same formula as DuckDB's quantile_cont).  For unbounded
+    high-cardinality columns at 10^12 rows, exact=False swaps in
+    percentile_approx (bounded-memory KLL-style sketch, `accuracy`
+    trades error for state size) — same plan shape, sketch-sized state."""
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    aggs = []
+    for c in columns:
+        col = F.col(c).cast("double")
+        q = (F.percentile(col, parr) if exact
+             else F.percentile_approx(col, parr, F.lit(accuracy)))
+        aggs.append(q.alias(f"{c}__q"))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.lit(float(p)).alias("p"),
+                 F.round(F.col(f"{c}__q")[i], 6).alias("q"))
+        for c in columns
+        for i, p in enumerate(probs)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def segmented_stats(
+    df: DataFrame,
+    seg_col: str,
+    column: str,
+) -> DataFrame:
+    """(segment, n_rows, null_count, min, max, mean) — the per-source
+    rollup of one numeric column: a single partial-aggregated groupBy on
+    the (low-cardinality) segment key, shuffle volume = one row per
+    (partition, segment)."""
+    c = F.col(column)
+    return (
+        df.groupBy(F.col(seg_col).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(c.isNull().cast("long")).alias("null_count"),
+            F.min(c).cast("double").alias("min"),
+            F.max(c).cast("double").alias("max"),
+            F.round(F.avg(c), 6).alias("mean"),
+        )
+    )
+
+
 def numeric_histogram(
     df: DataFrame,
     column: str,

@@ -62,3 +62,29 @@ def test_no_broadcast_fallback_same_result(spark):
     b = sorted(map(tuple, ngram_contamination(docs, bench, n=3,
                                               broadcast=False).collect()))
     assert a == b
+
+
+def test_numeric_quantiles_exact_vs_approx(spark):
+    from json_schema_modern_spark.operators.stats import numeric_quantiles
+
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    exact = {(r.column, r.p): r.q
+             for r in numeric_quantiles(df, ["v"], probs=(0.5, 0.9)).collect()}
+    # linear interpolation over 1..100: p=0.5 -> 50.5, p=0.9 -> 90.1
+    assert exact[("v", 0.5)] == 50.5
+    assert abs(exact[("v", 0.9)] - 90.1) < 1e-9
+    approx = {(r.column, r.p): r.q for r in numeric_quantiles(
+        df, ["v"], probs=(0.5, 0.9), exact=False).collect()}
+    assert abs(approx[("v", 0.5)] - 50.5) <= 1.0   # sketch tolerance
+
+
+def test_segmented_stats(spark):
+    from json_schema_modern_spark.operators.stats import segmented_stats
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", None), ("b", 10)],
+        "src string, x int")
+    out = {r.segment: r for r in segmented_stats(df, "src", "x").collect()}
+    assert (out["a"].n_rows, out["a"].null_count) == (3, 1)
+    assert (out["a"].min, out["a"].max, out["a"].mean) == (1.0, 3.0, 2.0)
+    assert (out["b"].n_rows, out["b"].mean) == (1, 10.0)
