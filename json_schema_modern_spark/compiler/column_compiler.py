@@ -738,6 +738,11 @@ class ColumnCompiler:
             )
             add(child)
             adopt(child, child.ok)
+            if self.dialect in ("4", "6", "7"):
+                # drafts 4-7: $ref MASKS every sibling keyword — the ref
+                # target is the whole schema (V/Core.pm draft≤7 dispatch)
+                return Compiled(ok=child.ok, viols=viols,
+                                cov_names=cov_names, cov_items=cov_items)
         if "$dynamicRef" in schema:
             # full dynamic-scope semantics (V/Core.pm:327-361): resolve
             # like $ref first; if the landing spot carries the matching

@@ -134,10 +134,22 @@ def _tabular_ok(data, dtype) -> bool:
     return False
 
 
+_DIALECT_SCHEMA_URI = {
+    "4": "http://json-schema.org/draft-04/schema",
+    "6": "http://json-schema.org/draft-06/schema",
+    "7": "http://json-schema.org/draft-07/schema",
+    "2019-09": "https://json-schema.org/draft/2019-09/schema",
+    "2020-12": "https://json-schema.org/draft/2020-12/schema",
+}
+
+
 def test_corpus_spark_cross_check(spark):
     """Drive every corpus group whose instances tabularize through the
     Spark engine and assert row-level validity parity with the corpus
     expectation (and therefore with the pyeval tier, which is fully green).
+    Covers ALL FOUR dialect directories: groups without an explicit
+    $schema get the directory's dialect injected, mirroring the harness's
+    specification_version default.
     """
     from json_schema_modern_spark import Validator
     from json_schema_modern_spark.compiler.column_compiler import (
@@ -145,11 +157,13 @@ def test_corpus_spark_cross_check(spark):
     )
 
     rows, specs, n_groups = [], [], 0
-    for path in FILES:
+    for dirname, dialect, path in DIALECT_FILES:
         for gi, group in enumerate(json.loads(path.read_text())):
             schema = group["schema"]
             if not isinstance(schema, dict):
                 continue
+            if "$schema" not in schema:
+                schema = {"$schema": _DIALECT_SCHEMA_URI[dialect], **schema}
             try:
                 decode = _spark_schema_from_spec(schema)
                 if decode is None:
@@ -162,10 +176,11 @@ def test_corpus_spark_cross_check(spark):
             if not cases:
                 continue
             sid = len(specs)
-            specs.append((validator, f"{path.stem}#{gi}"))
+            label = f"{dirname}/{path.stem}#{gi}"
+            specs.append((validator, label))
             n_groups += 1
             rows.extend(
-                (sid, f"{path.stem}#{gi}#{ti}", json.dumps(t["data"]), t["valid"])
+                (sid, f"{label}#{ti}", json.dumps(t["data"]), t["valid"])
                 for ti, t in enumerate(cases))
 
     assert n_groups >= 10, f"only {n_groups} tabularizable groups — filter too strict?"

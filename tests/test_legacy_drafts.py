@@ -250,3 +250,25 @@ def test_uneval_items_after_array_items(spark):
     v = Validator(spec)
     assert v.validate(spark.createDataFrame([([1, 50],)], "v array<bigint>"),
                       id_cols=[]).flag() is True
+
+
+def test_draft7_ref_masks_siblings(spark):
+    """drafts 4-7: $ref MASKS sibling keywords (V/Core.pm draft<=7
+    dispatch) — the adjacent minimum must be ignored; from 2019-09 the
+    siblings apply too."""
+    df = spark.createDataFrame([(5,), (200,)], "v bigint")
+    base = {"type": "object",
+            "properties": {"v": {"$ref": "#/definitions/pos",
+                                 "minimum": 100}},
+            "definitions": {"pos": {"minimum": 0}}}
+    legacy = Validator({"$schema": "http://json-schema.org/draft-07/schema#",
+                        **base})
+    res = legacy.validate(df, id_cols=["v"])
+    assert res.flag() is True                      # minimum:100 masked
+    modern = Validator({"$schema": "https://json-schema.org/draft/2019-09/schema",
+                        "$defs": {"pos": {"minimum": 0}},
+                        "type": "object",
+                        "properties": {"v": {"$ref": "#/$defs/pos",
+                                             "minimum": 100}}})
+    bad = {r.v for r in modern.validate(df, id_cols=["v"]).violations.collect()}
+    assert bad == {5}                              # sibling minimum applies
