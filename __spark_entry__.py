@@ -529,6 +529,18 @@ def _q_drift_psi(spark, sf_dir):
     return psi_drift(df, "n_chars", "source", 0.0, 600.0, 30, threshold=0.2)
 
 
+def _q_drift_psi_window(spark, sf_dir):
+    """Windowed drift monitor: PSI of the events value distribution per
+    day-window vs the pooled distribution — the batch form of the
+    streaming window+PSI monitor (same deterministic cumulative
+    summation), shuffle bounded by |windows|×buckets."""
+    from json_schema_modern_spark.operators.drift import psi_drift
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "win", F.to_date(F.col("ts")).cast("string"))
+    return psi_drift(ev, "value", "win", 0.0, 330.0, 16, threshold=0.05)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from json_schema_modern_spark.operators.dedup import exact_duplicates
 
@@ -845,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_n_chars": _q_drift,
         "drift_ks_pandas": _q_drift_pandas,
         "drift_psi": _q_drift_psi,
+        "drift_psi_window": _q_drift_psi_window,
         # -- kw rows touched or riskiest this round (window) ----------------
         "kw_format": _q_kw_format,
         "kw_map_props": _q_kw_map_props,
@@ -859,9 +872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_ref_defs": _q_kw_ref_defs,
         "kw_dependencies": _q_kw_dependencies,
         "kw_nested_struct": _q_kw_nested_struct,
-        "kw_contains": _q_kw_contains,
         # ---- driver correctness window boundary (50 entries above) --------
         # -- long-stable kw rows, green in r1 AND r2 ------------------------
+        "kw_contains": _q_kw_contains,
         "kw_mincontains": _q_kw_mincontains,
         "kw_enum": _q_kw_enum,
         "kw_items": _q_kw_items,
@@ -1322,6 +1335,38 @@ def oracle_sql() -> dict[str, str]:
     o["drift_ks_n_chars"] = _drift_oracle()
     o["drift_ks_pandas"] = _drift_pandas_oracle()
     o["drift_psi"] = _psi_oracle()
+    o["drift_psi_window"] = """
+WITH binned AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS grp,
+         CASE WHEN value < 0 THEN 0 WHEN value >= 330 THEN 17
+              ELSE CAST(floor(value/20.625) AS BIGINT) + 1 END AS bucket,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+gtot AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS gcnt FROM binned GROUP BY 1),
+totals AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_grp FROM binned GROUP BY 1),
+nglob AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_glob FROM gtot),
+nb AS (SELECT count(*) AS n_buckets_seen FROM gtot),
+full_grid AS (
+  SELECT g.grp, gl.bucket, coalesce(b.cnt, 0) AS cnt, gl.gcnt
+  FROM (SELECT DISTINCT grp FROM binned) g
+  CROSS JOIN gtot gl
+  LEFT JOIN binned b ON b.grp = g.grp AND b.bucket = gl.bucket),
+terms AS (
+  SELECT f.grp, f.bucket, t.n_grp, n.n_glob,
+         ((f.cnt + 0.5) / (t.n_grp + 0.5 * nb.n_buckets_seen)
+          - (f.gcnt + 0.5) / (n.n_glob + 0.5 * nb.n_buckets_seen))
+         * ln(((f.cnt + 0.5) / (t.n_grp + 0.5 * nb.n_buckets_seen))
+              / ((f.gcnt + 0.5) / (n.n_glob + 0.5 * nb.n_buckets_seen))) AS term
+  FROM full_grid f JOIN totals t ON f.grp = t.grp CROSS JOIN nglob n CROSS JOIN nb),
+cum AS (
+  SELECT grp, bucket, n_grp, n_glob,
+         sum(term) OVER (PARTITION BY grp ORDER BY bucket) AS cpsi
+  FROM terms)
+SELECT grp AS win, n_grp AS n_group, n_glob AS n_global,
+       CAST(round(round(arg_max(cpsi, bucket), 9), 6) AS DOUBLE) AS psi,
+       arg_max(cpsi, bucket) > 0.05 AS drifted
+FROM cum GROUP BY 1, 2, 3
+"""
     o["dedup_exact"] = (
         f"SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
         f"FROM {dup_docs} GROUP BY md5(text) HAVING count(*) > 1"

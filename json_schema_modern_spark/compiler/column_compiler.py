@@ -918,6 +918,15 @@ class ColumnCompiler:
                 add(sub("prefixItems", s, elem, suffix=f"/{i}"))
                 self._gate_annotations(_amark, present_i)
             cov_items.append((None, n_prefix))
+            if self.options.collect_annotations and t.annotatable \
+                    and jt == "array":
+                # largest evaluated index, or true when the whole array was
+                # covered (V/Applicator.pm:314)
+                self._annotate(
+                    t, kloc, base, abs_ptr, "prefixItems",
+                    value_col=F.when(F.size(t.value_col()) <= n_prefix,
+                                     F.lit("true"))
+                               .otherwise(F.lit(str(n_prefix - 1))))
 
         if "items" in schema and applies("items"):
             items = schema["items"]
@@ -945,6 +954,12 @@ class ColumnCompiler:
             else:
                 add(self._items_kw(items, t, n_prefix, kloc, base, abs_ptr))
                 cov_items.append((None, "all"))
+                if self.options.collect_annotations and t.annotatable \
+                        and jt == "array":
+                    # schema-form items always annotates true after
+                    # evaluating the rest of the array (V/Applicator.pm:349)
+                    self._annotate(t, kloc, base, abs_ptr, "items",
+                                   value=True)
 
         # min/maxContains are evaluated INSIDE the contains keyword and do
         # nothing without it (V/Applicator.pm:357-405: they live in

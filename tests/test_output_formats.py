@@ -189,3 +189,29 @@ def test_apply_defaults(spark):
            for r in v.apply_defaults(df).collect()}
     assert out[1] == ("en", 0.5, None)       # defaults filled, no default → untouched
     assert out[2] == ("fr", 0.9, "x")        # present values never overwritten
+
+
+def test_array_applicator_annotations(spark):
+    """items annotates true; prefixItems annotates the largest evaluated
+    index or true when it covered the whole array (V/Applicator.pm:314,349)."""
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    spec = {"type": "object", "properties": {"v": {
+        "type": "array",
+        "prefixItems": [{"type": "integer"}, {"type": "integer"}],
+        "items": {"type": "integer"}}}}
+    df = spark.createDataFrame([(1, [1, 2, 3]), (2, [7])],
+                               "rid int, v array<bigint>")
+    v = Validator(spec, CompileOptions(collect_annotations=True))
+    docs = {r.rid: json.loads(r.result)
+            for r in v.validate(df, id_cols=["rid"])
+                      .basic_output(with_annotations=True).collect()}
+
+    def ann(d):
+        return {a["keywordLocation"]: json.loads(a["annotation"])
+                for a in d.get("annotations", [])}
+
+    a1, a2 = ann(docs[1]), ann(docs[2])
+    assert a1["/properties/v/items"] is True
+    assert a1["/properties/v/prefixItems"] == 1     # longer than the prefix
+    assert a2["/properties/v/prefixItems"] is True  # prefix covered it all
