@@ -803,6 +803,44 @@ def _q_contamination(spark, sf_dir):
     )
 
 
+def _q_redact_pii(spark, sf_dir):
+    """PII scrub stats: each document gets a deterministic synthetic
+    email + IPv4 appended (the corpus itself is clean word-salad), then
+    the regex detection pass counts per-category hits.  Pure codegen'd
+    Column regexes; the oracle replays the identical RE2-compatible
+    patterns."""
+    from json_schema_modern_spark.operators.redact import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com from 10.0.0."),
+                 F.pmod(F.col("doc_id"), F.lit(200)).cast("string")))
+    return redact_pii(docs)
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    first-seen exact dedup keyed by normalization fingerprint.  With the
+    availableNow trigger over one parquet file the run is deterministic,
+    so the batch GROUP BY oracle applies row-for-row."""
+    import uuid as _uuid
+
+    from json_schema_modern_spark.streaming.dedup_stream import dedup_stream
+
+    schema = _read(spark, sf_dir, "documents").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    out = dedup_stream(stream)
+    name = "stream_dedup_" + _uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
 def _q_events_window(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -838,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "events_window_counts": _q_events_window,
         "streaming_validation": _q_streaming_validation,
+        "streaming_dedup": _q_streaming_dedup,
         # -- dedup / stats / drift (window) ---------------------------------
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -847,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "contamination_ngram": _q_contamination,
+        "redact_pii_counts": _q_redact_pii,
         "stats_lineitem": _q_stats,
         "stats_quantiles": _q_stats_quantiles,
         "stats_by_source": _q_stats_by_source,
@@ -870,10 +910,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_content_json": _q_kw_content_json,
         "kw_anchor": _q_kw_anchor,
         "kw_ref_defs": _q_kw_ref_defs,
-        "kw_dependencies": _q_kw_dependencies,
-        "kw_nested_struct": _q_kw_nested_struct,
         # ---- driver correctness window boundary (50 entries above) --------
         # -- long-stable kw rows, green in r1 AND r2 ------------------------
+        "kw_dependencies": _q_kw_dependencies,
+        "kw_nested_struct": _q_kw_nested_struct,
         "kw_contains": _q_kw_contains,
         "kw_mincontains": _q_kw_mincontains,
         "kw_enum": _q_kw_enum,
@@ -1391,6 +1431,27 @@ FROM cum GROUP BY 1, 2, 3
     o["text_langid"] = _langid_oracle()
     o["text_langid_ngram"] = _langid_ngram_oracle()
     o["text_winnow_shared"] = _winnow_oracle(dup_docs)
+    o["redact_pii_counts"] = (
+        "WITH t AS (SELECT doc_id, text || ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.' || "
+        "CAST(doc_id % 200 AS VARCHAR) AS txt FROM documents) "
+        "SELECT doc_id, "
+        "len(regexp_extract_all(txt, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS n_email, "
+        "len(regexp_extract_all(txt, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4, "
+        "len(regexp_extract_all(txt, '\\+?\\d{1,3}[ .\\-]?\\(?\\d{2,4}\\)?[ .\\-]?\\d{3,4}[ .\\-]?\\d{3,4}\\b')) AS n_phone, "
+        "len(regexp_extract_all(txt, '\\b\\d{9,}\\b')) AS n_digits, "
+        "len(regexp_extract_all(txt, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) "
+        "+ len(regexp_extract_all(txt, '\\+?\\d{1,3}[ .\\-]?\\(?\\d{2,4}\\)?[ .\\-]?\\d{3,4}[ .\\-]?\\d{3,4}\\b')) "
+        "+ len(regexp_extract_all(txt, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) "
+        "+ len(regexp_extract_all(txt, '\\b\\d{9,}\\b')) AS n_pii "
+        "FROM t"
+    )
+    o["streaming_dedup"] = (
+        "SELECT md5(trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp, "
+        "CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_docs "
+        "FROM documents GROUP BY 1"
+    )
     o["text_fingerprint"] = (
         "SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM ("
         f"SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp "

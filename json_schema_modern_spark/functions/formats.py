@@ -60,8 +60,14 @@ FORMAT_REGEX: dict[str, str] = {
     "email": r"^[a-zA-Z0-9.!#$%&'*+/=?^_`{|}~-]+@[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?(\.[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?)*$",
     "json-pointer": r"^(/([^/~]|~[01])*)*$",
     "relative-json-pointer": r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$",
-    "uri": r"^[a-zA-Z][a-zA-Z0-9+.-]*:[^\s]*$",
-    "uri-reference": r"^[^\s\\]*$",
+    # strict RFC 3986 character/shape class (matches formats_py; the
+    # reference delegates to Data::Validate::URI)
+    "uri": (r"^[a-zA-Z][a-zA-Z0-9+.-]*:"
+            r"(?:[A-Za-z0-9\-._~:/?\[\]@!$&'()*+,;=]|%[0-9A-Fa-f]{2})*"
+            r"(?:#(?:[A-Za-z0-9\-._~:/?\[\]@!$&'()*+,;=]|%[0-9A-Fa-f]{2})*)?$"),
+    "uri-reference": (
+        r"^(?:[A-Za-z0-9\-._~:/?\[\]@!$&'()*+,;=]|%[0-9A-Fa-f]{2})*"
+        r"(?:#(?:[A-Za-z0-9\-._~:/?\[\]@!$&'()*+,;=]|%[0-9A-Fa-f]{2})*)?$"),
     "iri": r"^[a-zA-Z][a-zA-Z0-9+.-]*:[^\s]*$",
     "iri-reference": r"^[^\s\\]*$",
     # idn-* are documented rlike APPROXIMATIONS of the reference's

@@ -74,6 +74,15 @@ _JSON_POINTER_RE = re.compile(r"^(/([^/~]|~[01])*)*$")
 _REL_JSON_POINTER_RE = re.compile(r"^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$")
 _URI_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:[^\s]*$")
 _ASCII_RE = re.compile(r"^[\x00-\x7f]*$")
+# strict RFC 3986: only unreserved/reserved/pct-encoded characters, at
+# most one '#', scheme required for `uri` (the reference delegates to
+# Data::Validate::URI — a full-grammar check; the character/shape class
+# below is its practical core: rejects spaces, '^', '\', bare '%',
+# non-ASCII)
+_RFC3986_CH = r"(?:[A-Za-z0-9\-._~:/?\[\]@!$&'()*+,;=]|%[0-9A-Fa-f]{2})*"
+_STRICT_URI_RE = re.compile(
+    rf"^[A-Za-z][A-Za-z0-9+.\-]*:{_RFC3986_CH}(?:#{_RFC3986_CH})?$")
+_STRICT_URIREF_RE = re.compile(rf"^{_RFC3986_CH}(?:#{_RFC3986_CH})?$")
 
 
 def _leap_time_ok(hh: int, mm: int, tz: str, sign: str | None,
@@ -188,8 +197,8 @@ FORMAT_CHECKERS: dict[str, Callable[[str], bool]] = {
     "email": lambda v: bool(_EMAIL_RE.match(v)) and bool(_ASCII_RE.match(v)),
     "json-pointer": lambda v: bool(_JSON_POINTER_RE.match(v)),
     "relative-json-pointer": lambda v: bool(_REL_JSON_POINTER_RE.match(v)),
-    "uri": lambda v: bool(_URI_RE.match(v)) and bool(_ASCII_RE.match(v)),
-    "uri-reference": lambda v: "\\" not in v and not re.search(r"\s", v),
+    "uri": lambda v: bool(_STRICT_URI_RE.match(v)),
+    "uri-reference": lambda v: bool(_STRICT_URIREF_RE.match(v)),
     "iri": lambda v: bool(_URI_RE.match(v)),
     "iri-reference": lambda v: "\\" not in v and not re.search(r"\s", v),
     "regex": lambda v: _regex_compiles(v),

@@ -292,6 +292,27 @@ class SchemaRegistry:
             # (Core.pm _traverse_keyword_schema → assert_uri)
             _assert_uri(node["$schema"], "$schema", pointer)
 
+        # regex SYNTAX is a traverse-time check (assert_pattern,
+        # V/Validation.pm / V/Applicator.pm traverse) — even in branches
+        # evaluation never reaches.  Dialect note: validated against
+        # Python's `re` here and Java regex in the Spark tier, the same
+        # deviation class the reference accepts vs ECMA-262.
+        if isinstance(node.get("pattern"), str):
+            try:
+                re.compile(node["pattern"])
+            except re.error as exc:
+                raise SpecError(
+                    f"pattern at {pointer or '/'} is not a valid regular "
+                    f"expression: {exc}") from exc
+        if isinstance(node.get("patternProperties"), dict):
+            for pat in node["patternProperties"]:
+                try:
+                    re.compile(pat)
+                except re.error as exc:
+                    raise SpecError(
+                        f"patternProperties key {pat!r} at {pointer or '/'} "
+                        f"is not a valid regular expression: {exc}") from exc
+
         if "$vocabulary" in node and rank >= 3:
             # Core.pm:363-391: object with boolean values, absolute-URI
             # keys, and only at a schema resource root.  Vocabulary-LIST

@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator: exact first-seen deduplication.
+
+The target contract's streaming story includes custom stateful operators
+via ``applyInPandasWithState`` — this is the canonical one for a training
+pipeline: emit only the FIRST document per normalization fingerprint
+across the stream's lifetime, suppressing every later duplicate.
+
+Shape: groupBy(fingerprint) → applyInPandasWithState.  State per key is
+just the kept doc id (a few bytes); the grouping key partitions the state
+store, so state lookups are local to the shuffle partition — the standard
+Structured Streaming scale path.  Within a micro-batch the winner is the
+MINIMUM doc id (deterministic regardless of Arrow batch arrival order).
+
+Unbounded-state caveat (same position as validate_stream's docstring): at
+10^12 distinct fingerprints an exact state store is the wrong tool — use
+a TTL timeout (ProcessingTimeTimeout + state.setTimeoutDuration) for
+sliding-window dedup, or the batch hash-bucket pass (operators/dedup.py)
+for full-corpus dedup; this operator is the exact-stream variant for
+bounded key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def _fingerprint(text_col: str):
+    """Normalization fingerprint — identical to text.fingerprint (lower,
+    strip non-alnum, collapse whitespace, md5)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return F.md5(norm)
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(fp, keep_id, n_docs) — one row per NEW fingerprint, emitted the
+    first micro-batch that fingerprint appears; later occurrences (same
+    or subsequent batches) are suppressed and counted into state.
+
+    n_docs = occurrences seen in the batch that first produced the key
+    (the within-batch duplicate count the pipeline usually logs)."""
+    import pandas as pd  # noqa: F401 (worker-side import)
+
+    out_schema = StructType.fromDDL(f"fp string, keep_id long, n_docs long")
+    state_schema = StructType.fromDDL("keep_id long, seen long")
+
+    def first_seen(key, pdf_iter, state):
+        import pandas as pd
+
+        batch_n = 0
+        batch_min = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            batch_n += len(pdf)
+            m = int(pdf[id_col].min())
+            batch_min = m if batch_min is None else min(batch_min, m)
+        if state.exists:
+            keep_id, seen = state.get
+            state.update((int(keep_id), int(seen) + batch_n))
+            return iter(())          # duplicate of an earlier batch: emit nothing
+        state.update((int(batch_min), batch_n))
+        yield pd.DataFrame({"fp": [key[0]], "keep_id": [batch_min],
+                            "n_docs": [batch_n]})
+
+    keyed = stream_df.select(
+        _fingerprint(text_col).alias("fp"), F.col(id_col).cast("long").alias(id_col))
+    return keyed.groupBy("fp").applyInPandasWithState(
+        first_seen, out_schema, state_schema,
+        outputMode="append", timeoutConf="NoTimeout")

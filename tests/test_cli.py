@@ -103,3 +103,23 @@ def test_cli_flag_only_and_check_only(cli_data):
 
     r = _run_cli(["--spec", str(d / "nope.json"), "--table", table])
     assert r.returncode == 2                        # unreadable spec → exception
+
+
+def test_cli_check_only_metaschema_tier(tmp_path):
+    """--check-only runs validate_schema FIRST (Modern.pm:491-511): a spec
+    that is not a valid schema document is rejected by the metaschema
+    tier with errors, before any Spark work."""
+    bad = tmp_path / "bad_spec.json"
+    bad.write_text(json.dumps({"type": None}))
+    r = _run_cli(["--spec", str(bad), "--check-only"])
+    assert r.returncode == 1
+    payload = json.loads([ln for ln in r.stdout.splitlines()
+                          if ln.startswith("{")][-1])
+    assert payload["valid"] is False
+    assert any("metaschema" in e for e in payload["errors"])
+
+    ok = tmp_path / "ok_spec.json"
+    ok.write_text(json.dumps({"type": "object",
+                              "properties": {"n_tok": {"minimum": 0}}}))
+    r = _run_cli(["--spec", str(ok), "--check-only"])
+    assert r.returncode == 0

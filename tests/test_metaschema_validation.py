@@ -116,6 +116,8 @@ INVALID = [
     {"$vocabulary": {"https://foo.com": "not-bool"}},
     {"$schema": "https://my.custom/metaschema"},  # unregistered metaschema
     {"unevaluatedProperties": 5},
+    {"pattern": "["},                             # regex syntax at traverse
+    {"patternProperties": {"(": {}}},
 ]
 
 

@@ -1,0 +1,59 @@
+"""Stateful streaming first-seen dedup (applyInPandasWithState)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_modern_spark.streaming.dedup_stream import dedup_stream
+
+
+def _run_stream(spark, src_dir, ckpt, name, max_files=None):
+    schema = "doc_id bigint, text string"
+    reader = spark.readStream.schema(schema)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files))
+    stream = reader.parquet(src_dir)
+    q = (dedup_stream(stream).writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_first_seen_dedup_across_batches(spark, tmp_path):
+    """Two files forced into separate micro-batches: a fingerprint seen in
+    batch 1 is suppressed in batch 2; the within-batch winner is the min
+    doc id."""
+    src = tmp_path / "src"
+    # batch A: two dups of 'hello world' (ids 2, 5) + unique 'alpha'
+    spark.createDataFrame(
+        [(5, "Hello, WORLD!"), (2, "hello world"), (3, "alpha")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(str(src / "a"))
+    # batch B: another 'hello world' (id 9, must be suppressed) + 'beta'
+    spark.createDataFrame(
+        [(9, "hello   world"), (7, "beta")], "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    out = _run_stream(spark, str(src / "*"), str(tmp_path / "ckpt"),
+                      "dedup_two_batches", max_files=1)
+    rows = {r.keep_id: r.n_docs for r in out.collect()}
+    # 'hello world' emitted exactly once, keeping the min id of its FIRST
+    # batch; 'alpha' and 'beta' each once
+    assert 3 in rows and 7 in rows
+    assert 2 in rows or 9 in rows
+    assert 9 not in rows, "duplicate fingerprint re-emitted in a later batch"
+    assert rows[2] == 2          # both batch-A occurrences counted
+    assert len(rows) == 3
+
+
+def test_single_batch_matches_groupby(spark, tmp_path):
+    """availableNow over one file ≡ the batch GROUP BY (the oracle used by
+    the driver's streaming_dedup correctness row)."""
+    src = tmp_path / "one"
+    df = spark.createDataFrame(
+        [(1, "x y z"), (4, "X--Y--Z"), (2, "unique doc")],
+        "doc_id bigint, text string")
+    df.coalesce(1).write.parquet(str(src))
+    out = _run_stream(spark, str(src), str(tmp_path / "ck2"), "dedup_one")
+    got = {(r.keep_id, r.n_docs) for r in out.collect()}
+    assert got == {(1, 2), (2, 1)}
