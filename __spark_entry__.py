@@ -670,6 +670,40 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+def _doc_tokens(df: DataFrame) -> DataFrame:
+    """Derive a deterministic `tokens:array<int>` column from documents.text
+    (token id = 32*len(word) + first-codepoint mod 32) so the token-stats
+    operators run over the input_hint's table shape with a DuckDB-replicable
+    id assignment (string_split_regex/ascii agree between engines)."""
+    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda w: w != F.lit(""))
+    toks = F.transform(
+        words, lambda w: (F.length(w) * 32 + F.pmod(F.ascii(w), F.lit(32))).cast("int"))
+    return df.withColumn("tokens", toks)
+
+
+_TOKEN_VOCAB = 200   # ~13% of derived ids fall outside [0, 200) — non-degenerate OOV
+
+
+def _q_token_top_ids(spark, sf_dir):
+    from json_schema_modern_spark.operators.tokens import token_frequencies
+
+    return token_frequencies(_doc_tokens(_read(spark, sf_dir, "documents")), top_k=20)
+
+
+def _q_token_oov(spark, sf_dir):
+    from json_schema_modern_spark.operators.tokens import oov_stats
+
+    return oov_stats(_doc_tokens(_read(spark, sf_dir, "documents")), _TOKEN_VOCAB)
+
+
+def _q_token_vocab_coverage(spark, sf_dir):
+    from json_schema_modern_spark.operators.tokens import vocab_coverage
+
+    return vocab_coverage(_doc_tokens(_read(spark, sf_dir, "documents")),
+                          _TOKEN_VOCAB, exact=True)
+
+
 def _q_ann_bruteforce(spark, sf_dir):
     from json_schema_modern_spark.operators.similarity import cosine_topk, query_vector
 
@@ -865,6 +899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_shared": _q_text_winnow,
         "text_fingerprint": _q_text_fingerprint,
         "text_token_counts": _q_token_counts,
+        "token_top_ids": _q_token_top_ids,
+        "token_oov_stats": _q_token_oov,
+        "token_vocab_coverage": _q_token_vocab_coverage,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_lsh_buckets": _q_ann_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -890,7 +927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": _q_stats,
         "stats_quantiles": _q_stats_quantiles,
         "stats_by_source": _q_stats_by_source,
-        "hist_n_chars": _q_hist,
         "unique_doc_ids": _q_unique,
         "ref_broadcast": _q_ref_broadcast,
         "ref_sortmerge_salted": _q_ref_sortmerge,
@@ -907,10 +943,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_dynamicref": _q_kw_dynamicref,
         "kw_recursiveref": _q_kw_recursiveref,
         "kw_items_legacy": _q_kw_items_legacy,
-        "kw_content_json": _q_kw_content_json,
         "kw_anchor": _q_kw_anchor,
-        "kw_ref_defs": _q_kw_ref_defs,
         # ---- driver correctness window boundary (50 entries above) --------
+        "hist_n_chars": _q_hist,
+        "kw_content_json": _q_kw_content_json,
+        "kw_ref_defs": _q_kw_ref_defs,
         # -- long-stable kw rows, green in r1 AND r2 ------------------------
         "kw_dependencies": _q_kw_dependencies,
         "kw_nested_struct": _q_kw_nested_struct,
@@ -1460,6 +1497,33 @@ FROM cum GROUP BY 1, 2, 3
     o["text_token_counts"] = (
         "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens_bpe, "
         "len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens_ws FROM documents"
+    )
+    _tok_expr = (
+        "list_transform(list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), w -> w <> ''), "
+        "w -> CAST(length(w) * 32 + (ascii(w) % 32) AS INT))"
+    )
+    o["token_top_ids"] = (
+        f"WITH t AS (SELECT {_tok_expr} AS toks FROM documents), "
+        "u AS (SELECT unnest(toks) AS token FROM t) "
+        "SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences FROM u "
+        "GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 20"
+    )
+    o["token_oov_stats"] = (
+        f"WITH t AS (SELECT source, {_tok_expr} AS toks FROM documents) "
+        "SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens, "
+        "CAST(sum(len(list_filter(toks, x -> x < 0 OR x >= 200))) AS BIGINT) AS n_oov, "
+        "CAST(round(sum(len(list_filter(toks, x -> x < 0 OR x >= 200))) * 1.0 "
+        "/ sum(len(toks)), 6) AS DOUBLE) AS oov_rate "
+        "FROM t GROUP BY 1 ORDER BY 1"
+    )
+    o["token_vocab_coverage"] = (
+        f"WITH t AS (SELECT {_tok_expr} AS toks FROM documents), "
+        "u AS (SELECT unnest(toks) AS token FROM t) "
+        "SELECT CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens, "
+        "200 AS vocab_size, "
+        "CAST(round(count(DISTINCT token) / 200.0, 6) AS DOUBLE) AS coverage "
+        "FROM u WHERE token >= 0 AND token < 200"
     )
     o["ann_bruteforce_topk"] = _ann_oracle()
     o["ann_lsh_buckets"] = _lsh_bucket_oracle()

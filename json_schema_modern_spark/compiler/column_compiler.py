@@ -309,8 +309,11 @@ def _check_vocabulary(spec: Any) -> None:
     if not isinstance(vocab, dict) or not all(
             isinstance(v, bool) for v in vocab.values()):
         raise SpecError('"$vocabulary" value must be an object of boolean values')
+    from json_schema_modern_spark.spec.vocabulary import registered_uris
+
     for uri, required in vocab.items():
-        if required and uri not in _KNOWN_VOCAB_URIS:
+        if required and uri not in _KNOWN_VOCAB_URIS \
+                and uri not in registered_uris():
             raise SpecError(
                 f'EXCEPTION: required vocabulary "{uri}" is not supported')
 
@@ -640,8 +643,14 @@ class ColumnCompiler:
     def _object_schema(self, schema: dict, t: Target, kloc: str, base: str, abs_ptr: str) -> Compiled:
         _shape_check(schema, kloc, self.dialect)
         if self.options.strict:
+            from json_schema_modern_spark.spec.vocabulary import (
+                registered_keywords,
+            )
+
+            custom_kws = registered_keywords()
             unknown = sorted(k for k in schema
-                             if k not in _KNOWN_KEYWORDS and not k.startswith("x-"))
+                             if k not in _KNOWN_KEYWORDS and not k.startswith("x-")
+                             and k not in custom_kws)
             if unknown:
                 # reference strict mode (Modern.pm:817-820)
                 raise SpecError(
@@ -1349,6 +1358,34 @@ class ColumnCompiler:
                 self.ctx.set_checks.append(SetCheck(
                     kind=kw[2:], keyword_location=f"{kloc}/{kw}", params={"value": schema[kw]},
                 ))
+
+        # ---- registered custom vocabularies (add_vocabulary seam,
+        # Modern.pm:940-956) — dispatched in evaluation_order AFTER the
+        # built-in keywords, wrapped with the same presence gating and
+        # violation bookkeeping ----------------------------------------
+        from json_schema_modern_spark.spec.vocabulary import (
+            registered_keywords,
+        )
+
+        for kw, (_voc, ks) in registered_keywords().items():
+            if kw not in schema:
+                continue
+            if ks.traverse is not None:
+                try:
+                    ks.traverse(schema[kw])
+                except ValueError as exc:
+                    raise SpecError(
+                        f"{kw} {exc} (at {kloc or '/'})") from exc
+            if ks.types is not None and not (
+                    jt in ks.types
+                    or (jt == "integer" and "number" in ks.types)):
+                continue
+            if ks.compile is None or t.is_root:
+                continue
+            pred = ks.compile(schema[kw], t.value_col(), jt)
+            if pred is None:
+                continue
+            add(E(kw, F.coalesce(pred, F.lit(False)), ks.error))
 
         ok_all = F.lit(True)
         for o in oks:

@@ -1,0 +1,78 @@
+"""Token-id statistics over `tokens:array<int>` columns (the engine's
+payload axis; SURVEY.md §2.8 aggregations applied to the token table of
+BASELINE.json's input_hint).
+
+Scale shapes (10^12-sequence table):
+
+- `token_frequencies`: explode + hash-aggregate.  The explode produces
+  O(total tokens) rows but partial (map-side) aggregation collapses each
+  partition to at most |vocab| states before the shuffle, so shuffle
+  volume is O(|vocab| x partitions) — independent of row count.  Top-k is
+  TakeOrderedAndProject (no global sort).
+- `oov_stats`: NO explode — per-row OOV counting stays inside one
+  codegen'd higher-order `filter`/`size` expression, then a per-source
+  partial+final aggregate.  Shuffle is O(|sources| x partitions).
+- `vocab_coverage`: distinct-token-id count via HLL sketch over the
+  exploded ids (partial sketches merge map-side; exact count_distinct
+  variant for the DuckDB oracle gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_frequencies(
+    df: DataFrame, tokens_col: str = "tokens", top_k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent token ids: (token, n_occurrences), ties broken
+    by token id so the result is deterministic."""
+    return (
+        df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
+def oov_stats(
+    df: DataFrame, vocab_size: int,
+    tokens_col: str = "tokens", group_col: str = "source",
+) -> DataFrame:
+    """Per-group out-of-vocabulary rate for a [0, vocab_size) id space:
+    (group, n_tokens, n_oov, oov_rate).  oov_rate is rounded to 6 decimals
+    (documented oracle-parity convention)."""
+    toks = F.col(tokens_col)
+    oov = F.size(F.filter(toks, lambda t: (t < F.lit(0)) | (t >= F.lit(vocab_size))))
+    return (
+        df.select(F.col(group_col).alias("grp"),
+                  F.size(toks).alias("_n"), oov.alias("_oov"))
+        .groupBy("grp")
+        .agg(F.sum("_n").alias("n_tokens"), F.sum("_oov").alias("n_oov"))
+        .select(
+            F.col("grp").alias(group_col), "n_tokens", "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"))
+        .orderBy(group_col)
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, vocab_size: int,
+    tokens_col: str = "tokens", exact: bool = False, rsd: float = 0.01,
+) -> DataFrame:
+    """One-row summary: (n_distinct_tokens, vocab_size, coverage) where
+    coverage counts only in-vocabulary ids.  exact=True swaps the HLL
+    sketch for count(DISTINCT) — the DuckDB-oracle configuration."""
+    ids = (
+        df.select(F.explode(tokens_col).alias("token"))
+        .filter((F.col("token") >= 0) & (F.col("token") < vocab_size))
+    )
+    distinct = (F.count_distinct("token") if exact
+                else F.approx_count_distinct("token", rsd=rsd))
+    return ids.agg(distinct.alias("n_distinct_tokens")).select(
+        "n_distinct_tokens",
+        F.lit(vocab_size).alias("vocab_size"),
+        F.round(F.col("n_distinct_tokens") / F.lit(float(vocab_size)), 6)
+        .alias("coverage"),
+    )

@@ -234,6 +234,20 @@ def _eval(schema: Any, instance: Any) -> tuple[bool, frozenset, frozenset]:
         if branch in schema and not merge_if_ok(schema[branch], instance):
             return fail
 
+    # registered custom vocabularies (add_vocabulary seam) — python-tier
+    # hooks run with the same type gating as the Spark compiler
+    from json_schema_modern_spark.spec import vocabulary as _vocab
+
+    if _vocab.has_vocabularies():
+        for kw, (_voc, ks) in _vocab.registered_keywords().items():
+            if kw not in schema or ks.evaluate is None:
+                continue
+            if ks.types is not None and not (
+                    t in ks.types or (t == "integer" and "number" in ks.types)):
+                continue
+            if not ks.evaluate(schema[kw], instance):
+                return fail
+
     # unevaluated* run LAST, over the complement of everything collected
     # in this schema's scope (V/Applicator.pm:37-45 ordering)
     if "unevaluatedProperties" in schema and t == "object":

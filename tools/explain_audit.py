@@ -175,6 +175,23 @@ def main() -> None:
           "BroadcastHashJoin" in ct_plan)
     check("contamination: training side not cross-joined", no_cross(ct_plan))
 
+    # 10. token stats: frequencies must partial-aggregate before the
+    #     shuffle (shuffle volume O(|vocab|×partitions), not O(tokens))
+    #     and take top-k without a global sort; the OOV pass must never
+    #     explode (no Generate node — per-row counting stays codegen'd)
+    from json_schema_modern_spark.operators.tokens import (
+        oov_stats, token_frequencies,
+    )
+
+    tf_plan = explain_str(token_frequencies(df, top_k=20))
+    check("token freq: partial agg before shuffle",
+          "HashAggregate" in tf_plan and "Exchange" in tf_plan)
+    check("token freq: top-k via TakeOrderedAndProject",
+          "TakeOrderedAndProject" in tf_plan)
+    oov_plan = explain_str(oov_stats(df, vocab_size=50257))
+    check("token OOV: explode-free (no Generate node)",
+          "Generate" not in oov_plan)
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
