@@ -670,6 +670,23 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style duplicate-bigram fraction (repetitious-document
+    filter) — per-row zip_with n-grams, no explode, no shuffle."""
+    from json_schema_modern_spark.operators.text import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"), n=2)
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min) + per-session rollup — one
+    shuffle on user_id feeds lag, the running session index and the
+    final aggregate."""
+    from json_schema_modern_spark.operators.sessions import session_stats
+
+    return session_stats(_read(spark, sf_dir, "events"), gap_minutes=30.0)
+
+
 def _doc_tokens(df: DataFrame) -> DataFrame:
     """Derive a deterministic `tokens:array<int>` column from documents.text
     (token id = 32*len(word) + first-codepoint mod 32) so the token-stats
@@ -899,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_shared": _q_text_winnow,
         "text_fingerprint": _q_text_fingerprint,
         "text_token_counts": _q_token_counts,
+        "text_repetition": _q_text_repetition,
         "token_top_ids": _q_token_top_ids,
         "token_oov_stats": _q_token_oov,
         "token_vocab_coverage": _q_token_vocab_coverage,
@@ -912,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_samples": _q_media_frame_samples,
         "media_features": _q_media_features,
         "events_window_counts": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
         "streaming_validation": _q_streaming_validation,
         "streaming_dedup": _q_streaming_dedup,
         # -- dedup / stats / drift (window) ---------------------------------
@@ -930,8 +949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_doc_ids": _q_unique,
         "ref_broadcast": _q_ref_broadcast,
         "ref_sortmerge_salted": _q_ref_sortmerge,
-        "drift_ks_n_chars": _q_drift,
-        "drift_ks_pandas": _q_drift_pandas,
         "drift_psi": _q_drift_psi,
         "drift_psi_window": _q_drift_psi_window,
         # -- kw rows touched or riskiest this round (window) ----------------
@@ -945,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_items_legacy": _q_kw_items_legacy,
         "kw_anchor": _q_kw_anchor,
         # ---- driver correctness window boundary (50 entries above) --------
+        "drift_ks_n_chars": _q_drift,
+        "drift_ks_pandas": _q_drift_pandas,
         "hist_n_chars": _q_hist,
         "kw_content_json": _q_kw_content_json,
         "kw_ref_defs": _q_kw_ref_defs,
@@ -1497,6 +1516,30 @@ FROM cum GROUP BY 1, 2, 3
     o["text_token_counts"] = (
         "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens_bpe, "
         "len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens_ws FROM documents"
+    )
+    o["text_repetition"] = (
+        "WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS ws FROM documents), "
+        "g AS (SELECT doc_id, list_transform(range(1, greatest(len(ws), 1)), "
+        "i -> ws[i] || ' ' || ws[i + 1]) AS grams FROM w) "
+        "SELECT doc_id, CAST(len(grams) AS INT) AS n_grams, "
+        "CAST(len(list_distinct(grams)) AS INT) AS n_distinct, "
+        "CASE WHEN len(grams) > 0 THEN CAST(round(1.0 - "
+        "len(list_distinct(grams)) * 1.0 / len(grams), 6) AS DOUBLE) "
+        "ELSE CAST(0.0 AS DOUBLE) END AS dup_frac FROM g"
+    )
+    o["events_sessionize"] = (
+        "WITH s AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL "
+        "OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 "
+        "THEN 1 ELSE 0 END AS new_sess FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "t AS (SELECT user_id, ts, CAST(sum(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx FROM s) "
+        "SELECT user_id, session_idx, count(*) AS n_events, "
+        "CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch, "
+        "CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch, "
+        "CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_s "
+        "FROM t GROUP BY 1, 2"
     )
     _tok_expr = (
         "list_transform(list_filter(string_split_regex(lower(text), "

@@ -197,3 +197,37 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """(id, n_grams, n_distinct, dup_frac) — within-document word-n-gram
+    repetition, the Gopher-style "repetitious document" quality signal
+    (duplicate-bigram fraction; Rae et al. 2021 §A1.1).
+
+    Scale shape: everything is per-row higher-order expressions — grams
+    built by zip_with over shifted slices (no explode, no shuffle, no
+    Python); a 100 TB corpus runs this as a pure distributed map."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    w = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda x: x != F.lit(""))
+    # n-gram list by zipping n shifted views of the word array
+    grams = F.slice(w, 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    for i in range(1, n):
+        shifted = F.slice(
+            w, i + 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
+        grams = F.zip_with(grams, shifted,
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    dup = F.when(n_grams > 0,
+                 F.round(F.lit(1.0) - n_distinct / n_grams, 6)) \
+        .otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        dup.alias("dup_frac"),
+    )
