@@ -670,6 +670,24 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+def _q_dedup_segments(spark, sf_dir):
+    """C4-style sub-document dedup: non-overlapping 8-word segments
+    occurring >= 2 times corpus-wide (one explode → hash-agg with
+    map-side combine; shuffle O(distinct segments))."""
+    from json_schema_modern_spark.operators.dedup import segment_duplicates
+
+    return segment_duplicates(_read(spark, sf_dir, "documents"),
+                              seg_words=8, min_occurrences=2)
+
+
+def _q_split_assign(spark, sf_dir):
+    """Deterministic 98/1/1 split assignment rollup — md5-bucket per
+    doc_id, pure per-row map (no shuffle except the 3-row summary)."""
+    from json_schema_modern_spark.operators.splits import split_summary
+
+    return split_summary(_read(spark, sf_dir, "documents"))
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style duplicate-bigram fraction (repetitious-document
     filter) — per-row zip_with n-grams, no explode, no shuffle."""
@@ -941,13 +959,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_segments": _q_dedup_segments,
+        "split_assign": _q_split_assign,
         "contamination_ngram": _q_contamination,
         "redact_pii_counts": _q_redact_pii,
-        "stats_lineitem": _q_stats,
         "stats_quantiles": _q_stats_quantiles,
         "stats_by_source": _q_stats_by_source,
         "unique_doc_ids": _q_unique,
-        "ref_broadcast": _q_ref_broadcast,
         "ref_sortmerge_salted": _q_ref_sortmerge,
         "drift_psi": _q_drift_psi,
         "drift_psi_window": _q_drift_psi_window,
@@ -962,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_items_legacy": _q_kw_items_legacy,
         "kw_anchor": _q_kw_anchor,
         # ---- driver correctness window boundary (50 entries above) --------
+        "stats_lineitem": _q_stats,
+        "ref_broadcast": _q_ref_broadcast,
         "drift_ks_n_chars": _q_drift,
         "drift_ks_pandas": _q_drift_pandas,
         "hist_n_chars": _q_hist,
@@ -1516,6 +1536,24 @@ FROM cum GROUP BY 1, 2, 3
     o["text_token_counts"] = (
         "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens_bpe, "
         "len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens_ws FROM documents"
+    )
+    o["dedup_segments"] = (
+        "WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS ws FROM documents), "
+        "s AS (SELECT doc_id, unnest(list_transform(range(0, "
+        "CAST(ceil(len(ws) / 8.0) AS INT)), "
+        "i -> array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' '))) AS seg FROM w) "
+        "SELECT md5(seg) AS seg_hash, count(*) AS n_occurrences, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "FROM s GROUP BY 1 HAVING count(*) >= 2"
+    )
+    o["split_assign"] = (
+        "WITH b AS (SELECT CAST(concat('0x', substr(md5('split-v1' || "
+        "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket "
+        "FROM documents) "
+        "SELECT CASE WHEN bucket < 9800 THEN 'train' "
+        "WHEN bucket < 9900 THEN 'valid' ELSE 'test' END AS split, "
+        "count(*) AS n_docs FROM b GROUP BY 1 ORDER BY 1"
     )
     o["text_repetition"] = (
         "WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "

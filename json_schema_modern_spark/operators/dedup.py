@@ -131,6 +131,38 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def segment_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    seg_words: int = 8, min_occurrences: int = 2,
+) -> DataFrame:
+    """Sub-document (segment-level) exact dedup — the C4-style "dedup at
+    line level" pass generalized to fixed-`seg_words` word windows so it
+    also works on corpora without line structure: (seg_hash, n_occurrences,
+    n_docs) for every non-overlapping window appearing >= min_occurrences
+    times across the corpus.
+
+    Scale shape: segments are built per-row with higher-order expressions
+    (no Python), then ONE explode feeds a hash-aggregate with map-side
+    partial combine — shuffle volume is O(distinct segments), and the
+    md5 key spreads uniformly, so no skew handling is needed.  The
+    boilerplate-removal consumer joins this (small) table back broadcast.
+    """
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                 lambda x: x != F.lit(""))
+    n_seg = F.ceil(F.size(w) / F.lit(float(seg_words))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * seg_words + 1, seg_words)))
+    segs = F.when(n_seg > 0, segs).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(segs).alias("seg"))
+        .groupBy(F.md5("seg").alias("seg_hash"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+
+
 def _py_shingles(text: str, n: int) -> list[str]:
     """Python replica of word_shingles (must match the Column version and
     the DuckDB oracle token-for-token: trim spaces, lower, split \\s+,
