@@ -851,6 +851,47 @@ def _q_streaming_validation(spark, sf_dir):
     return spark.table(name)
 
 
+_EVENT_SPEC = {
+    "properties": {
+        "value": {"maximum": 150},
+        "event_type": {"enum": ["signup", "click", "purchase", "view"]},
+    },
+}
+
+
+def _q_streaming_window_rate(spark, sf_dir):
+    """Watermarked event-time window aggregation over a validated stream:
+    hourly invalid-rate per event_type (violation_rate — the bounded-state
+    stateful operator; watermark evicts closed windows).  availableNow +
+    complete output ⇒ deterministic, so the batch GROUP BY oracle applies."""
+    import uuid as _uuid
+
+    from json_schema_modern_spark.streaming.validate_stream import (
+        validate_stream,
+        violation_rate,
+    )
+
+    schema = _read(spark, sf_dir, "events").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)
+              # watermarks require TIMESTAMP (LTZ); session tz is pinned
+              # UTC so the NTZ parquet values keep their instants
+              .withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+    annotated, _viol = validate_stream(stream, _EVENT_SPEC, id_cols=["event_id"])
+    rate = violation_rate(annotated, "ts", window="1 hour",
+                          watermark="2 hours", group_col="event_type")
+    out = rate.select(
+        F.col("window_start").cast("timestamp_ltz").cast("long").alias("w_start"),
+        "event_type", "n_rows", "n_invalid",
+        F.round("invalid_rate", 6).alias("invalid_rate"))
+    name = "stream_rate_" + _uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark-contamination check: the documents table split into a
     deterministic 'benchmark' slice (doc_id % 19 == 0) and the training
@@ -951,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "streaming_validation": _q_streaming_validation,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_window_rate": _q_streaming_window_rate,
         # -- dedup / stats / drift (window) ---------------------------------
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -978,8 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_dynamicref": _q_kw_dynamicref,
         "kw_recursiveref": _q_kw_recursiveref,
         "kw_items_legacy": _q_kw_items_legacy,
-        "kw_anchor": _q_kw_anchor,
         # ---- driver correctness window boundary (50 entries above) --------
+        "kw_anchor": _q_kw_anchor,
         "stats_lineitem": _q_stats,
         "ref_broadcast": _q_ref_broadcast,
         "drift_ks_n_chars": _q_drift,
@@ -1554,6 +1596,17 @@ FROM cum GROUP BY 1, 2, 3
         "SELECT CASE WHEN bucket < 9800 THEN 'train' "
         "WHEN bucket < 9900 THEN 'valid' ELSE 'test' END AS split, "
         "count(*) AS n_docs FROM b GROUP BY 1 ORDER BY 1"
+    )
+    o["streaming_window_rate"] = (
+        "WITH e AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start, "
+        "event_type, CASE WHEN (value IS NOT NULL AND value > 150) OR "
+        "(event_type IS NOT NULL AND event_type NOT IN "
+        "('signup', 'click', 'purchase', 'view')) THEN 1 ELSE 0 END AS inv "
+        "FROM events) "
+        "SELECT w_start, event_type, count(*) AS n_rows, "
+        "CAST(sum(inv) AS BIGINT) AS n_invalid, "
+        "CAST(round(sum(inv) * 1.0 / count(*), 6) AS DOUBLE) AS invalid_rate "
+        "FROM e GROUP BY 1, 2"
     )
     o["text_repetition"] = (
         "WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "

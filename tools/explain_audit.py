@@ -192,6 +192,20 @@ def main() -> None:
     check("token OOV: explode-free (no Generate node)",
           "Generate" not in oov_plan)
 
+    # 11. sessionization: lag + running session index + rollup must share
+    #     ONE user-key exchange (window spec reuse); no second shuffle
+    from json_schema_modern_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess_plan = explain_str(session_stats(ev))
+    n_exchanges = sum(
+        1 for ln in sess_plan.splitlines()
+        if ln.strip().startswith("Arguments: hashpartitioning"))
+    # (the only other Exchange is the presentation orderBy's
+    # rangepartitioning — not a data-plane shuffle)
+    check("sessionize: one user-key exchange feeds lag+sum+rollup",
+          n_exchanges == 1, f"hash exchanges: {n_exchanges}")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
