@@ -181,11 +181,23 @@ def main() -> None:
     queries = run_headline(spark)
     queries["token_full_validation"] = tok["sec"]
     total = round(sum(queries.values()), 3)
+    # Per-query timings go to a sidecar file AND an *earlier* stdout line;
+    # the FINAL stdout line is a compact summary.  Round 3's single JSON
+    # line outgrew the driver's output-tail capture (81 query entries) and
+    # BENCH_r03.json recorded "parsed": null — keep the last line small so
+    # the headline fields always survive tail truncation.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_queries.json")
+    with open(sidecar, "w") as f:
+        json.dump({"queries": queries, "sf": _sf_of(SF_DIR), "cpus": CPUS},
+                  f, indent=1, sort_keys=True)
+    print(json.dumps({"per_query_sec": queries}))
     print(json.dumps({
-        "metric": "validated sequences/sec + headline query suite (sec)",
+        "metric": "validated seq/sec + headline suite (sec)",
         "value": total,
         "unit": "sec",
-        "queries": queries,
+        "queries": {"n": len(queries), "total_sec": total,
+                    "detail_file": "bench_queries.json"},
         "sf": _sf_of(SF_DIR),
         "seq_per_sec": tok["seq_per_sec"],
         "token_rows": tok["n_sequences"],

@@ -74,7 +74,12 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
     )
-    total = with_grams.select(F.col(id_col), F.size("_gs").alias("total_ngrams"))
+    # _gs is never null (when/otherwise yields []), but guard size() anyway:
+    # an unguarded size(NULL) is -1/NULL depending on conf and would corrupt
+    # the rate denominator for null-text rows.
+    total = with_grams.select(
+        F.col(id_col),
+        F.coalesce(F.size("_gs"), F.lit(0)).alias("total_ngrams"))
     return (
         total.join(hits, id_col, "left")
         .select(

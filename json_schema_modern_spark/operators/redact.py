@@ -50,7 +50,8 @@ def redact_pii(
     id_col: str = "doc_id",
     keep_text: bool = False,
 ) -> DataFrame:
-    """(id, n_email, n_phone, n_ipv4, n_digits, n_pii[, redacted]) per doc.
+    """(id, n_email, n_ipv4, n_phone, n_digits, n_pii[, redacted]) per doc —
+    count columns follow PII_PATTERNS registry order.
 
     keep_text=True additionally materializes the redacted text — off by
     default so the stats-only pass never carries the text through the agg.

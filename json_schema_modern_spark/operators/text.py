@@ -220,8 +220,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
             w, i + 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
         grams = F.zip_with(grams, shifted,
                            lambda a, b: F.concat(a, F.lit(" "), b))
-    n_grams = F.size(grams)
-    n_distinct = F.size(F.array_distinct(grams))
+    # null text ⇒ null word array ⇒ size() would be NULL/-1; report 0 grams
+    n_grams = F.coalesce(F.size(grams), F.lit(0))
+    n_distinct = F.coalesce(F.size(F.array_distinct(grams)), F.lit(0))
     dup = F.when(n_grams > 0,
                  F.round(F.lit(1.0) - n_distinct / n_grams, 6)) \
         .otherwise(F.lit(0.0))

@@ -189,8 +189,13 @@ class SchemaRegistry:
         root_uri = urljoin(default_uri, root_id) \
             if isinstance(root_id, str) else default_uri
         root_uri, frag = urldefrag(root_uri)
+        # drafts 4-7 allow a plain-name anchor fragment on ANY id, including
+        # the document root: both the fragment-only form ("#name") and the
+        # combined rebase+anchor form ("doc.json#name") — _walk registers
+        # the anchor itself (V/Core.pm legacy anchor path; the draft4
+        # corpus's "weird but valid" case applies at the root too).
         if frag and not (rank <= 2 and isinstance(root_id, str)
-                         and root_id.startswith("#")):
+                         and _ANCHOR_RE.match(frag)):
             raise SpecError("root $id must not carry a fragment")
         self.roots[root_uri] = schema
         self._walk(schema, base_uri=root_uri, pointer="", rank=rank)
@@ -312,6 +317,24 @@ class SchemaRegistry:
                     raise SpecError(
                         f"patternProperties key {pat!r} at {pointer or '/'} "
                         f"is not a valid regular expression: {exc}") from exc
+
+        # custom-vocabulary traverse hooks run during the registry walk so
+        # a malformed custom keyword value invalidates the whole document
+        # even inside never-evaluated $defs branches — traverse-phase
+        # semantics (Modern.pm _traverse; the compiler only reaches
+        # keywords on compiled paths).  Local import: vocabulary.py is a
+        # leaf module but keeps resolver importable without it at startup.
+        from json_schema_modern_spark.spec.vocabulary import (
+            has_vocabularies, registered_keywords,
+        )
+        if has_vocabularies():
+            for ckw, (_voc, ks) in registered_keywords().items():
+                if ckw in node and ks.traverse is not None:
+                    try:
+                        ks.traverse(node[ckw])
+                    except ValueError as exc:
+                        raise SpecError(
+                            f"{ckw} {exc} (at {pointer or '/'})") from exc
 
         if "$vocabulary" in node and rank >= 3:
             # Core.pm:363-391: object with boolean values, absolute-URI

@@ -132,3 +132,37 @@ def test_both_tiers_agree(spark, even_vocab):
     for i, n in rows:
         assert spark_valid[i] == evaluate(
             {"properties": {"n": {"evenValue": False}}}, {"n": n}), i
+
+
+def test_traverse_runs_in_unreferenced_defs_branch(even_vocab):
+    # traverse-phase semantics: a malformed custom keyword value inside a
+    # $defs branch no evaluation path reaches still invalidates the whole
+    # document at add_schema time (Modern.pm _traverse; ADVICE r3)
+    from json_schema_modern_spark.spec.resolver import SchemaRegistry
+    from json_schema_modern_spark.spec.resolver import SpecError as RSpecError
+
+    reg = SchemaRegistry()
+    with pytest.raises(RSpecError, match="evenValue"):
+        reg.add_schema(
+            {"$defs": {"never": {"evenValue": "not-a-bool"}}},
+            "https://example.com/unref")
+
+
+def test_legacy_root_id_with_anchor_fragment():
+    # drafts 4-7: root id "doc.json#name" (combined rebase+anchor) is the
+    # same 'weird but valid' form _walk accepts on subschemas (ADVICE r3)
+    from json_schema_modern_spark.spec.resolver import SchemaRegistry
+    from json_schema_modern_spark.spec.resolver import SpecError as RSpecError
+
+    reg = SchemaRegistry()
+    uri = reg.add_schema({"id": "http://t.test/doc.json#legacyName",
+                          "type": "integer"}, dialect="4")
+    assert uri == "http://t.test/doc.json"
+    res = reg.resolve("#legacyName", "http://t.test/doc.json")
+    assert res.node["type"] == "integer"
+
+    # still rejected on 2020-12 (root $id must be fragment-free there)
+    reg2 = SchemaRegistry()
+    with pytest.raises(RSpecError):
+        reg2.add_schema({"$id": "http://t.test/doc.json#legacyName"},
+                        dialect="2020-12")
