@@ -102,6 +102,18 @@ class CompileOptions:
     assume_dense_arrays: bool = False
     max_depth: int = 64          # reference default is 50 (Modern.pm:76-80)
     collect_leaf_errors: bool = True
+    # per-keyword compile callbacks (reference: evaluation callbacks,
+    # Modern.pm:652-663 / t/callbacks.t).  keyword -> fn(keyword, kloc,
+    # akloc, value), fired once per (keyword, traversed location) the
+    # compiler processes — including locations reached through $ref /
+    # $dynamicRef hops, whose kloc carries the "/$ref" segment, so
+    # coverage/telemetry tooling built on the reference's callback seam
+    # has the same per-keyword visibility here.  In a set-oriented engine
+    # the per-INSTANCE callback has no analogue (keywords evaluate once
+    # per column, not once per row); the per-keyword-per-location compile
+    # walk is the faithful projection.  The row tier (pyeval) keeps the
+    # reference's full per-instance callback semantics.
+    callbacks: dict | None = None
 
 
 @dataclass
@@ -656,6 +668,12 @@ class ColumnCompiler:
                 raise SpecError(
                     f"unknown keyword{'s' if len(unknown) > 1 else ''} seen in "
                     f"schema: {', '.join(unknown)}")
+        if self.options.callbacks:
+            for kw, cb in self.options.callbacks.items():
+                if kw in schema:
+                    ke = json_pointer_escape(kw)
+                    cb(kw, f"{kloc}/{ke}",
+                       self._akloc(base, f"{abs_ptr}/{ke}"), schema[kw])
         # track $id scope changes for absolute keyword locations / ref bases
         if "$id" in schema:
             res = None
