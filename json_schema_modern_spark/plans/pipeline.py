@@ -106,6 +106,30 @@ class ValidationPipeline:
         self.drift_hi = drift_hi
         self.validator = Validator(spec, options, extra_schemas=extra_schemas)
 
+    @classmethod
+    def resume_from(cls, workdir: str, *,
+                    fingerprint: str | None = None) -> "ValidationPipeline":
+        """Rebuild a pipeline from a checkpoint directory WITHOUT the spec
+        in hand and WITHOUT re-running the traverse phase: thaws the
+        validator persisted by ``run()`` (the reference's serialize→thaw
+        evaluator caching, Modern.pm:1259-1279) and restores the run
+        geometry from the manifest.  Compiled Column expressions are
+        session-bound and re-derive lazily on first validate — the
+        analogue of the reference re-adding coderefs after THAW."""
+        with open(os.path.join(workdir, "run_manifest.json")) as f:
+            manifest = json.load(f)
+        fp = fingerprint or manifest["spec_fingerprint"]
+        validator = Validator.load(os.path.join(workdir, f"plan_{fp}.json"))
+        pipe = cls.__new__(cls)
+        pipe.spec = validator.spec
+        pipe.id_col = manifest.get("id_col", "doc_id")
+        pipe.workdir = workdir
+        pipe.n_buckets = manifest["n_buckets"]
+        pipe.drift_bins = manifest.get("drift_bins", 256)
+        pipe.drift_hi = manifest.get("drift_hi", 2048.0)
+        pipe.validator = validator
+        return pipe
+
     # -- lineage ------------------------------------------------------------
 
     def _lineage_path(self) -> str:
@@ -258,6 +282,18 @@ class ValidationPipeline:
             return self._run_inmemory(run_id, bucketed, source_dict, stats_columns)
 
         os.makedirs(self.workdir, exist_ok=True)
+        # persist the frozen validator next to the lineage (reference
+        # serialization caching, Modern.pm:1259-1279 / README.pod CACHING):
+        # a restarted driver resumes via ``ValidationPipeline.resume_from``
+        # which thaws this file instead of re-running the traverse phase
+        plan_path = os.path.join(self.workdir, f"plan_{fingerprint}.json")
+        if not os.path.exists(plan_path):
+            self.validator.save(plan_path)
+        # manifest lands BEFORE bucket work so a crashed run is resumable
+        # (rewritten at the end with the completing run_id)
+        _write_manifest(self.workdir, run_id, snapshot_id, fingerprint,
+                        self.n_buckets, self.id_col, self.drift_bins,
+                        self.drift_hi)
         done = self.done_buckets(spark, snapshot_id, fingerprint) if resume else set()
         pending = [b for b in range(self.n_buckets) if b not in done]
 
@@ -342,7 +378,9 @@ class ValidationPipeline:
             .agg(F.count(F.lit(1)).alias("n_violations")) \
             .coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(self.workdir, "violation_counts"))
-        _write_manifest(self.workdir, run_id, snapshot_id, fingerprint, self.n_buckets)
+        _write_manifest(self.workdir, run_id, snapshot_id, fingerprint,
+                        self.n_buckets, self.id_col, self.drift_bins,
+                        self.drift_hi)
         return PipelineResult(
             run_id=run_id, violations=all_viols, stats=stats, histogram=hist,
             partition_results=part_res,
@@ -392,9 +430,11 @@ def _partition_results(bucketed: DataFrame, viols: DataFrame) -> DataFrame:
     )
 
 
-def _write_manifest(workdir, run_id, snapshot_id, fingerprint, n_buckets) -> None:
+def _write_manifest(workdir, run_id, snapshot_id, fingerprint, n_buckets,
+                    id_col="doc_id", drift_bins=256, drift_hi=2048.0) -> None:
     with open(os.path.join(workdir, "run_manifest.json"), "w") as f:
         json.dump({
             "run_id": run_id, "snapshot_id": snapshot_id,
             "spec_fingerprint": fingerprint, "n_buckets": n_buckets,
+            "id_col": id_col, "drift_bins": drift_bins, "drift_hi": drift_hi,
         }, f, indent=2)

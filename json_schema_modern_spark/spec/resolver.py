@@ -165,6 +165,9 @@ class SchemaRegistry:
     # base URIs of resources declaring `$recursiveAnchor: true` (2019-09)
     recursive_anchors: set[str] = field(default_factory=set)
     roots: dict[str, Any] = field(default_factory=dict)
+    # dialect each root was walked under — identifier rules differ per
+    # draft, so content dedup only applies within the same dialect
+    root_dialects: dict[str, str] = field(default_factory=dict)
 
     def add_schema(self, schema: Any, default_uri: str = "",
                    legacy_id: bool = False, dialect: str | None = None) -> str:
@@ -180,6 +183,7 @@ class SchemaRegistry:
         if isinstance(schema, bool):
             root_uri = default_uri
             self.roots[root_uri] = schema
+            self.root_dialects[root_uri] = dialect
             self.resources[root_uri] = Resource(schema, root_uri, root_uri, "")
             return root_uri
         if not isinstance(schema, dict):
@@ -197,7 +201,16 @@ class SchemaRegistry:
         if frag and not (rank <= 2 and isinstance(root_id, str)
                          and _ANCHOR_RE.match(frag)):
             raise SpecError("root $id must not carry a fragment")
+        if root_uri in self.roots \
+                and self.root_dialects.get(root_uri) == dialect \
+                and canonical_json(self.roots[root_uri]) == canonical_json(schema):
+            # MD5-style content dedup (Modern.pm:186-197): re-adding an
+            # identical document is a no-op — this is what lets a THAWed
+            # registry skip the traverse walk when the compiler re-adds
+            # the spec it was frozen with
+            return root_uri
         self.roots[root_uri] = schema
+        self.root_dialects[root_uri] = dialect
         self._walk(schema, base_uri=root_uri, pointer="", rank=rank)
         return root_uri
 
@@ -454,3 +467,61 @@ class SchemaRegistry:
             if res is not None:
                 return res
         return None
+
+    # -- serialization (reference FREEZE/THAW, Modern.pm:1259-1279) ---------
+
+    def _locate(self, res: Resource) -> tuple[str, str]:
+        """(root uri, pointer) addressing a resource's node inside the
+        serialized root documents — the relink key for thaw."""
+        for root_uri, doc in self.roots.items():
+            try:
+                node = self._pointer_get(doc, res.pointer)
+            except SpecError:
+                continue
+            if node is res.node:
+                return root_uri, res.pointer
+        raise SpecError(
+            f"cannot locate resource {res.canonical_uri!r} in any root")
+
+    def freeze(self) -> dict:
+        """JSON-able snapshot of the symbol table — the analogue of the
+        reference's serialized ``_resource_index`` (Modern.pm:1259-1265,
+        t/serialization.t).  Nodes are stored as (root, pointer) addresses
+        into ``roots`` and re-linked at thaw, so shared structure survives
+        the round trip; like the reference, code (compiled Columns) is NOT
+        serialized and is re-derived lazily after thaw."""
+        def table(entries):
+            return [[list(k) if isinstance(k, tuple) else k,
+                     *self._locate(r), r.canonical_uri, r.base_uri]
+                    for k, r in entries]
+
+        return {
+            "roots": dict(self.roots),
+            "root_dialects": dict(self.root_dialects),
+            "resources": table(self.resources.items()),
+            "anchors": table(self.anchors.items()),
+            "dynamic_anchors": table(self.dynamic_anchors.items()),
+            "recursive_anchors": sorted(self.recursive_anchors),
+        }
+
+    @classmethod
+    def thaw(cls, frozen: dict) -> "SchemaRegistry":
+        """Rebuild a registry from ``freeze()`` output WITHOUT re-walking
+        the documents (the traverse phase already ran before freeze)."""
+        reg = cls()
+        reg.roots = dict(frozen["roots"])
+        reg.root_dialects = dict(frozen.get("root_dialects", {}))
+        reg.recursive_anchors = set(frozen["recursive_anchors"])
+
+        def relink(rows, keyed):
+            out = {}
+            for key, root_uri, pointer, canonical_uri, base_uri in rows:
+                node = reg._pointer_get(reg.roots[root_uri], pointer)
+                out[tuple(key) if keyed else key] = Resource(
+                    node, canonical_uri, base_uri, pointer)
+            return out
+
+        reg.resources = relink(frozen["resources"], keyed=False)
+        reg.anchors = relink(frozen["anchors"], keyed=True)
+        reg.dynamic_anchors = relink(frozen["dynamic_anchors"], keyed=True)
+        return reg

@@ -218,10 +218,17 @@ class Validator:
         self.options = options or CompileOptions()
         self.extra_schemas = extra_schemas or []
         self._plan_cache: dict[str, CompiledPlan] = {}
+        self._frozen_index: dict | None = None  # set by thaw()
 
     def _registry(self):
         from json_schema_modern_spark.spec.resolver import SchemaRegistry
 
+        if self._frozen_index is not None:
+            # THAW path (Modern.pm:1268-1279): the resource index was
+            # serialized after the traverse phase, so relink instead of
+            # re-walking the documents; compile_for's add_schema of the
+            # spec then hits the content-dedup fast path and skips too
+            return SchemaRegistry.thaw(self._frozen_index)
         reg = SchemaRegistry()
         for entry in self.extra_schemas:
             if isinstance(entry, tuple):
@@ -234,10 +241,72 @@ class Validator:
     def compile_for(self, df: DataFrame) -> CompiledPlan:
         key = df.schema.simpleString()
         if key not in self._plan_cache:
-            registry = self._registry() if self.extra_schemas else None
+            registry = self._registry() \
+                if self.extra_schemas or self._frozen_index is not None else None
             self._plan_cache[key] = compile_spec(
                 self.spec, df.schema, self.options, registry)
         return self._plan_cache[key]
+
+    # -- serialization (reference FREEZE/THAW, Modern.pm:1259-1279,
+    #    t/serialization.t; README.pod "CACHING") ---------------------------
+
+    _FROZEN_KEYS = ("engine", "fingerprint", "spec", "options",
+                    "extra_schemas", "resource_index")
+
+    def freeze(self) -> dict:
+        """JSON-able snapshot of the compiled-validator state: the spec,
+        the evaluator configuration, and the post-traverse resource index.
+        Like the reference's FREEZE (which drops coderefs —
+        Modern.pm:1259-1263), compiled Column expressions are NOT frozen:
+        they are JVM-session-bound and re-derive lazily per DataFrame
+        schema after thaw; ``options.callbacks`` (a coderef table) is
+        dropped the same way."""
+        from dataclasses import asdict
+
+        from json_schema_modern_spark.compiler.column_compiler import (
+            _detect_dialect,
+        )
+        from json_schema_modern_spark.spec.resolver import spec_fingerprint
+
+        reg = self._registry()
+        if self._frozen_index is None:
+            # include the spec's own walk so thawed compiles skip it
+            # (a thawed registry already carries it)
+            reg.add_schema(self.spec, "", dialect=_detect_dialect(self.spec))
+        opts = asdict(self.options)
+        opts.pop("callbacks", None)
+        return {
+            "engine": "json_schema_modern_spark",
+            "fingerprint": spec_fingerprint(self.spec),
+            "spec": self.spec,
+            "options": opts,
+            "extra_schemas": [list(e) if isinstance(e, tuple) else e
+                              for e in self.extra_schemas],
+            "resource_index": reg.freeze(),
+        }
+
+    @classmethod
+    def thaw(cls, frozen: dict) -> "Validator":
+        """Rebuild a Validator from ``freeze()`` output without re-running
+        the traverse phase (serialize→thaw→evaluate identity,
+        t/serialization.t)."""
+        if frozen.get("engine") != "json_schema_modern_spark":
+            raise ValueError("not a frozen json_schema_modern_spark validator")
+        opts = CompileOptions(**frozen["options"])
+        v = cls(frozen["spec"], opts,
+                extra_schemas=[tuple(e) if isinstance(e, list) else e
+                               for e in frozen["extra_schemas"]])
+        v._frozen_index = frozen["resource_index"]
+        return v
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(self.freeze(), f)
+
+    @classmethod
+    def load(cls, path: str) -> "Validator":
+        with open(path, encoding="utf-8") as f:
+            return cls.thaw(json.load(f))
 
     @property
     def set_checks(self) -> list[SetCheck]:
