@@ -146,6 +146,23 @@ _NUMERIC_TYPES = (
     T.FloatType, T.DoubleType, T.DecimalType,
 )
 _INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_INT64_MIN, _INT64_MAX = -(2 ** 63), 2 ** 63 - 1
+
+
+def _num_lit(v):
+    """Literal for a schema-supplied number.  Out-of-int64 integers (the
+    reference's integers corpus exercises ±2^63±1, which its bignum layer
+    handles exactly — Modern.pm uses Math::BigInt) can't ship over py4j as
+    longs; they become exact decimal literals (≤38 digits) or, beyond
+    decimal range, the nearest double."""
+    if isinstance(v, int) and not isinstance(v, bool) \
+            and not (_INT64_MIN <= v <= _INT64_MAX):
+        from decimal import Decimal
+        if abs(v) < 10 ** 38:
+            return F.lit(Decimal(v))
+        return F.lit(float(v))
+    return F.lit(v)
+
 
 
 def _json_type_of(dtype: T.DataType) -> str:
@@ -508,6 +525,12 @@ def _const_eq(col: Column, v: Any, dtype: T.DataType) -> Column | None:
         if jt in ("integer", "number"):
             if jt == "integer" and isinstance(v, float) and v != int(v):
                 return None
+            if isinstance(v, int) and not (_INT64_MIN <= v <= _INT64_MAX):
+                # an int64-decoded column can never hold this constant; a
+                # double column compares against the nearest double
+                if isinstance(dtype, _INTEGRAL_TYPES):
+                    return None
+                return col == F.lit(float(v))
             return col == F.lit(v).cast(dtype)
         return None
     if isinstance(v, str):
@@ -839,12 +862,12 @@ class ColumnCompiler:
                 raise SpecError("multipleOf value is not a positive number")
             v = t.value_col()
             if isinstance(t.dtype, _INTEGRAL_TYPES) and float(m).is_integer():
-                ok = (v % F.lit(int(m))) == 0
+                ok = (v % _num_lit(int(m))) == 0
             else:
                 # bignum-exact float modulo (V/Validation.pm:119-123) →
                 # fixed-point decimal pmod; exact within 38 digits
                 dec = "decimal(38,12)"
-                ok = F.pmod(v.cast(dec), F.lit(m).cast(dec)) == F.lit(0).cast(dec)
+                ok = F.pmod(v.cast(dec), _num_lit(m).cast(dec)) == F.lit(0).cast(dec)
             add(E("multipleOf", ok, f"value is not a multiple of {_num_str(m)}"))
         elif "multipleOf" in schema and self.options.stringy_numbers and jt == "string":
             # stringy_numbers applies to ALL numeric keywords (U.pm:255-261),
@@ -878,19 +901,19 @@ class ColumnCompiler:
             if kw == "minimum" and d4_ex_min:
                 op, msg = "gt", "value is less than or equal to %s"
             if kw in schema and applies(kw):
-                b = schema[kw]
+                b = _num_lit(schema[kw])
                 v = t.value_col()
                 ok = {"le": v <= b, "lt": v < b, "ge": v >= b, "gt": v > b}[op]
-                add(E(kw, ok, msg % _num_str(b)))
+                add(E(kw, ok, msg % _num_str(schema[kw])))
             elif kw in schema and self.options.stringy_numbers and jt == "string":
                 # optional coercion: number-looking strings compared
                 # numerically (U.pm:255-261, V/Validation.pm:74-75); a
                 # non-numeric string stays vacuously valid (not a number)
-                b = schema[kw]
+                b = _num_lit(schema[kw])
                 v = t.value_col().cast("string").try_cast("double")
                 cmp = {"le": v <= b, "lt": v < b, "ge": v >= b, "gt": v > b}[op]
                 add(E(kw, F.when(v.isNull(), F.lit(True)).otherwise(cmp),
-                      msg % _num_str(b)))
+                      msg % _num_str(schema[kw])))
 
         if "maxLength" in schema and applies("maxLength"):
             n = schema["maxLength"]

@@ -162,9 +162,16 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     For k ≤ 8 that is at most 56 bits, so it fits an int64 with NO modulus —
     the hash is injective on k-grams (strictly better collision behavior
     than the former truncated-md5 digest) and exactly replicable in the
-    DuckDB oracle via bit shifts.  The whole gram→hash→window-min pipeline
-    is numpy (sliding_window_view + matmul) — no per-gram Python, which is
-    what keeps this Arrow batch CPU-viable at 100 TB.
+    DuckDB oracle via bit shifts.
+
+    The whole Arrow batch vectorizes as ONE pipeline — no per-document
+    Python: every kept document concatenates into a single byte buffer
+    (k-byte NUL separators; boundary-spanning gram positions masked to
+    int64-max so they never win a window), one sliding_window_view matmul
+    hashes every gram, one global sliding minimum selects all windows, and
+    the per-document unique-sorted fingerprint sets come from a lexsort +
+    boundary-mask split.  That removes the former per-doc loop (the r2→r3
+    ask) and keeps the batch CPU-viable at 100 TB.
     Normalization matches `fingerprint` exactly."""
     if k > 8:
         raise ValueError("base-128 polynomial is exact only for k <= 8")
@@ -172,20 +179,42 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf("array<long>")
     def win_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if t is None:
-                out.append([])
-                continue
-            s = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip(" ")
-            if len(s) < k:
-                out.append([])
-                continue
-            codes = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.int64)
-            hs = sliding_window_view(codes, k) @ weights
-            n_win = max(len(hs) - w + 1, 1)
-            mins = sliding_window_view(hs, min(w, len(hs)))[:n_win].min(axis=1)
-            out.append(np.unique(mins).tolist())
+        imax = np.iinfo(np.int64).max
+        n = len(texts)
+        s = (texts.fillna("").str.lower()
+             .str.replace(r"[^a-z0-9]+", " ", regex=True)
+             .str.replace(r"\s+", " ", regex=True).str.strip())
+        lens = s.str.len().to_numpy(dtype=np.int64)
+        keep = np.flatnonzero(lens >= k)
+        out = [[]] * n
+        if len(keep) == 0:
+            return pd.Series(out)
+        kl = lens[keep]
+        big = ("\x00" * k).join(s.to_numpy()[keep])
+        codes = np.frombuffer(big.encode("latin-1"), dtype=np.uint8).astype(np.int64)
+        hs = sliding_window_view(codes, k) @ weights
+        starts = np.concatenate(([0], np.cumsum(kl[:-1] + k)))
+        g = kl - k + 1                       # gram count per kept doc
+        # mask separator-spanning gram positions, then pad so every doc's
+        # single-window case (g < w) reads a full width-w window of MAXes
+        mark = np.zeros(len(hs) + 1, dtype=np.int8)
+        np.add.at(mark, starts, 1)
+        np.add.at(mark, starts + g, -1)
+        hs[np.cumsum(mark[:-1]) == 0] = imax
+        hs = np.concatenate((hs, np.full(w, imax, dtype=np.int64)))
+        gm = sliding_window_view(hs, w).min(axis=1)
+        nw = np.maximum(g - w + 1, 1)        # windows per kept doc
+        total = int(nw.sum())
+        mdoc = np.repeat(np.arange(len(kl)), nw)
+        off = np.arange(total) - np.repeat(np.cumsum(nw) - nw, nw)
+        mvals = gm[np.repeat(starts, nw) + off]
+        order = np.lexsort((mvals, mdoc))
+        d_s, v_s = mdoc[order], mvals[order]
+        first = np.ones(total, dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+        counts = np.bincount(d_s[first], minlength=len(kl))
+        for i, prints in zip(keep, np.split(v_s[first], np.cumsum(counts)[:-1])):
+            out[i] = prints.tolist()
         return pd.Series(out)
 
     return df.select(F.col(id_col), win_udf(F.col(text_col)).alias("prints"))

@@ -378,7 +378,8 @@ class Validator:
         return out
 
     def validate_json_strings(
-        self, df: DataFrame, json_col: str, id_cols: list[str] | None = None
+        self, df: DataFrame, json_col: str, id_cols: list[str] | None = None,
+        decode_schema=None,
     ) -> ValidationResult:
         """Validate a column of JSON-encoded documents — the
         evaluate_json_string entry point (Modern.pm:268-293): decode
@@ -389,14 +390,17 @@ class Validator:
 
         The decode schema derives from the spec's type annotations
         (``_spark_schema_from_spec``); fields the spec doesn't mention are
-        not materialized — same pruning a typed scan would do."""
+        not materialized — same pruning a typed scan would do.  Pass
+        ``decode_schema`` to override (e.g. when the root spec reaches its
+        value types only through $ref and the caller knows the shape)."""
         from json_schema_modern_spark.compiler.column_compiler import (
             _spark_schema_from_spec,
         )
         from json_schema_modern_spark.spec.resolver import SpecError
 
         id_cols = id_cols or ([df.columns[0]] if df.columns else [])
-        schema = _spark_schema_from_spec(self.spec)
+        schema = decode_schema if decode_schema is not None \
+            else _spark_schema_from_spec(self.spec)
         if schema is None:
             raise SpecError(
                 "spec has no properties/type info to derive a decode schema")

@@ -57,3 +57,36 @@ def test_single_batch_matches_groupby(spark, tmp_path):
     out = _run_stream(spark, str(src), str(tmp_path / "ck2"), "dedup_one")
     got = {(r.keep_id, r.n_docs) for r in out.collect()}
     assert got == {(1, 2), (2, 1)}
+
+
+def test_ttl_dedup_window_expiry(spark, tmp_path):
+    """TTL variant: a fingerprint recurring within ttl_ms is suppressed;
+    recurring after the gap re-emits as a new window (event-driven on
+    ts_col, so the assertion is deterministic)."""
+    from json_schema_modern_spark.streaming.dedup_stream import dedup_stream_ttl
+
+    src = tmp_path / "ttl_src"
+    schema = "doc_id bigint, text string, ts bigint"
+    # batch A (t=0): 'hello world' twice + 'alpha'
+    spark.createDataFrame(
+        [(2, "hello world", 0), (5, "Hello, WORLD!", 0), (3, "alpha", 0)],
+        schema).coalesce(1).write.parquet(str(src / "a"))
+    # batch B: 'hello world' at t=10s (> ttl 5s → NEW window, re-emitted);
+    # 'alpha' at t=3s (< ttl → suppressed)
+    spark.createDataFrame(
+        [(9, "hello   world", 10_000), (8, "alpha", 3_000)],
+        schema).coalesce(1).write.parquet(str(src / "b"))
+
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    q = (dedup_stream_ttl(reader.parquet(str(src / "*")), ttl_ms=5_000)
+         .writeStream.format("memory").queryName("dedup_ttl")
+         .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.keep_id, r.n_docs, r.window_start_ms)
+           for r in spark.table("dedup_ttl").collect()}
+    assert (2, 2, 0) in got          # window 1: both t=0 occurrences
+    assert (9, 1, 10_000) in got     # gap 10s > ttl → second window
+    assert (3, 1, 0) in got          # alpha window 1
+    assert not any(k == 8 for k, _, _ in got), "within-ttl dup re-emitted"
+    assert len(got) == 3
