@@ -286,8 +286,11 @@ def _q_kw_minmaxprops(spark, sf_dir):
 
 def _q_kw_dependencies(spark, sf_dir):
     """draft4-7 `dependencies`: array form ≡ dependentRequired, schema form
-    ≡ dependentSchemas, dispatched at compile (V/Applicator.pm:190-245)."""
-    spec = {"type": "object",
+    ≡ dependentSchemas, dispatched at compile (V/Applicator.pm:190-245).
+    The draft-7 $schema is load-bearing: in 2019-09+ the keyword no longer
+    exists and is ignored as unknown (the unknownKeyword corpus)."""
+    spec = {"$schema": "http://json-schema.org/draft-07/schema",
+            "type": "object",
             "dependencies": {"big_value": ["even_user"],
                              "even_user": {"properties": {"big_value": {"maximum": 99}}}}}
     from json_schema_modern_spark import Validator

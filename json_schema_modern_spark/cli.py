@@ -134,7 +134,15 @@ def check_spec(spec, extra_schemas=None) -> int:
             registry = SchemaRegistry()
             for s in extra_schemas:
                 registry.add_schema(s)
-        compile_spec(spec, schema, CompileOptions(), registry)
+        plan = compile_spec(spec, schema, CompileOptions(), registry)
+        if plan.static_exceptions:
+            # data validation defers unresolvable refs to eval-time
+            # exception rows; --check-only is the traverse-style flow, so
+            # they surface eagerly here (reference: evaluate dies with
+            # "unable to find resource" the moment the ref is reached)
+            print(json.dumps({"valid": False,
+                              "errors": plan.static_exceptions}))
+            return 1
     except SpecError as e:
         print(json.dumps({"valid": False, "errors": [str(e)]}))
         return 1

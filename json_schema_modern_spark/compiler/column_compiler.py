@@ -433,6 +433,11 @@ class _Ctx:
         # collected MetaData annotations (collect_annotations):
         # dicts {ptr: Column, kloc, akloc, keyword, value, guard: Column|None}
         self.annotations: list[dict] = []
+        # unresolvable-reference exception nodes recorded during compile
+        # ("<kloc>/<kw>: <message>"): data rows hit them lazily (see
+        # ref_exception), but spec-checking flows (CLI --check-only)
+        # surface them eagerly like the reference's traverse phase would
+        self.static_exceptions: list[str] = []
 
 
 def _match_any_key(patterns: list):
@@ -631,6 +636,7 @@ class ColumnCompiler:
         self.spec = spec
         self.df_schema = df_schema
         self.ctx = _Ctx(self.registry, self.options)
+        self._deps_dispatch = False
         self.fingerprint = spec_fingerprint(spec)
 
     def compile(self) -> "CompiledPlan":
@@ -646,6 +652,7 @@ class ColumnCompiler:
             fingerprint=self.fingerprint,
             root_uri=self.root_uri,
             annotations=self.ctx.annotations,
+            static_exceptions=self.ctx.static_exceptions,
         )
 
     # -- node dispatch ------------------------------------------------------
@@ -677,6 +684,18 @@ class ColumnCompiler:
 
     def _object_schema(self, schema: dict, t: Target, kloc: str, base: str, abs_ptr: str) -> Compiled:
         _shape_check(schema, kloc, self.dialect)
+        if isinstance(schema.get("$schema"), str):
+            # a resource root reached via $ref may name a CUSTOM metaschema
+            # (registered as another document); its $vocabulary must be
+            # well-formed for this dialect — unresolvable or invalid
+            # metaschemas abort compilation (vocabulary.json semantics,
+            # shared check with the pyeval tier)
+            from json_schema_modern_spark.spec.resolver import metaschema_error
+
+            _ms_err = metaschema_error(
+                self.registry, self.dialect, schema["$schema"], base)
+            if _ms_err:
+                raise SpecError(_ms_err)
         if self.options.strict:
             from json_schema_modern_spark.spec.vocabulary import (
                 registered_keywords,
@@ -782,13 +801,33 @@ class ColumnCompiler:
             want = _APPLY_TO.get(kw)
             return want is None or jt in want or (jt == "integer" and "number" in want)
 
+        def ref_exception(kw: str, msg: str) -> Compiled:
+            """Lazy-resolution parity (Modern.pm evaluates $ref on reach;
+            pyeval raises EvalError at eval time): a reference that fails
+            to RESOLVE compiles to a statically-false node instead of
+            aborting compilation, so rows that never consult this branch
+            (if:false/then, untaken anyOf arms) stay valid — the corpus's
+            badRef "good references in schemas" contract.  Granularity
+            deviation vs the reference (whole-evaluation abort when
+            reached) is recorded in docs/DEVIATIONS.md."""
+            self.ctx.static_exceptions.append(f"{kloc}/{kw}: {msg}")
+            ok = ~t.present
+            off = t.offending_json() if not t.is_root else F.lit(None).cast("string")
+            return Compiled(ok=ok, viols=[_viol(
+                ok, t.ptr, f"{kloc}/{kw}", self._akloc(base, f"{abs_ptr}/{kw}"),
+                kw, f"EXCEPTION: {msg}", off)])
+
         # ---- Core: $ref / $dynamicRef ------------------------------------
         if "$ref" in schema:
-            res = self.registry.resolve(schema["$ref"], base)
-            child = self._node(
-                res.node, t, kloc=f"{kloc}/$ref", base=res.base_uri,
-                abs_ptr=res.pointer if res.canonical_uri == res.base_uri else "",
-            )
+            try:
+                res = self.registry.resolve(schema["$ref"], base)
+            except SpecError as exc:
+                res, child = None, ref_exception("$ref", str(exc))
+            if res is not None:
+                child = self._node(
+                    res.node, t, kloc=f"{kloc}/$ref", base=res.base_uri,
+                    abs_ptr=res.pointer if res.canonical_uri == res.base_uri else "",
+                )
             add(child)
             adopt(child, child.ok)
             if self.dialect in ("4", "6", "7"):
@@ -796,40 +835,52 @@ class ColumnCompiler:
                 # target is the whole schema (V/Core.pm draft≤7 dispatch)
                 return Compiled(ok=child.ok, viols=viols,
                                 cov_names=cov_names, cov_items=cov_items)
-        if "$dynamicRef" in schema:
+        if "$dynamicRef" in schema and self.dialect == "2020-12":
             # full dynamic-scope semantics (V/Core.pm:327-361): resolve
             # like $ref first; if the landing spot carries the matching
             # $dynamicAnchor, re-resolve through the dynamic scope with the
             # OUTERMOST declaration winning.  The compiler's inlining chain
-            # is the runtime dynamic scope, so this is exact.
+            # is the runtime dynamic scope, so this is exact.  In earlier
+            # dialects $dynamicRef is an unknown keyword and is ignored
+            # (the unknownKeyword corpus).
             from urllib.parse import urldefrag, urljoin
 
             ref = schema["$dynamicRef"]
-            res = self.registry.resolve(ref, base)
-            _, frag = urldefrag(urljoin(base, ref))
-            if frag and not frag.startswith("/") and isinstance(res.node, dict) \
-                    and res.node.get("$dynamicAnchor") == frag:
-                dyn = self.registry.resolve_dynamic(frag, self.ctx.dynamic_scope)
-                if dyn is not None:
-                    res = dyn
-            child = self._node(res.node, t, kloc=f"{kloc}/$dynamicRef", base=res.base_uri, abs_ptr="")
+            try:
+                res = self.registry.resolve(ref, base)
+            except SpecError as exc:
+                res, child = None, ref_exception("$dynamicRef", str(exc))
+            if res is not None:
+                _, frag = urldefrag(urljoin(base, ref))
+                if frag and not frag.startswith("/") and isinstance(res.node, dict) \
+                        and res.node.get("$dynamicAnchor") == frag:
+                    dyn = self.registry.resolve_dynamic(frag, self.ctx.dynamic_scope)
+                    if dyn is not None:
+                        res = dyn
+                child = self._node(res.node, t, kloc=f"{kloc}/$dynamicRef", base=res.base_uri, abs_ptr="")
             add(child)
             adopt(child, child.ok)
-        if "$recursiveRef" in schema:
-            # 2019-09 predecessor (V/Core.pm:262-279): value must be "#";
-            # lands on the current base root, then re-resolves to the
-            # OUTERMOST dynamic-scope resource declaring
-            # $recursiveAnchor: true — iff the landing root also does
-            if schema["$recursiveRef"] != "#":
-                raise SpecError('"$recursiveRef" value must be "#"')
-            res = self.registry.resolve("#", base)
-            if isinstance(res.node, dict) and res.node.get("$recursiveAnchor") is True:
-                for outer in self.ctx.dynamic_scope:
-                    if outer in self.registry.recursive_anchors:
-                        res = self.registry.resources[outer]
-                        break
-            child = self._node(res.node, t, kloc=f"{kloc}/$recursiveRef",
-                               base=res.base_uri, abs_ptr="")
+        if "$recursiveRef" in schema and self.dialect == "2019-09":
+            # 2019-09 predecessor (V/Core.pm:262-279): resolve statically
+            # like $ref (ANY URI value — the recursive-dynamic corpus
+            # points one at a boolean schema); ONLY if the landing spot
+            # declares $recursiveAnchor:true does the ref re-resolve
+            # against the OUTERMOST in-scope resource declaring a
+            # recursive anchor.  Other dialects ignore it as unknown.
+            ref = schema["$recursiveRef"]
+            try:
+                res = self.registry.resolve(ref, base)
+                if isinstance(res.node, dict) \
+                        and res.node.get("$recursiveAnchor") is True:
+                    for outer in self.ctx.dynamic_scope:
+                        if outer in self.registry.recursive_anchors:
+                            res = self.registry.resolve(ref, outer)
+                            break
+            except SpecError as exc:
+                res, child = None, ref_exception("$recursiveRef", str(exc))
+            if res is not None:
+                child = self._node(res.node, t, kloc=f"{kloc}/$recursiveRef",
+                                   base=res.base_uri, abs_ptr="")
             add(child)
             adopt(child, child.ok)
 
@@ -959,7 +1010,10 @@ class ColumnCompiler:
 
         # ---- array applicators -------------------------------------------
         n_prefix = 0
-        if "prefixItems" in schema and applies("prefixItems"):
+        # prefixItems exists only in 2020-12; earlier dialects ignore it
+        # as an unknown keyword (the unknownKeyword corpus)
+        if "prefixItems" in schema and applies("prefixItems") \
+                and self.dialect == "2020-12":
             subs = schema["prefixItems"]
             n_prefix = len(subs)
             for i, s in enumerate(subs):
@@ -1025,7 +1079,9 @@ class ColumnCompiler:
         # ---- object keywords ---------------------------------------------
         if "required" in schema and applies("required"):
             add(self._required_kw(schema["required"], t, E))
-        if "dependentRequired" in schema and applies("dependentRequired"):
+        if "dependentRequired" in schema and applies("dependentRequired") \
+                and (self.dialect in ("2019-09", "2020-12")
+                     or self._deps_dispatch):
             for prop, deps in schema["dependentRequired"].items():
                 pt = t.get_property(prop)
                 if pt is None:
@@ -1039,7 +1095,9 @@ class ColumnCompiler:
                     missing.append(F.when(~present, F.lit(d)))
                 ok = F.when(pt.present, dep_ok).otherwise(F.lit(True))
                 add(E("dependentRequired", ok, "not all dependencies are satisfied"))
-        if "dependentSchemas" in schema and applies("dependentSchemas"):
+        if "dependentSchemas" in schema and applies("dependentSchemas") \
+                and (self.dialect in ("2019-09", "2020-12")
+                     or self._deps_dispatch):
             for prop, s in schema["dependentSchemas"].items():
                 pt = t.get_property(prop)
                 if pt is None:
@@ -1052,7 +1110,9 @@ class ColumnCompiler:
                 add(Compiled(ok=ok, viols=gated))
                 adopt(child, pt.present & child.ok)
 
-        if "dependencies" in schema and applies("dependencies"):
+        # draft4-7 keyword; 2019-09+ ignore it (replaced by dependent*)
+        if "dependencies" in schema and applies("dependencies") \
+                and self.dialect in ("4", "6", "7"):
             # draft4-7 keyword: array form ≡ dependentRequired, schema form
             # ≡ dependentSchemas, dispatched at compile time
             # (V/Applicator.pm:190-245).  Documented deviation: violation
@@ -1062,12 +1122,16 @@ class ColumnCompiler:
                       if isinstance(v, list)}
             schemas = {k: v for k, v in schema["dependencies"].items()
                        if not isinstance(v, list)}
-            if arrays:
-                add(self._object_schema({"dependentRequired": arrays}, t,
-                                        kloc, base, abs_ptr))
-            if schemas:
-                add(self._object_schema({"dependentSchemas": schemas}, t,
-                                        kloc, base, abs_ptr))
+            self._deps_dispatch = True   # lets dependent* through the
+            try:                          # 2019-09+ dialect gate below
+                if arrays:
+                    add(self._object_schema({"dependentRequired": arrays}, t,
+                                            kloc, base, abs_ptr))
+                if schemas:
+                    add(self._object_schema({"dependentSchemas": schemas}, t,
+                                            kloc, base, abs_ptr))
+            finally:
+                self._deps_dispatch = False
 
         if "maxProperties" in schema and applies("maxProperties"):
             n = schema["maxProperties"]
@@ -1983,6 +2047,10 @@ class CompiledPlan:
     # collected MetaData annotations (collect_annotations option):
     # {ptr: Column, kloc, akloc, keyword, value, guard: Column|None}
     annotations: list = dc_field(default_factory=list)
+    # "<kloc>/<kw>: <msg>" per unresolvable reference compiled to a lazy
+    # exception node — spec-checking flows treat any entry as a traverse
+    # error; data validation leaves them lazy (docs/DEVIATIONS.md)
+    static_exceptions: list = dc_field(default_factory=list)
 
 
 def _spark_schema_from_spec(spec: Any) -> T.StructType | None:

@@ -187,32 +187,16 @@ class PyEvaluator:
     # -- metaschema / $vocabulary -------------------------------------------
 
     def _metaschema_error(self, meta_uri: str, base: str) -> str | None:
+        # shared with the Spark compiler (spec.resolver.metaschema_error);
+        # this wrapper only adds the per-evaluator memo
+        from json_schema_modern_spark.spec.resolver import metaschema_error
+
         key = urldefrag(urljoin(base, meta_uri))[0]
         if meta_uri in STANDARD_DIALECTS or key in STANDARD_DIALECTS:
             return None
         if key in self._metaschema_ok:
             return self._metaschema_ok[key]
-        meta = self.registry.roots.get(key)
-        err = None
-        if meta is None:
-            err = f"EXCEPTION: unable to find resource '{meta_uri}'"
-        elif isinstance(meta, dict) and "$vocabulary" in meta:
-            vocab = meta["$vocabulary"]
-            known = VOCABS_BY_DIALECT.get(self.dialect, set())
-            if not isinstance(vocab, dict):
-                err = "metaschema $vocabulary is not an object"
-            else:
-                core = f"https://json-schema.org/draft/{self.dialect}/vocab/core"
-                if vocab.get(core) is not True:
-                    err = "the Core vocabulary must be specified, with a value of true"
-                for vuri, req in vocab.items():
-                    if not isinstance(req, bool):
-                        err = f"$vocabulary value for {vuri!r} is not a boolean"
-                    elif vuri.startswith("https://json-schema.org/draft/") \
-                            and vuri not in known:
-                        err = f"{vuri!r} uses a different specification version"
-                    elif req and vuri not in known:
-                        err = f"{vuri!r} is not a known vocabulary"
+        err = metaschema_error(self.registry, self.dialect, meta_uri, base)
         self._metaschema_ok[key] = err
         return err
 

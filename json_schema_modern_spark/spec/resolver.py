@@ -114,6 +114,66 @@ def _check_ref_fragment(ref: str, kw: str, pointer: str) -> None:
             f"{kw} at {pointer or '/'}: invalid anchor fragment {frag!r}")
 
 
+STANDARD_DIALECTS = {
+    "https://json-schema.org/draft/2020-12/schema",
+    "https://json-schema.org/draft/2019-09/schema",
+    "http://json-schema.org/draft-07/schema",
+    "http://json-schema.org/draft-07/schema#",
+    "http://json-schema.org/draft-06/schema",
+    "http://json-schema.org/draft-06/schema#",
+    "http://json-schema.org/draft-04/schema",
+    "http://json-schema.org/draft-04/schema#",
+}
+
+VOCABS_BY_DIALECT = {
+    "2020-12": {
+        f"https://json-schema.org/draft/2020-12/vocab/{n}"
+        for n in ("core", "applicator", "validation", "unevaluated",
+                  "format-annotation", "format-assertion", "content",
+                  "meta-data")
+    },
+    "2019-09": {
+        f"https://json-schema.org/draft/2019-09/vocab/{n}"
+        for n in ("core", "applicator", "validation", "format", "content",
+                  "meta-data")
+    },
+}
+
+
+def metaschema_error(registry, dialect: str, meta_uri: str,
+                     base: str) -> str | None:
+    """A registered schema used as a METASCHEMA via $schema
+    (vocabulary.json semantics; Modern.pm _get_metaschema_vocabulary_classes):
+    the document must exist in the registry and its $vocabulary must be
+    well-formed for the session dialect.  Standard dialect URIs short-
+    circuit to ok.  Shared by both evaluation tiers."""
+    key = urldefrag(urljoin(base, meta_uri))[0]
+    if meta_uri in STANDARD_DIALECTS or key in STANDARD_DIALECTS:
+        return None
+    meta = registry.roots.get(key)
+    if meta is None:
+        return f"EXCEPTION: unable to find resource '{meta_uri}'"
+    if isinstance(meta, dict) and "$vocabulary" in meta:
+        vocab = meta["$vocabulary"]
+        known = VOCABS_BY_DIALECT.get(dialect, set())
+        if not isinstance(vocab, dict):
+            return "metaschema $vocabulary is not an object"
+        err = None
+        core = f"https://json-schema.org/draft/{dialect}/vocab/core"
+        if vocab.get(core) is not True:
+            err = "the Core vocabulary must be specified, with a value of true"
+        for vuri, req in vocab.items():
+            if not isinstance(req, bool):
+                err = f"$vocabulary value for {vuri!r} is not a boolean"
+            elif vuri.startswith("https://json-schema.org/draft/") \
+                    and vuri not in known:
+                err = f"{vuri!r} uses a different specification version"
+            elif req and vuri not in known:
+                err = f"{vuri!r} is not a known vocabulary"
+        return err
+    return None
+
+
 class SpecError(ValueError):
     """Raised for malformed specs (the reference's traverse-time errors)."""
 

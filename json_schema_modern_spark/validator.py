@@ -229,13 +229,26 @@ class Validator:
             # re-walking the documents; compile_for's add_schema of the
             # spec then hits the content-dedup fast path and skips too
             return SchemaRegistry.thaw(self._frozen_index)
+        from json_schema_modern_spark.compiler.column_compiler import (
+            _DIALECT_URIS, _detect_dialect,
+        )
+        from json_schema_modern_spark.spec.resolver import SpecError
+
+        try:
+            default_dialect = _detect_dialect(self.spec)
+        except SpecError:
+            default_dialect = "2020-12"
         reg = SchemaRegistry()
         for entry in self.extra_schemas:
-            if isinstance(entry, tuple):
-                uri, schema = entry
-                reg.add_schema(schema, uri)
-            else:
-                reg.add_schema(entry)
+            uri, schema = entry if isinstance(entry, tuple) else ("", entry)
+            # each extra document registers under ITS OWN dialect — its
+            # $schema decides the $id/anchor walk rules; documents with no
+            # (or a custom) $schema inherit the root spec's dialect, the
+            # same default the reference's add_schema applies
+            d = None
+            if isinstance(schema, dict) and isinstance(schema.get("$schema"), str):
+                d = _DIALECT_URIS.get(schema["$schema"].rstrip("#"))
+            reg.add_schema(schema, uri, dialect=d or default_dialect)
         return reg
 
     def compile_for(self, df: DataFrame) -> CompiledPlan:

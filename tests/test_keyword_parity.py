@@ -429,8 +429,11 @@ def test_dynamic_ref_static_fallback(spark):
 
 def test_dependencies_legacy_forms(spark):
     """draft4-7 `dependencies`: array form ≡ dependentRequired, schema form
-    ≡ dependentSchemas, dispatched at compile time (V/Applicator.pm:190-245)."""
-    spec = {"type": "object",
+    ≡ dependentSchemas, dispatched at compile time (V/Applicator.pm:190-245).
+    In 2019-09+ the keyword no longer exists and is IGNORED (the
+    unknownKeyword corpus), so the draft-7 $schema is load-bearing here."""
+    spec = {"$schema": "http://json-schema.org/draft-07/schema",
+            "type": "object",
             "dependencies": {"a": ["b"], "c": {"required": ["d"]}}}
     rows = [(1, 2, None, None),     # a present → b required: ok
             (1, None, None, None),  # a present, b absent: fail
@@ -438,6 +441,13 @@ def test_dependencies_legacy_forms(spark):
             (None, None, 3, None)]  # c present, d absent: fail
     flags = _flags(spark, spec, rows, "a int, b int, c int, d int")
     assert flags == [True, False, True, False]
+
+    # 2020-12: same schema without the draft-7 $schema — dependencies is
+    # an unknown keyword, every row valid
+    spec_modern = {"type": "object",
+                   "dependencies": {"a": ["b"], "c": {"required": ["d"]}}}
+    assert _flags(spark, spec_modern, rows, "a int, b int, c int, d int") \
+        == [True, True, True, True]
 
 
 def test_validate_json_strings(spark):

@@ -162,12 +162,25 @@ def test_recursive_ref_outer_override(spark):
     assert flags == [False, True]
 
 
-def test_recursive_ref_bad_value(spark):
-    spec = {"$schema": D2019, "type": "object",
-            "properties": {"v": {"$recursiveRef": "#/other"}}}
-    with pytest.raises(SpecError, match="recursiveRef"):
-        Validator(spec).validate(
-            spark.createDataFrame([(1,)], "v bigint"), id_cols=[])
+def test_recursive_ref_nonlocal_value(spark):
+    """$recursiveRef accepts ANY URI-reference and resolves like $ref
+    (Core.pm:310-325; the recursive-dynamic corpus points one at
+    '#/$defs/true').  An UNRESOLVABLE target defers to an eval-time
+    exception row — rows reaching it are invalid, compilation succeeds
+    (lazy-resolution parity; docs/DEVIATIONS.md)."""
+    good = {"$schema": D2019, "type": "object",
+            "$defs": {"t": True},
+            "properties": {"v": {"$recursiveRef": "#/$defs/t"}}}
+    df = spark.createDataFrame([(1,)], "v bigint")
+    res = Validator(good).validate(df, id_cols=[])
+    assert res.flag() is True
+
+    bad = {"$schema": D2019, "type": "object",
+           "properties": {"v": {"$recursiveRef": "#/other"}}}
+    res = Validator(bad).validate(df, id_cols=[])
+    assert res.flag() is False
+    errs = [r.error for r in res.violations.collect()]
+    assert any("EXCEPTION" in e for e in errs)
 
 
 def test_unknown_dialect_rejected(spark):
