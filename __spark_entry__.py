@@ -219,7 +219,20 @@ def _attrs_map(spark, sf_dir):
     """events → open-properties map column with a REALISTIC (~15%) dirty
     rate: {'k': <props.k>, 'p_<type4>': floor(value),
     'xtra': event_id%100 (when event_id%31==0),
-    'xl_<type>': 1 (when event_id%41==0 — an over-long undeclared key)}."""
+    'xl_<type>': 1 (when event_id%41==0 — an over-long undeclared key)}.
+
+    Materialized to parquet once per sf (like bench.py's token table): the
+    real workload is validating a STORED map column, and leaving the
+    derivation inline makes Catalyst clone the whole map-construction
+    (json parse included) into every pushed-down filter, double-charging
+    scan rows for input synthesis instead of engine work."""
+    import os
+    import tempfile
+
+    cache = os.path.join(tempfile.gettempdir(), "spark_graft_bench",
+                         f"attrs_{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(os.path.join(cache, "_SUCCESS")):
+        return spark.read.parquet(cache)
     ev = _read(spark, sf_dir, "events")
     attrs = F.map_filter(
         F.create_map(
@@ -233,7 +246,12 @@ def _attrs_map(spark, sf_dir):
         ),
         lambda k, v: v.isNotNull(),
     )
-    return ev.select("event_id", attrs.alias("attrs"))
+    out = ev.select("event_id", attrs.alias("attrs"))
+    try:
+        out.write.mode("overwrite").parquet(cache)
+        return spark.read.parquet(cache)
+    except Exception:
+        return out          # read-only tmp: fall back to the inline plan
 
 
 def _q_kw_map_props(spark, sf_dir):

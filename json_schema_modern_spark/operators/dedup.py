@@ -458,8 +458,15 @@ def simhash_near_duplicates(
     stays linear-ish.  (The previous 4×16-bit prefix pigeonhole capped at
     65,536 buckets per view — quadratic per-bucket blowup at web scale;
     VERDICT r3 "what's wrong" #2.)  Shuffle volume is C(B,3) rows per doc
-    on uniform md5-grade keys; pairs surfacing in several views dedup via
-    the equi-join + distinct, never a cross join."""
+    on uniform md5-grade keys, shuffled ONCE: buckets materialize via
+    groupBy + collect_list and pairs explode JVM-side within each bucket,
+    so the Arrow fingerprint UDF runs a single pass (a self-join would
+    recompute it per side — PythonUDF nodes defeat exchange-reuse
+    canonicalization) and the Hamming filter runs BEFORE the cross-view
+    distinct, keeping the dedup shuffle to true near-dup pairs only.
+    Caveat shared with any blocking scheme: a flood of IDENTICAL
+    fingerprints (e.g. empty documents) concentrates one bucket — run
+    exact dedup first, as the pipeline docs prescribe."""
     if n_blocks is None:
         n_blocks = max_hamming + 3
     if n_blocks <= max_hamming:
@@ -486,12 +493,18 @@ def simhash_near_duplicates(
     blocks = f.select(
         "_id", "_f", F.explode(F.array(*views)).alias("b"),
     ).select("_id", "_f", "b.blk", "b.key")
+    buckets = (
+        blocks.groupBy("blk", "key")
+        .agg(F.collect_list(F.struct("_id", "_f")).alias("xs"))
+        .where(F.size("xs") > 1)
+    )
     pairs = (
-        blocks.alias("l").join(blocks.alias("r"), ["blk", "key"])
+        buckets.select(F.explode("xs").alias("l"), F.col("xs").alias("rs"))
+        .select("l", F.explode("rs").alias("r"))
         .where(F.col("l._id") < F.col("r._id"))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
                 F.bit_count(F.col("l._f").bitwiseXOR(F.col("r._f"))).alias("hamming"))
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return pairs
