@@ -983,10 +983,12 @@ def _q_events_window(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # entries of this dict.  Queries with the thinnest driver-verification
-    # history (the text/ANN/near-dup/media/streaming tail, never or r1-only
-    # verified through round 2) are deliberately placed inside that window;
-    # kw_* rows with two rounds of green history are rotated to the back.
+    # entries of this dict.  Round 4 rotates the window onto the queries
+    # whose implementation changed this round (SimHash Manku blocking,
+    # LSH near-dup rework, map-keyword fusion + stored-map input, dialect
+    # gating of draft-specific keywords, big-int schema literals, TTL
+    # streaming dedup); rows untouched this round with green r2/r3 history
+    # sit behind the boundary.
     return {
         # -- flagship + previously under-verified tail (window) ------------
         "flagship_violations": _q_flagship,
@@ -1009,30 +1011,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_plan": _q_media_resize_plan,
         "media_frame_samples": _q_media_frame_samples,
         "media_features": _q_media_features,
-        "events_window_counts": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "streaming_validation": _q_streaming_validation,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_window_rate": _q_streaming_window_rate,
         # -- dedup / stats / drift (window) ---------------------------------
-        "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_ppjoin": _q_dedup_ppjoin,
-        "minhash_bands": _q_minhash_buckets,
         "dedup_minhash_lsh": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_segments": _q_dedup_segments,
-        "split_assign": _q_split_assign,
-        "contamination_ngram": _q_contamination,
-        "redact_pii_counts": _q_redact_pii,
         "stats_quantiles": _q_stats_quantiles,
         "stats_by_source": _q_stats_by_source,
         "unique_doc_ids": _q_unique,
         "ref_sortmerge_salted": _q_ref_sortmerge,
         "drift_psi": _q_drift_psi,
         "drift_psi_window": _q_drift_psi_window,
-        # -- kw rows touched or riskiest this round (window) ----------------
+        # -- kw rows touched this round (window): dialect gating, big-int
+        #    literals, map fusion, legacy-draft dispatch ---------------------
         "kw_format": _q_kw_format,
         "kw_map_props": _q_kw_map_props,
         "kw_uneval_props_map": _q_kw_uneval_props_map,
@@ -1041,7 +1038,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_dynamicref": _q_kw_dynamicref,
         "kw_recursiveref": _q_kw_recursiveref,
         "kw_items_legacy": _q_kw_items_legacy,
+        "kw_dependencies": _q_kw_dependencies,
+        "kw_prefixitems": _q_kw_prefixitems,
+        "kw_dependentrequired": _q_kw_dependentrequired,
+        "kw_dependentschemas": _q_kw_dependentschemas,
+        "kw_enum": _q_kw_enum,
+        "kw_const": _q_kw_const,
         # ---- driver correctness window boundary (50 entries above) --------
+        "events_window_counts": _q_events_window,
         "kw_anchor": _q_kw_anchor,
         "stats_lineitem": _q_stats,
         "ref_broadcast": _q_ref_broadcast,
@@ -1050,28 +1054,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_n_chars": _q_hist,
         "kw_content_json": _q_kw_content_json,
         "kw_ref_defs": _q_kw_ref_defs,
-        # -- long-stable kw rows, green in r1 AND r2 ------------------------
-        "kw_dependencies": _q_kw_dependencies,
+        # -- untouched this round, green r2/r3 -------------------------------
+        "dedup_exact": _q_dedup_exact,
+        "minhash_bands": _q_minhash_buckets,
+        "split_assign": _q_split_assign,
+        "contamination_ngram": _q_contamination,
+        "redact_pii_counts": _q_redact_pii,
         "kw_nested_struct": _q_kw_nested_struct,
         "kw_contains": _q_kw_contains,
         "kw_mincontains": _q_kw_mincontains,
-        "kw_enum": _q_kw_enum,
         "kw_items": _q_kw_items,
         "kw_min_max": _q_kw_min_max,
         "kw_exclusive": _q_kw_exclusive,
         "kw_length": _q_kw_length,
         "kw_pattern": _q_kw_pattern,
-        "kw_const": _q_kw_const,
         "kw_multipleof": _q_kw_multipleof,
         "kw_required": _q_kw_required,
         "kw_minmaxitems": _q_kw_minmaxitems,
-        "kw_prefixitems": _q_kw_prefixitems,
         "kw_oneof": _q_kw_oneof,
         "kw_ifthenelse": _q_kw_ifthenelse,
         "kw_anyof_not": _q_kw_anyof_not,
         "kw_uniqueitems": _q_kw_uniqueitems,
-        "kw_dependentrequired": _q_kw_dependentrequired,
-        "kw_dependentschemas": _q_kw_dependentschemas,
         "kw_type_integer_frac": _q_kw_type_integer_frac,
         "kw_minmaxprops": _q_kw_minmaxprops,
     }
