@@ -880,6 +880,38 @@ _EVENT_SPEC = {
 }
 
 
+def _q_json_python_tier(spark, sf_dir):
+    """Distributed python tier (validate_json_strings(tier='python'),
+    pyeval inside executors via mapInPandas, shuffle-free): full-JSON
+    coverage the typed tier cannot decode — null properties, empty
+    arrays, >int64 integers with EXACT comparison.  The payload is
+    synthesized deterministically from events (four shapes by event_id
+    residue); the oracle re-derives validity with independent SQL logic,
+    so it checks the evaluator, not a second run of it."""
+    from json_schema_modern_spark import Validator
+
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    k = F.get_json_object("props", "$.k").cast("long")
+    payload = (
+        F.when(eid % 7 == 0, F.concat(
+            F.lit('{"xs": ['), (eid % 5).cast("string"), F.lit(', "x"]}')))
+        .when(eid % 11 == 0, F.lit('{"a": null, "xs": []}'))
+        .when(eid % 13 == 0, F.lit('{"a": 1, "big": 99999999999999999999}'))
+        .otherwise(F.concat(F.lit('{"a": '), k.cast("string"),
+                            F.lit(', "xs": [1, 2]}')))
+    )
+    spec = {"type": "object", "required": ["a"],
+            "properties": {
+                "a": {"type": ["integer", "null"], "maximum": 80},
+                "xs": {"type": "array", "maxItems": 3},
+                "big": {"maximum": 99999999999999999998}}}
+    df = ev.select("event_id", payload.alias("payload"))
+    res = Validator(spec).validate_json_strings(
+        df, "payload", id_cols=["event_id"], tier="python")
+    return res.annotated.select("event_id", F.col("_valid").alias("valid"))
+
+
 def _q_streaming_window_rate(spark, sf_dir):
     """Watermarked event-time window aggregation over a validated stream:
     hourly invalid-rate per event_type (violation_rate — the bounded-state
@@ -1016,7 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_window_rate": _q_streaming_window_rate,
         # -- dedup / stats / drift (window) ---------------------------------
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "json_python_tier": _q_json_python_tier,
         "dedup_jaccard_ppjoin": _q_dedup_ppjoin,
         "dedup_minhash_lsh": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
@@ -1055,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_content_json": _q_kw_content_json,
         "kw_ref_defs": _q_kw_ref_defs,
         # -- untouched this round, green r2/r3 -------------------------------
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_exact": _q_dedup_exact,
         "minhash_bands": _q_minhash_buckets,
         "split_assign": _q_split_assign,
@@ -1187,6 +1220,19 @@ def oracle_sql() -> dict[str, str]:
     o = _simple_range_oracle()
     o["flagship_violations"] = _FLAGSHIP_ORACLE_ABS
     o["streaming_validation"] = _FLAGSHIP_ORACLE
+
+    # distributed python tier: validity re-derived with INDEPENDENT SQL
+    # logic (case residues mirror the payload synthesis; the >int64 case
+    # is a constant-false branch because 99999999999999999999 exceeds the
+    # schema's maximum of ...98 under exact integer comparison)
+    o["json_python_tier"] = (
+        "SELECT event_id, "
+        "CASE WHEN event_id % 7 = 0 THEN FALSE "
+        "WHEN event_id % 11 = 0 THEN TRUE "
+        "WHEN event_id % 13 = 0 THEN FALSE "
+        "ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) <= 80 "
+        "END AS valid FROM events"
+    )
 
     # benchmark contamination: same normalization / gram construction /
     # benchmark split as operators/contamination.py, stated in SQL

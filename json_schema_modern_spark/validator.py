@@ -392,7 +392,7 @@ class Validator:
 
     def validate_json_strings(
         self, df: DataFrame, json_col: str, id_cols: list[str] | None = None,
-        decode_schema=None,
+        decode_schema=None, tier: str = "columns",
     ) -> ValidationResult:
         """Validate a column of JSON-encoded documents — the
         evaluate_json_string entry point (Modern.pm:268-293): decode
@@ -405,7 +405,20 @@ class Validator:
         (``_spark_schema_from_spec``); fields the spec doesn't mention are
         not materialized — same pruning a typed scan would do.  Pass
         ``decode_schema`` to override (e.g. when the root spec reaches its
-        value types only through $ref and the caller knows the shape)."""
+        value types only through $ref and the caller knows the shape).
+
+        ``tier="python"`` skips decoding entirely and evaluates every
+        document with the full python tier running inside the executors
+        (``pyeval.distributed``, mapInPandas, shuffle-free): complete JSON
+        data-model coverage (null properties, mixed-type arrays, empty
+        objects, arbitrary-precision integers) at per-document-Python
+        speed, with document-level violation rows.  Use it for the
+        shapeless remainder after the typed bulk went through the
+        compiled Column tier."""
+        if tier == "python":
+            return self._validate_json_python(df, json_col, id_cols)
+        if tier != "columns":
+            raise ValueError(f"unknown tier {tier!r} (columns|python)")
         from json_schema_modern_spark.compiler.column_compiler import (
             _spark_schema_from_spec,
         )
@@ -453,3 +466,49 @@ class Validator:
             plan=res.plan,
             id_cols=id_cols,
         )
+
+    def _validate_json_python(
+        self, df: DataFrame, json_col: str, id_cols: list[str] | None,
+    ) -> ValidationResult:
+        """Python tier distributed over executors (see pyeval.distributed).
+        The evaluator config (spec + extra schemas + dialect) serializes
+        into the task closure — the same KB-scale payload the compiled
+        tier broadcasts — and each worker process builds its registry
+        once, keyed by fingerprint."""
+        import json as _json
+
+        from json_schema_modern_spark.compiler.column_compiler import (
+            _DIALECT_URIS, _detect_dialect,
+        )
+        from json_schema_modern_spark.pyeval.distributed import (
+            evaluate_json_column,
+        )
+        from json_schema_modern_spark.spec.resolver import (
+            SpecError, spec_fingerprint,
+        )
+
+        id_cols = id_cols or ([df.columns[0]] if df.columns else [])
+        try:
+            dialect = _detect_dialect(self.spec)
+        except SpecError:
+            dialect = "2020-12"
+        extra = []
+        for entry in self.extra_schemas:
+            uri, schema = entry if isinstance(entry, tuple) else ("", entry)
+            d = None
+            if isinstance(schema, dict) and isinstance(schema.get("$schema"), str):
+                d = _DIALECT_URIS.get(schema["$schema"].rstrip("#"))
+            extra.append((uri, schema, d or dialect))
+        blob = _json.dumps({
+            "spec": self.spec, "extra": extra, "dialect": dialect,
+            "validate_formats": self.options.validate_formats,
+        }, sort_keys=True)
+        key = spec_fingerprint(blob)
+        annotated = evaluate_json_column(df, json_col, id_cols, blob, key)
+        violations = (
+            annotated.filter(~F.col("_valid"))
+            .select(*id_cols, F.explode("_viols").alias("_v"))
+            .select(*id_cols, "_v.*")
+        )
+        return ValidationResult(annotated=annotated, violations=violations,
+                                plan=None, id_cols=id_cols)

@@ -189,7 +189,7 @@ SPARK_TIER_SKIPS: dict[str, str] = {
 }
 
 
-def spark_tier_cases():
+def spark_tier_cases(with_remainder: bool = False):
     """Select every corpus case the Spark engine can drive and classify
     the remainder (the committed results file enumerates both).
 
@@ -212,7 +212,11 @@ def spark_tier_cases():
     label, decode_schema_or_None); tally maps (dirname, file stem) →
     counts {"cases", "spark", "instance_not_tabular", "todo_skip"}.
     Groups without an explicit $schema get the directory's dialect
-    injected, mirroring the harness's specification_version default."""
+    injected, mirroring the harness's specification_version default.
+
+    ``with_remainder=True`` additionally returns the instance_not_tabular
+    cases as (schema, prior_extras, dialect, reg_err, rid, payload, want)
+    rows — the python-tier (tier="python") coverage set."""
     import pyspark.sql.types as T
 
     from json_schema_modern_spark import Validator
@@ -227,7 +231,7 @@ def spark_tier_cases():
 
     from json_schema_modern_spark.spec.resolver import SchemaRegistry
 
-    rows, specs, tally = [], [], {}
+    rows, specs, tally, remainder = [], [], {}, []
     for dirname, dialect, path in DIALECT_FILES:
         t_ = tally.setdefault((dirname, path.stem), {
             "cases": 0, "spark": 0, "instance_not_tabular": 0,
@@ -289,6 +293,9 @@ def spark_tier_cases():
                 dt = _dtype_of(t["data"])
                 if dt is None:
                     t_["instance_not_tabular"] += 1
+                    remainder.append((schema, prior, dialect, reg_err,
+                                      f"{label}#{ti}",
+                                      json.dumps(t["data"]), t["valid"]))
                     continue
                 units.setdefault(dt.simpleString(), (dt, []))[1].append((ti, t))
             for dt, cases in units.values():
@@ -313,6 +320,8 @@ def spark_tier_cases():
                     (sid, f"{label}#{ti}", json.dumps({"v": t["data"]}),
                      t["valid"])
                     for ti, t in cases)
+    if with_remainder:
+        return specs, rows, tally, remainder
     return specs, rows, tally
 
 
@@ -408,3 +417,56 @@ def test_spark_tier_counts_committed():
     total_cases = sum(t_["cases"] for t_ in fresh.values())
     assert total_cases == 2907
     assert total_spark >= 500
+
+
+# ---------------------------------------------------------------------------
+# tier 3: the non-tabular remainder through the DISTRIBUTED python tier
+
+
+def test_corpus_python_tier_remainder(spark):
+    """Every instance_not_tabular case (JSON null / mixed-type array /
+    empty object / >int64 — no lossless Spark type) drives through
+    ``validate_json_strings(..., tier="python")``: the full python
+    evaluator running inside executors via mapInPandas.  Together with
+    test_corpus_spark_cross_check this puts ALL 2907 vendored acceptance
+    cases through the Spark DataFrame API.  A group whose registration
+    raises is an exception Result (every case invalid) — asserted
+    driver-side, since the worker would surface it as a task error."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from json_schema_modern_spark import Validator
+    from json_schema_modern_spark.compiler.column_compiler import (
+        CompileOptions,
+    )
+
+    _, _, tally, remainder = spark_tier_cases(with_remainder=True)
+    n_expected = sum(t_["instance_not_tabular"] for t_ in tally.values())
+    assert len(remainder) == n_expected and n_expected >= 200
+
+    groups: dict[int, dict] = {}
+    for schema, prior, dialect, reg_err, rid, payload, want in remainder:
+        g = groups.setdefault(id(schema), {
+            "schema": schema, "prior": prior, "reg_err": reg_err,
+            "cases": []})
+        g["cases"].append((rid, payload, want))
+
+    opts = CompileOptions(validate_formats=True)
+
+    def drive(g):
+        if g["reg_err"] is not None:
+            return [f"{rid}: want {want}, got False (exception Result)"
+                    for rid, _, want in g["cases"] if want is not False]
+        v = Validator(g["schema"], options=opts, extra_schemas=g["prior"])
+        df = spark.createDataFrame(
+            [(rid, payload) for rid, payload, _ in g["cases"]],
+            "rid string, payload string")
+        res = v.validate_json_strings(df, "payload", id_cols=["rid"],
+                                      tier="python")
+        got = {r["rid"]: r["_valid"]
+               for r in res.annotated.select("rid", "_valid").collect()}
+        return [f"{rid}: want {want}, got {got[rid]}"
+                for rid, _, want in g["cases"] if got[rid] is not want]
+
+    with ThreadPoolExecutor(16) as ex:
+        bad = [m for ms in ex.map(drive, groups.values()) for m in ms]
+    assert not bad, f"{len(bad)} python-tier mismatches:\n" + "\n".join(bad[:40])

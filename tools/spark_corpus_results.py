@@ -101,7 +101,12 @@ def main() -> None:
         " invalid), matching the pyeval contract",
         "remainder:  instance_not_tabular (JSON null / mixed-type array /"
         " empty object / >int64) + todo_skip,",
-        "            both run on the pyeval tier (2907/2907 green)",
+        "            driven DISTRIBUTED through validate_json_strings("
+        "tier='python') — the python evaluator",
+        "            inside executors via mapInPandas"
+        " (test_corpus_python_tier_remainder), so all 2907 cases",
+        "            run through the Spark DataFrame API; the pyeval tier"
+        " also runs them driver-side (2907/2907)",
         "parity:     every driven case asserted row-level against the"
         " corpus expectation; this file is written",
         "            by tools/spark_corpus_results.py ONLY after a full"
