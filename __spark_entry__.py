@@ -912,6 +912,38 @@ def _q_json_python_tier(spark, sf_dir):
     return res.annotated.select("event_id", F.col("_valid").alias("valid"))
 
 
+def _q_json_hybrid_tier(spark, sf_dir):
+    """Hybrid tier: per-row routing between the codegen'd Column tier
+    (documents whose typed decode is canonically exact — here the
+    majority else-branch) and the python tier (null property, mixed
+    array, >int64 branches).  Same payload synthesis and independent
+    oracle logic as json_python_tier; `items: integer` makes the decode
+    schema type the array so the bulk fast-paths."""
+    from json_schema_modern_spark import Validator
+
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    k = F.get_json_object("props", "$.k").cast("long")
+    payload = (
+        F.when(eid % 7 == 0, F.concat(
+            F.lit('{"xs": ['), (eid % 5).cast("string"), F.lit(', "x"]}')))
+        .when(eid % 11 == 0, F.lit('{"a": null, "xs": []}'))
+        .when(eid % 13 == 0, F.lit('{"a": 1, "big": 99999999999999999999}'))
+        .otherwise(F.concat(F.lit('{"a": '), k.cast("string"),
+                            F.lit(', "xs": [1, 2]}')))
+    )
+    spec = {"type": "object", "required": ["a"],
+            "properties": {
+                "a": {"type": ["integer", "null"], "maximum": 80},
+                "xs": {"type": "array", "maxItems": 3,
+                       "items": {"type": "integer"}},
+                "big": {"maximum": 99999999999999999998}}}
+    df = ev.select("event_id", payload.alias("payload"))
+    res = Validator(spec).validate_json_strings(
+        df, "payload", id_cols=["event_id"], tier="hybrid")
+    return res.annotated.select("event_id", F.col("_valid").alias("valid"))
+
+
 def _q_streaming_window_rate(spark, sf_dir):
     """Watermarked event-time window aggregation over a validated stream:
     hourly invalid-rate per event_type (violation_rate — the bounded-state
@@ -1049,7 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_rate": _q_streaming_window_rate,
         # -- dedup / stats / drift (window) ---------------------------------
         "json_python_tier": _q_json_python_tier,
-        "dedup_jaccard_ppjoin": _q_dedup_ppjoin,
+        "json_hybrid_tier": _q_json_hybrid_tier,
         "dedup_minhash_lsh": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1088,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_ref_defs": _q_kw_ref_defs,
         # -- untouched this round, green r2/r3 -------------------------------
         "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_jaccard_ppjoin": _q_dedup_ppjoin,
         "dedup_exact": _q_dedup_exact,
         "minhash_bands": _q_minhash_buckets,
         "split_assign": _q_split_assign,
@@ -1233,6 +1266,10 @@ def oracle_sql() -> dict[str, str]:
         "ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) <= 80 "
         "END AS valid FROM events"
     )
+    # hybrid tier: same payload construction; the %7 branch adds a mixed
+    # array that now also violates items:integer, but it is already
+    # invalid via required — so validity logic is identical
+    o["json_hybrid_tier"] = o["json_python_tier"]
 
     # benchmark contamination: same normalization / gram construction /
     # benchmark split as operators/contamination.py, stated in SQL

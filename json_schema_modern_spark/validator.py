@@ -16,6 +16,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from json_schema_modern_spark.compiler.column_compiler import (
     _VIOL_ARR,
@@ -414,11 +415,26 @@ class Validator:
         objects, arbitrary-precision integers) at per-document-Python
         speed, with document-level violation rows.  Use it for the
         shapeless remainder after the typed bulk went through the
-        compiled Column tier."""
+        compiled Column tier.
+
+        ``tier="hybrid"`` routes PER ROW: documents whose canonical JSON
+        survives the typed decode exactly (``to_json(from_json(payload))
+        == to_json(parse_json(payload))`` — VARIANT canonicalization on
+        both sides) take the codegen'd Column tier; everything else
+        (null properties, extra/mixed/shapeless fields, >int64, duplicate
+        keys, malformed JSON) falls to the python tier.  Exactness comes
+        free: a document is only fast-pathed when the decode provably
+        lost nothing.  Cost: the routing predicate parses the JSON twice
+        more on the bulk — use plain ``columns`` when provenance
+        guarantees the shape.  ``annotated`` carries id columns + _valid
+        + _viols only (the two tiers' decoded columns differ)."""
         if tier == "python":
             return self._validate_json_python(df, json_col, id_cols)
+        if tier == "hybrid":
+            return self._validate_json_hybrid(df, json_col, id_cols,
+                                              decode_schema)
         if tier != "columns":
-            raise ValueError(f"unknown tier {tier!r} (columns|python)")
+            raise ValueError(f"unknown tier {tier!r} (columns|python|hybrid)")
         from json_schema_modern_spark.compiler.column_compiler import (
             _spark_schema_from_spec,
         )
@@ -464,6 +480,59 @@ class Validator:
             annotated=res.annotated.unionByName(bad_annotated),
             violations=res.violations.unionByName(decode_viols),
             plan=res.plan,
+            id_cols=id_cols,
+        )
+
+    def _validate_json_hybrid(
+        self, df: DataFrame, json_col: str, id_cols: list[str] | None,
+        decode_schema,
+    ) -> ValidationResult:
+        """Row-level routing between the tiers (see validate_json_strings).
+        The decode schema's struct fields sort recursively by name because
+        VARIANT canonicalization (`parse_json` → `to_json`) emits object
+        keys sorted — otherwise field-order alone would defeat the
+        fast-path equality and route everything to python."""
+        from json_schema_modern_spark.compiler.column_compiler import (
+            _spark_schema_from_spec,
+        )
+
+        id_cols = id_cols or ([df.columns[0]] if df.columns else [])
+        schema = decode_schema if decode_schema is not None \
+            else _spark_schema_from_spec(self.spec)
+        if schema is None:
+            # no type info to decode with — everything is "shapeless"
+            return self._validate_json_python(df, json_col, id_cols)
+
+        def sort_fields(dt):
+            if isinstance(dt, T.StructType):
+                return T.StructType(sorted(
+                    (T.StructField(f.name, sort_fields(f.dataType),
+                                   f.nullable) for f in dt.fields),
+                    key=lambda f: f.name))
+            if isinstance(dt, T.ArrayType):
+                return T.ArrayType(sort_fields(dt.elementType),
+                                   dt.containsNull)
+            if isinstance(dt, T.MapType):
+                return T.MapType(dt.keyType, sort_fields(dt.valueType),
+                                 dt.valueContainsNull)
+            return dt
+
+        schema = sort_fields(schema)
+        canon = F.to_json(F.try_parse_json(F.col(json_col)))
+        typed = F.to_json(F.from_json(F.col(json_col), schema))
+        fast = (F.col(json_col).isNotNull() & canon.isNotNull()
+                & typed.isNotNull() & (typed == canon))
+        res_cols = self.validate_json_strings(
+            df.filter(fast), json_col, id_cols=id_cols,
+            decode_schema=schema)
+        res_py = self._validate_json_python(
+            df.filter(~F.coalesce(fast, F.lit(False))), json_col, id_cols)
+        annotated = res_cols.annotated.select(
+            *id_cols, "_valid", "_viols").unionByName(res_py.annotated)
+        return ValidationResult(
+            annotated=annotated,
+            violations=res_cols.violations.unionByName(res_py.violations),
+            plan=res_cols.plan,
             id_cols=id_cols,
         )
 
