@@ -145,6 +145,15 @@ def main() -> None:
     check("dedup PPJoin: prefix join is equi (no cross product)", no_cross(pp_plan))
     sh_plan = explain_str(simhash_near_duplicates(docs, max_hamming=3))
     check("dedup SimHash: block join is equi (no cross product)", no_cross(sh_plan))
+    # the Arrow fingerprint UDF must appear in exactly ONE plan node:
+    # buckets materialize via groupBy+collect_list, so no plan branch
+    # recomputes the fingerprint pass (a self-join would show two).
+    # formatted explain prints each node once in the tree ("+- Arrow...")
+    # and once in the detail section ("(n) Arrow...") — count tree lines.
+    n_arrow = sum(1 for ln in sh_plan.splitlines()
+                  if "ArrowEvalPython" in ln and "(" not in ln.split("Arrow")[0])
+    check("dedup SimHash: single fingerprint UDF pass", n_arrow == 1,
+          f"tree ArrowEvalPython nodes: {n_arrow}")
 
     # 8. ANN: brute-force top-k must be per-partition top-k + merge
     #    (TakeOrderedAndProject), never a global Sort of the corpus; the
