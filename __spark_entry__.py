@@ -880,16 +880,20 @@ _EVENT_SPEC = {
 }
 
 
-def _q_json_python_tier(spark, sf_dir):
-    """Distributed python tier (validate_json_strings(tier='python'),
-    pyeval inside executors via mapInPandas, shuffle-free): full-JSON
-    coverage the typed tier cannot decode — null properties, empty
-    arrays, >int64 integers with EXACT comparison.  The payload is
-    synthesized deterministically from events (four shapes by event_id
-    residue); the oracle re-derives validity with independent SQL logic,
-    so it checks the evaluator, not a second run of it."""
-    from json_schema_modern_spark import Validator
+def _json_payload_table(spark, sf_dir):
+    """events → mixed-shape JSON document column, four shapes by
+    event_id residue: mixed-type array + missing required property
+    (%7), JSON-null property (%11), >int64 integer (%13), a plain typed
+    document otherwise (~69%).  Materialized to parquet once per sf
+    (the real workload is a STORED JSON column; inline derivation
+    makes every branch of the tier queries re-synthesize it)."""
+    import os
+    import tempfile
 
+    cache = os.path.join(tempfile.gettempdir(), "spark_graft_bench",
+                         f"jsondocs_{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(os.path.join(cache, "_SUCCESS")):
+        return spark.read.parquet(cache)
     ev = _read(spark, sf_dir, "events")
     eid = F.col("event_id")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -901,45 +905,50 @@ def _q_json_python_tier(spark, sf_dir):
         .otherwise(F.concat(F.lit('{"a": '), k.cast("string"),
                             F.lit(', "xs": [1, 2]}')))
     )
-    spec = {"type": "object", "required": ["a"],
-            "properties": {
-                "a": {"type": ["integer", "null"], "maximum": 80},
-                "xs": {"type": "array", "maxItems": 3},
-                "big": {"maximum": 99999999999999999998}}}
-    df = ev.select("event_id", payload.alias("payload"))
-    res = Validator(spec).validate_json_strings(
+    out = ev.select("event_id", payload.alias("payload"))
+    try:
+        out.write.mode("overwrite").parquet(cache)
+        return spark.read.parquet(cache)
+    except Exception:
+        return out          # read-only tmp: fall back to the inline plan
+
+
+_JSON_TIER_SPEC = {
+    "type": "object", "required": ["a"],
+    "properties": {
+        "a": {"type": ["integer", "null"], "maximum": 80},
+        "xs": {"type": "array", "maxItems": 3,
+               "items": {"type": "integer"}},
+        "big": {"maximum": 99999999999999999998}},
+}
+
+
+def _q_json_python_tier(spark, sf_dir):
+    """Distributed python tier (validate_json_strings(tier='python'),
+    pyeval inside executors via mapInPandas, shuffle-free): full-JSON
+    coverage the typed tier cannot decode — null properties, mixed-type
+    arrays, >int64 integers with EXACT comparison.  The oracle
+    re-derives validity with independent SQL logic, so it checks the
+    evaluator, not a second run of it."""
+    from json_schema_modern_spark import Validator
+
+    df = _json_payload_table(spark, sf_dir)
+    res = Validator(_JSON_TIER_SPEC).validate_json_strings(
         df, "payload", id_cols=["event_id"], tier="python")
     return res.annotated.select("event_id", F.col("_valid").alias("valid"))
 
 
 def _q_json_hybrid_tier(spark, sf_dir):
     """Hybrid tier: per-row routing between the codegen'd Column tier
-    (documents whose typed decode is canonically exact — here the
-    majority else-branch) and the python tier (null property, mixed
-    array, >int64 branches).  Same payload synthesis and independent
-    oracle logic as json_python_tier; `items: integer` makes the decode
-    schema type the array so the bulk fast-paths."""
+    (documents whose typed decode is canonically exact — the ~69%
+    else-branch; `items: integer` types the decode schema's array so
+    they fast-path) and the python tier (null property, mixed array,
+    >int64 branches).  Same input and independent oracle logic as
+    json_python_tier."""
     from json_schema_modern_spark import Validator
 
-    ev = _read(spark, sf_dir, "events")
-    eid = F.col("event_id")
-    k = F.get_json_object("props", "$.k").cast("long")
-    payload = (
-        F.when(eid % 7 == 0, F.concat(
-            F.lit('{"xs": ['), (eid % 5).cast("string"), F.lit(', "x"]}')))
-        .when(eid % 11 == 0, F.lit('{"a": null, "xs": []}'))
-        .when(eid % 13 == 0, F.lit('{"a": 1, "big": 99999999999999999999}'))
-        .otherwise(F.concat(F.lit('{"a": '), k.cast("string"),
-                            F.lit(', "xs": [1, 2]}')))
-    )
-    spec = {"type": "object", "required": ["a"],
-            "properties": {
-                "a": {"type": ["integer", "null"], "maximum": 80},
-                "xs": {"type": "array", "maxItems": 3,
-                       "items": {"type": "integer"}},
-                "big": {"maximum": 99999999999999999998}}}
-    df = ev.select("event_id", payload.alias("payload"))
-    res = Validator(spec).validate_json_strings(
+    df = _json_payload_table(spark, sf_dir)
+    res = Validator(_JSON_TIER_SPEC).validate_json_strings(
         df, "payload", id_cols=["event_id"], tier="hybrid")
     return res.annotated.select("event_id", F.col("_valid").alias("valid"))
 

@@ -75,6 +75,16 @@ def evaluate_json_column(df, json_col: str, id_cols: list[str],
 
     from json_schema_modern_spark.compiler.column_compiler import _VIOL_ARR
 
+    # per-document evaluation is CPU-bound pure Python: a narrow input
+    # (one small parquet file → one partition) would serialize the whole
+    # pass onto one core.  Round-robin up to the cluster's parallelism —
+    # the shuffle moves only (id, payload) strings and is overlapped by
+    # the eval win; at real scale inputs already have >cores partitions
+    # and this branch never triggers.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+
     out_fields = [df.schema[c] for c in id_cols]
     out_schema = T.StructType(
         list(out_fields)
