@@ -52,6 +52,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "write per-row result documents")
     p.add_argument("--check-only", action="store_true",
                    help="validate the spec itself; no data read")
+    p.add_argument("--json-col", default=None,
+                   help="treat this column as JSON-encoded documents "
+                        "(evaluate_json_string analogue, Modern.pm:268-293) "
+                        "instead of validating the table's typed columns")
+    p.add_argument("--tier", default="hybrid",
+                   choices=["columns", "python", "hybrid"],
+                   help="with --json-col: 'columns' = typed decode + "
+                        "codegen'd plan, 'python' = exact per-document "
+                        "evaluation in executors, 'hybrid' (default) = "
+                        "per-row routing on canonical decode equality")
     p.add_argument("--max-depth", type=int, default=64)
     p.add_argument("--validate-formats", action="store_true")
     p.add_argument("--contract-schema", action="store_true",
@@ -166,6 +176,27 @@ def run_validation(spec, args) -> int:
         df = read_token_table(spark, args.table)
     else:
         df = spark.read.parquet(args.table)
+
+    if args.json_col:
+        # JSON-document column (evaluate_json_string analogue): tier
+        # routing decides per row between the codegen'd typed plan and
+        # the exact executor-side python evaluator
+        res = Validator(spec, extra_schemas=extra).validate_json_strings(
+            df, args.json_col, id_cols=[args.id_col], tier=args.tier)
+        if args.flag_only:
+            valid = res.flag()
+            print(json.dumps({"valid": bool(valid)}))
+            return 0 if valid else 1
+        n_viol = res.violations.count()
+        if args.output:
+            import os as _os
+
+            res.violations.write.mode("overwrite").parquet(
+                _os.path.join(args.output, "violations_json"))
+        valid = n_viol == 0
+        print(json.dumps({"valid": bool(valid), "tier": args.tier,
+                          "violations": n_viol}))
+        return 0 if valid else 1
 
     if args.flag_only:
         # short-circuit path (reference short_circuit mode, Modern.pm:69-74):

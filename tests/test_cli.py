@@ -123,3 +123,42 @@ def test_cli_check_only_metaschema_tier(tmp_path):
                               "properties": {"n_tok": {"minimum": 0}}}))
     r = _run_cli(["--spec", str(ok), "--check-only"])
     assert r.returncode == 0
+
+
+def test_cli_json_col_tier(cli_data, spark, tmp_path_factory):
+    """--json-col + --tier: the evaluate_json_string analogue through the
+    CLI, hybrid routing between the typed plan and the executor-side
+    python tier (the >int64 and null-property rows take the python
+    path)."""
+    d = tmp_path_factory.mktemp("cli_json")
+    table = str(d / "docs")
+    spark.createDataFrame(
+        [("d1", '{"a": 5}'),
+         ("d2", '{"a": null}'),
+         ("d3", '{"a": 99999999999999999999}')],
+        "doc_id string, payload string").write.parquet(table)
+    spec_path = str(d / "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump({"type": "object", "required": ["a"],
+                   "properties": {"a": {"type": ["integer", "null"],
+                                        "maximum": 80}}}, f)
+    out_dir = str(d / "out")
+    r = _run_cli(["--spec", spec_path, "--table", table,
+                  "--json-col", "payload", "--tier", "hybrid",
+                  "--id-col", "doc_id", "--output", out_dir])
+    assert r.returncode == 1, r.stderr[-2000:]   # d3 exceeds maximum
+    line = json.loads([ln for ln in r.stdout.splitlines()
+                       if ln.startswith("{")][-1])
+    assert line == {"valid": False, "tier": "hybrid", "violations": 1}
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(out_dir, "violations_json", "*.parquet"))
+
+    # all-valid input → exit 0 on the python tier
+    table2 = str(d / "docs2")
+    spark.createDataFrame([("d1", '{"a": 5}'), ("d2", '{"a": null}')],
+                          "doc_id string, payload string").write.parquet(table2)
+    r = _run_cli(["--spec", spec_path, "--table", table2,
+                  "--json-col", "payload", "--tier", "python",
+                  "--id-col", "doc_id", "--flag-only"])
+    assert r.returncode == 0, r.stderr[-2000:]
