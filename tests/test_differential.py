@@ -220,3 +220,31 @@ def test_spark_agrees_with_pyeval_legacy_items(spark_diff, spec, rows):
 @pytest.fixture(scope="module")
 def spark_diff(spark):
     return spark
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(spec=root_schema, rows=st.lists(row, min_size=1, max_size=5))
+@pytest.mark.parametrize("tier", ["python", "hybrid"])
+def test_json_tiers_agree_with_independent_evaluator(spark_diff, tier, spec,
+                                                     rows):
+    """The JSON-document tiers (validate_json_strings tier=python|hybrid)
+    must agree with the independent recursive evaluator on the SAME
+    instances rendered as JSON.  For tier=python this cross-checks the
+    two python implementations (pyeval.full in executors vs
+    pyeval.evaluator driver-side); for tier=hybrid it additionally pins
+    the canonical-equality routing: a fast-pathed row is exactly one the
+    typed Column tier evaluates identically."""
+    import json as _json
+
+    insts = [_instance(r) for r in rows]
+    df = spark_diff.createDataFrame(
+        [(i, _json.dumps(inst)) for i, inst in enumerate(insts)],
+        "rid int, payload string")
+    res = Validator(spec).validate_json_strings(
+        df, "payload", id_cols=["rid"], tier=tier)
+    got = {r["rid"]: r["_valid"]
+           for r in res.annotated.select("rid", "_valid").collect()}
+    want = [evaluate(spec, inst) for inst in insts]
+    assert [got[i] for i in range(len(insts))] == want, \
+        f"tier={tier} spec={spec!r} insts={insts!r} got={got} want={want}"
