@@ -80,10 +80,13 @@ def evaluate_json_column(df, json_col: str, id_cols: list[str],
     # pass onto one core.  Round-robin up to the cluster's parallelism —
     # the shuffle moves only (id, payload) strings and is overlapped by
     # the eval win; at real scale inputs already have >cores partitions
-    # and this branch never triggers.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # and this branch never triggers.  Streaming plans have no static
+    # partition count (.rdd is illegal) — the micro-batch engine already
+    # parallelizes per source partition, so leave them untouched.
+    if not df.isStreaming:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
 
     out_fields = [df.schema[c] for c in id_cols]
     out_schema = T.StructType(

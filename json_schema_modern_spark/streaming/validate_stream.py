@@ -75,3 +75,23 @@ def quarantine_writer(violations: DataFrame, path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+def validate_json_stream(stream_df: DataFrame, spec: dict, json_col: str,
+                         id_cols: list[str] | None = None,
+                         tier: str = "python"):
+    """JSON-document column over an unbounded stream.
+
+    tier="python" runs the exact per-document evaluator inside the
+    micro-batch executors (mapInPandas is streaming-native; the
+    per-worker evaluator cache persists across micro-batches, so the
+    registry builds once per worker, not once per batch).  tier="hybrid"
+    also works — its routing is a stateless projection + filter-union —
+    but costs two extra JSON parses per row per micro-batch; tier=
+    "columns" needs the documents to fit the decode schema exactly.
+    All tiers are stateless row-local transforms: no watermark needed
+    until a downstream aggregation adds one."""
+    v = Validator(spec)
+    res = v.validate_json_strings(stream_df, json_col,
+                                  id_cols=id_cols or ["doc_id"], tier=tier)
+    return res.annotated, res.violations

@@ -84,3 +84,45 @@ def test_violation_rate_windows(spark, stream_dir, tmp_path):
     for r in rows:
         assert batch[(r.window_start, r.source)] == (r.n_rows, r.n_invalid)
     assert all(0.0 <= r.invalid_rate <= 1.0 for r in rows)
+
+
+@pytest.mark.parametrize("tier", ["python", "hybrid"])
+def test_json_stream_matches_batch(spark, tmp_path, tier):
+    """validate_json_stream: the JSON-document tiers over an unbounded
+    source produce the same per-row validity as the batch tiers on the
+    same files (mapInPandas and the hybrid routing are both
+    streaming-native, stateless row-local transforms)."""
+    from json_schema_modern_spark.streaming.validate_stream import (
+        validate_json_stream,
+    )
+
+    d = str(tmp_path / "json_in")
+    rows = [(f"d{i}",
+             '{"a": null}' if i % 11 == 0 else
+             '{"a": 1, "big": 99999999999999999999}' if i % 13 == 0 else
+             '{"a": %d}' % (i % 100))
+            for i in range(400)]
+    spark.createDataFrame(rows, "doc_id string, payload string") \
+        .coalesce(2).write.mode("overwrite").parquet(d)
+    spec = {"type": "object", "required": ["a"],
+            "properties": {"a": {"type": ["integer", "null"], "maximum": 80},
+                           "big": {"maximum": 99999999999999999998}}}
+
+    stream = spark.readStream.schema("doc_id string, payload string").parquet(d)
+    assert stream.isStreaming
+    annotated, _ = validate_json_stream(stream, spec, "payload",
+                                        id_cols=["doc_id"], tier=tier)
+    name = f"json_stream_{tier}"
+    q = (annotated.select("doc_id", "_valid").writeStream
+         .format("memory").queryName(name).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: r._valid for r in spark.table(name).collect()}
+
+    from json_schema_modern_spark import Validator
+
+    batch = Validator(spec).validate_json_strings(
+        spark.read.parquet(d), "payload", id_cols=["doc_id"], tier=tier)
+    want = {r.doc_id: r._valid
+            for r in batch.annotated.select("doc_id", "_valid").collect()}
+    assert got == want and len(got) == 400 and not all(got.values())
