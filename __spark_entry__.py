@@ -747,6 +747,19 @@ def _q_token_top_ids(spark, sf_dir):
     return token_frequencies(_doc_tokens(_read(spark, sf_dir, "documents")), top_k=20)
 
 
+def _q_token_lm_score(spark, sf_dir):
+    """Unigram LM scoring (CCNet-style perplexity-proxy filter): corpus-
+    trained add-one-smoothed unigram cross-entropy per document, one
+    Arrow pass with the logprob array in the closure.  Oracle re-derives
+    the counts and the per-token join in SQL."""
+    from json_schema_modern_spark.operators.lm_score import (
+        unigram_logprob_scores,
+    )
+
+    return unigram_logprob_scores(
+        _doc_tokens(_read(spark, sf_dir, "documents")), _TOKEN_VOCAB)
+
+
 def _q_token_oov(spark, sf_dir):
     from json_schema_modern_spark.operators.tokens import oov_stats
 
@@ -1075,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_top_ids": _q_token_top_ids,
         "token_oov_stats": _q_token_oov,
         "token_vocab_coverage": _q_token_vocab_coverage,
+        "token_lm_score": _q_token_lm_score,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_lsh_buckets": _q_ann_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1095,7 +1109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_segments": _q_dedup_segments,
-        "stats_quantiles": _q_stats_quantiles,
         "stats_by_source": _q_stats_by_source,
         "unique_doc_ids": _q_unique,
         "ref_sortmerge_salted": _q_ref_sortmerge,
@@ -1118,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_enum": _q_kw_enum,
         "kw_const": _q_kw_const,
         # ---- driver correctness window boundary (50 entries above) --------
+        "stats_quantiles": _q_stats_quantiles,
         "events_window_counts": _q_events_window,
         "kw_anchor": _q_kw_anchor,
         "stats_lineitem": _q_stats,
@@ -1758,6 +1772,22 @@ FROM cum GROUP BY 1, 2, 3
         "u AS (SELECT unnest(toks) AS token FROM t) "
         "SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences FROM u "
         "GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 20"
+    )
+    # unigram LM score: identical training corpus, add-one smoothing,
+    # OOV ids (outside [0, 200)) score as count 0; -avg(ln p) per doc
+    o["token_lm_score"] = (
+        f"WITH t AS (SELECT doc_id, {_tok_expr} AS toks FROM documents), "
+        "u AS (SELECT doc_id, unnest(toks) AS token FROM t), "
+        "c AS (SELECT token, count(*) AS n FROM u "
+        "      WHERE token >= 0 AND token < 200 GROUP BY 1), "
+        "tot AS (SELECT coalesce(sum(n), 0) + 200 AS denom FROM c), "
+        "s AS (SELECT u.doc_id, "
+        "      -avg(ln((coalesce(c.n, 0) + 1) / (SELECT denom FROM tot)))"
+        " AS sc FROM u LEFT JOIN c ON u.token = c.token"
+        " AND u.token >= 0 AND u.token < 200 GROUP BY u.doc_id) "
+        "SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, "
+        "CAST(round(s.sc, 6) AS DOUBLE) AS lm_score "
+        "FROM t LEFT JOIN s ON t.doc_id = s.doc_id"
     )
     o["token_oov_stats"] = (
         f"WITH t AS (SELECT source, {_tok_expr} AS toks FROM documents) "

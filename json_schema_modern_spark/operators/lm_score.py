@@ -1,0 +1,94 @@
+"""Unigram language-model scoring — the CCNet-style LM-filter shape
+(Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets",
+LREC 2020 §4.3: score each document with a language model and filter by
+perplexity band) with the LM reduced to a corpus-trained unigram model,
+which is the piece expressible exactly in one engine pass and one oracle.
+
+Two phases, both scale-shaped:
+
+1. TRAIN — token counts over the in-vocab ids: explode with map-side
+   partial aggregation, shuffle O(vocab × partitions) regardless of
+   corpus size (the same shape as tokens.token_frequencies).  The count
+   table collects to the driver as one float64 logprob array of
+   ``vocab_size`` entries (guarded: a >4M-entry vocab should switch to
+   the broadcast-join variant instead of a driver array — fail fast).
+
+2. SCORE — one Arrow pass, zero shuffle: the logprob array rides in the
+   task closure (vocab_size × 8 bytes — the same payload a broadcast
+   join would ship) and every document's score is a vectorized numpy
+   gather + mean.  Add-one smoothing: p(t) = (count(t)+1) / (total+V);
+   out-of-vocab ids score as count 0.  score = −mean(log p) over the
+   document's tokens (the unigram cross-entropy in nats; perplexity =
+   exp(score)).  Empty/null token arrays yield NULL.
+
+Reference anchor: the reference engine has no corpus statistics at all
+(JSON-Schema-Modern is per-document); this operator is part of the
+§2.8 engine-additions surface the target contract asks for.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAX_DRIVER_VOCAB = 4_000_000
+
+
+def unigram_logprobs(df: DataFrame, vocab_size: int,
+                     tokens_col: str = "tokens") -> tuple[np.ndarray, float]:
+    """(logprob array of len vocab_size, oov logprob) trained on the
+    in-vocab token occurrences of ``df`` with add-one smoothing."""
+    if vocab_size > _MAX_DRIVER_VOCAB:
+        raise ValueError(
+            f"vocab_size {vocab_size} exceeds the driver-array guard "
+            f"({_MAX_DRIVER_VOCAB}); use a broadcast-join scoring variant")
+    t = F.col(tokens_col)
+    counts = (
+        df.select(F.explode(t).alias("token"))
+        .where((F.col("token") >= 0) & (F.col("token") < vocab_size))
+        .groupBy("token").count()
+        .collect()
+    )
+    total = sum(r["count"] for r in counts)
+    denom = float(total + vocab_size)
+    arr = np.full(vocab_size, math.log(1.0 / denom), dtype=np.float64)
+    for r in counts:
+        arr[r["token"]] = math.log((r["count"] + 1) / denom)
+    return arr, math.log(1.0 / denom)
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, n_tokens, lm_score) per document: unigram cross-entropy in
+    nats (−mean log p), trained on the same corpus.  Lower = more typical
+    of the corpus; filter bands the way CCNet buckets perplexity."""
+    logp, oov_logp = unigram_logprobs(df, vocab_size, tokens_col)
+
+    @F.pandas_udf("double")
+    def score_udf(tok: pd.Series) -> pd.Series:
+        out = np.full(len(tok), np.nan)
+        for i, ts in enumerate(tok):
+            if ts is None or len(ts) == 0:
+                continue
+            ids = np.asarray(ts, dtype=np.int64)
+            lp = np.where((ids >= 0) & (ids < vocab_size),
+                          logp[np.clip(ids, 0, vocab_size - 1)], oov_logp)
+            out[i] = -lp.mean()
+        return pd.Series(out)
+
+    t = F.col(tokens_col)
+    # size(NULL) is -1, not NULL, in this engine config — branch explicitly
+    n_tok = F.when(t.isNull(), F.lit(0)).otherwise(F.size(t))
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(score_udf(t), 6).alias("lm_score"),
+    )

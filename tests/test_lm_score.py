@@ -1,0 +1,49 @@
+"""Unigram LM scoring (CCNet-style perplexity-proxy filter)."""
+
+import math
+
+import pytest
+
+from json_schema_modern_spark.operators.lm_score import (
+    unigram_logprob_scores, unigram_logprobs,
+)
+
+
+@pytest.fixture()
+def toy(spark):
+    # vocab 4; corpus counts: 0→3, 1→2, 3→1 (id 9 is OOV and untrained)
+    rows = [(1, [0, 0, 1]), (2, [0, 1, 3]), (3, [9, 0]),
+            (4, []), (5, None)]
+    return spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+
+
+def test_trained_logprobs(toy):
+    logp, oov = unigram_logprobs(toy, vocab_size=4)
+    # total in-vocab tokens = 7 (id 9 excluded), denom = 7 + 4 = 11;
+    # add-one smoothing: logp = log((count + 1) / denom)
+    assert logp[0] == pytest.approx(math.log(5 / 11))
+    assert logp[1] == pytest.approx(math.log(3 / 11))
+    assert logp[2] == pytest.approx(math.log(1 / 11))   # unseen, smoothed
+    assert logp[3] == pytest.approx(math.log(2 / 11))
+    assert oov == pytest.approx(math.log(1 / 11))
+
+
+def test_scores(toy):
+    got = {r.doc_id: r for r in
+           unigram_logprob_scores(toy, vocab_size=4).collect()}
+    d = 11
+    want1 = -(2 * math.log(5 / d) + math.log(3 / d)) / 3
+    want3 = -(math.log(1 / d) + math.log(5 / d)) / 2   # OOV id 9 -> count 0
+    assert got[1].lm_score == pytest.approx(want1, abs=1e-6)
+    assert got[3].lm_score == pytest.approx(want3, abs=1e-6)
+    assert got[1].n_tokens == 3
+    # empty and null token arrays: no score, zero tokens
+    assert got[4].lm_score is None and got[4].n_tokens == 0
+    assert got[5].lm_score is None and got[5].n_tokens == 0
+    # typical docs score lower (more probable) than OOV-heavy docs
+    assert got[1].lm_score < got[3].lm_score
+
+
+def test_vocab_guard(toy):
+    with pytest.raises(ValueError, match="broadcast-join"):
+        unigram_logprobs(toy, vocab_size=5_000_000)
