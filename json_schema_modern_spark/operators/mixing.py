@@ -1,0 +1,101 @@
+"""Domain-mixture rebalancing: compute per-source keep rates that move
+the corpus toward a target token share, and apply them with a
+deterministic hash sample.
+
+A pre-training corpus is a mixture of sources (web/books/code/...) whose
+natural token shares rarely match the shares the training recipe wants
+(cf. The Pile / DoReMi-style domain weights).  Downsampling-only
+rebalancing: the most under-represented source keeps everything
+(rate = 1) and every other source keeps the fraction that equalizes
+token share against it.
+
+All arithmetic is INTEGER (BIGINT) so the thresholds reproduce
+bit-for-bit in any engine — rates as floats would make the sample
+boundary depend on ulp-level division differences between Spark and the
+DuckDB oracle.  With uniform target shares the keep threshold for
+source s is
+
+    threshold_s = (buckets * min_tokens) div tokens_s      in [0, buckets]
+
+and a document is kept iff md5-bucket(doc_id) < threshold_s (same
+engine-portable bucket as `splits.split_bucket`).  Non-uniform integer
+target parts generalize via cross-multiplied minima; the uniform case is
+what the driver query exercises.
+
+Scale design (10^12 rows): the per-source token totals are one map-side
+combined hash aggregate over |sources| groups (tiny); the thresholds
+table is |sources| rows and is BROADCAST back, so the sampling pass is
+a pure per-row map with no shuffle — the same shape as split
+assignment.  Sampling by hash (not rand()) keeps the operation
+idempotent under resume and stable across re-ingestion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .splits import split_bucket
+
+BUCKETS = 10_000
+
+
+def mixture_thresholds(
+    df: DataFrame,
+    source_col: str = "source",
+    size_col: str = "n_tok",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """(source, n_docs, n_tokens, keep_threshold, expected_tokens) for a
+    uniform token-share target.  keep_threshold/buckets is the keep
+    rate; expected_tokens = n_tokens * threshold div buckets (exact
+    integer expectation under a uniform hash)."""
+    per = (df.groupBy(source_col)
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col(size_col).cast("long")).alias("n_tokens")))
+    # scalar min over the |sources|-row aggregate: broadcast cross-join of
+    # a 1-row frame (drift.py precedent), not an unpartitioned window
+    min_tok = per.agg(F.min("n_tokens").alias("_min_tok"))
+    per = per.crossJoin(F.broadcast(min_tok))
+    return (per.select(
+        source_col, "n_docs", "n_tokens",
+        F.expr(f"({buckets} * _min_tok) div n_tokens").alias("keep_threshold"))
+        .withColumn(
+            "expected_tokens",
+            F.expr(f"(n_tokens * keep_threshold) div {buckets}")))
+
+
+def stratified_sample(
+    df: DataFrame,
+    thresholds: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Keep rows whose md5 bucket clears their source's threshold.  The
+    thresholds side is |sources| rows — broadcast, so this adds no
+    shuffle to the scan."""
+    th = F.broadcast(thresholds.select(source_col, "keep_threshold"))
+    b = split_bucket(F.col(id_col), seed=seed, buckets=buckets)
+    return (df.join(th, source_col)
+              .filter(b < F.col("keep_threshold"))
+              .drop("keep_threshold"))
+
+
+def mixture_thresholds_oracle_sql(table_expr: str, size_expr: str,
+                                  source_col: str = "source",
+                                  buckets: int = BUCKETS) -> str:
+    """DuckDB replay of mixture_thresholds (uniform target)."""
+    return f"""
+WITH per AS (
+  SELECT {source_col}, count(*) AS n_docs,
+         CAST(sum({size_expr}) AS BIGINT) AS n_tokens
+  FROM {table_expr} GROUP BY 1
+), m AS (SELECT min(n_tokens) AS min_tok FROM per)
+SELECT {source_col}, n_docs, n_tokens,
+       ({buckets} * (SELECT min_tok FROM m)) // n_tokens AS keep_threshold,
+       (n_tokens * (({buckets} * (SELECT min_tok FROM m)) // n_tokens))
+           // {buckets} AS expected_tokens
+FROM per
+"""

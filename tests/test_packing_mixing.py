@@ -1,0 +1,193 @@
+"""Sequence packing, mixture rebalancing, and bloom incremental dedup.
+
+Each operator is checked two ways: hand-computed expectations on a tiny
+frame, and a DuckDB replay of the oracle SQL on the same data (the same
+comparison the driver gate runs at sf0.01).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- packing
+
+def test_pack_next_fit_hand_case(spark):
+    from json_schema_modern_spark.operators.packing import pack_next_fit
+
+    rows = [
+        # group a: sizes 60, 50, 40, 130(oversize? no, cap 128 -> 130 is), 10
+        ("a", 1, 60), ("a", 2, 50), ("a", 3, 40), ("a", 4, 130), ("a", 5, 10),
+        # group b: single doc
+        ("b", 1, 5),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    out = {(r.source, r.doc_id): (r.bin_id, r.bin_offset, r.oversize)
+           for r in pack_next_fit(df, capacity=128).collect()}
+    # a: 60 -> bin0@0; 50 -> fits (110) bin0@60; 40 -> 150>128 new bin1@0;
+    #    130 -> 170>128 new bin2@0 (oversize); 10 -> 140>128 new bin3@0
+    assert out[("a", 1)] == (0, 0, 0)
+    assert out[("a", 2)] == (0, 60, 0)
+    assert out[("a", 3)] == (1, 0, 0)
+    assert out[("a", 4)] == (2, 0, 1)
+    assert out[("a", 5)] == (3, 0, 0)
+    assert out[("b", 1)] == (0, 0, 0)
+
+
+def test_pack_capacity_invariant(spark):
+    """No bin exceeds capacity unless it holds a single oversize doc."""
+    from json_schema_modern_spark.operators.packing import pack_next_fit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .withColumn("n_tok", (F.col("n_chars") % 97 + 3).cast("long"))
+    packed = pack_next_fit(docs, capacity=128)
+    fills = (packed.groupBy("source", "bin_id")
+             .agg(F.sum("n_tok").alias("fill"),
+                  F.count(F.lit(1)).alias("n"),
+                  F.max("oversize").alias("over"))
+             .collect())
+    assert fills
+    for r in fills:
+        assert r.fill <= 128 or (r.n == 1 and r.over == 1), r
+    # bins are dense 0..max per group
+    per_group = {}
+    for r in packed.collect():
+        per_group.setdefault(r.source, set()).add(r.bin_id)
+    for g, bins in per_group.items():
+        assert bins == set(range(len(bins))), g
+
+
+def test_pack_matches_duckdb_oracle(spark):
+    from json_schema_modern_spark.operators.packing import (
+        pack_next_fit, pack_next_fit_oracle_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path) \
+        .withColumn("n_tok", (F.col("n_chars") % 97 + 3).cast("long"))
+    got = {(r.source, r.doc_id): (r.n_tok, r.bin_id, r.bin_offset, r.oversize)
+           for r in pack_next_fit(docs, capacity=128).collect()}
+    sql = pack_next_fit_oracle_sql(
+        f"(SELECT source, doc_id, n_chars % 97 + 3 AS n_tok FROM '{path}')",
+        capacity=128)
+    want = {(s, d): (n, b, o, ov)
+            for s, d, n, b, o, ov in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_packing_summary(spark):
+    from json_schema_modern_spark.operators.packing import (
+        pack_next_fit, packing_summary,
+    )
+
+    rows = [("a", i, 50) for i in range(10)]  # 2 per 128-bin -> 5 bins
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    s = packing_summary(pack_next_fit(df, 128), 128).collect()[0]
+    assert (s.n_docs, s.n_bins, s.n_tokens) == (10, 5, 500)
+    assert s.fill_ratio == round(500 / (5 * 128), 6)
+
+
+# ---------------------------------------------------------------- mixing
+
+def test_mixture_thresholds_hand_case(spark):
+    from json_schema_modern_spark.operators.mixing import mixture_thresholds
+
+    rows = [("a", 1, 100), ("a", 2, 100), ("b", 3, 50), ("c", 4, 400)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    out = {r.source: r for r in mixture_thresholds(df).collect()}
+    # min_tokens = 50 -> thresholds: a 10000*50//200=2500, b 10000, c 1250
+    assert out["a"].keep_threshold == 2500
+    assert out["b"].keep_threshold == 10000
+    assert out["c"].keep_threshold == 1250
+    assert out["c"].expected_tokens == (400 * 1250) // 10000  # 50
+    assert out["b"].n_docs == 1 and out["b"].n_tokens == 50
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    from json_schema_modern_spark.operators.mixing import (
+        mixture_thresholds, stratified_sample,
+    )
+    from json_schema_modern_spark.operators.splits import split_bucket
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .withColumn("n_tok", (F.col("n_chars") % 97 + 3).cast("long"))
+    th = mixture_thresholds(docs)
+    sampled = stratified_sample(docs, th, seed="mix-v1")
+    a = sorted(r.doc_id for r in sampled.collect())
+    b = sorted(r.doc_id for r in sampled.collect())
+    assert a == b and a  # deterministic, non-empty
+    # every kept row clears its threshold; every dropped row misses it
+    th_map = {r.source: r.keep_threshold for r in th.collect()}
+    kept = set(a)
+    check = docs.select("doc_id", "source",
+                        split_bucket(F.col("doc_id"), "mix-v1").alias("b")) \
+        .collect()
+    for r in check:
+        assert (r.doc_id in kept) == (r.b < th_map[r.source]), r
+
+
+def test_mixture_oracle_parity(spark):
+    from json_schema_modern_spark.operators.mixing import (
+        mixture_thresholds, mixture_thresholds_oracle_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path) \
+        .withColumn("n_tok", (F.col("n_chars") % 97 + 3).cast("long"))
+    got = {r.source: (r.n_docs, r.n_tokens, r.keep_threshold, r.expected_tokens)
+           for r in mixture_thresholds(docs).collect()}
+    sql = mixture_thresholds_oracle_sql(f"'{path}'", "n_chars % 97 + 3")
+    want = {s: (nd, nt, kt, et) for s, nd, nt, kt, et in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_incremental_matches_anti_join(spark):
+    from json_schema_modern_spark.operators.bloom import incremental_new_docs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    got = sorted(r.doc_id for r in
+                 incremental_new_docs(batch, corpus).collect())
+    want = sorted(r.doc_id for r in batch.join(
+        corpus.select(F.md5("text").alias("fp")).distinct(),
+        F.md5(batch["text"]) == F.col("fp"), "left_anti").collect())
+    assert got == want and got  # non-empty new set
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Every true dup hits the filter; a reasonable share of new docs is
+    pruned before the join (the point of the operator)."""
+    from json_schema_modern_spark.operators.bloom import (
+        bloom_hits, build_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus_fp = corpus.select(F.md5("text").alias("fingerprint")).distinct()
+    bm = build_bloom(corpus_fp, "fingerprint")
+    tagged = batch.select(
+        "doc_id",
+        bloom_hits(F.md5(F.col("text")), bm, 1 << 20, 2).alias("hit"))
+    hits = {r.doc_id: r.hit for r in tagged.collect()}
+    dups = {r.doc_id for r in batch.filter(F.col("doc_id") % 7 != 0).collect()}
+    for d in dups:
+        assert hits[d]  # no false negatives
+    new_ids = set(hits) - dups
+    pruned = sum(1 for d in new_ids if not hits[d])
+    # at m=2^20 bits, ~dozens of corpus keys -> FPR ~ 0: all new pruned
+    assert pruned >= len(new_ids) * 0.9
+
+
+def test_bloom_oversized_m_rejected():
+    from json_schema_modern_spark.operators.bloom import _bit_positions
+
+    pos = _bit_positions("a" * 32, 1 << 20, 6)
+    assert len(pos) == 6 and all(0 <= p < 1 << 20 for p in pos)
+    assert len(set(_bit_positions("b" * 32, 1 << 20, 2))) <= 2
