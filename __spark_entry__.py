@@ -775,6 +775,16 @@ def _q_dedup_bloom_new(spark, sf_dir):
                                 docs.filter(F.col("doc_id") % 7 != 0))
 
 
+def _q_curation_funnel(spark, sf_dir):
+    """End-to-end curation rollup (quality filter -> exact dedup ->
+    train split) per source over the duplicate-seeded corpus — one
+    data-sized shuffle (the dedup fingerprint), everything else per-row
+    maps + broadcast |sources|-row joins."""
+    from json_schema_modern_spark.operators.funnel import curation_funnel
+
+    return curation_funnel(_dup_docs(spark, sf_dir))
+
+
 def _doc_tokens(df: DataFrame) -> DataFrame:
     """Derive a deterministic `tokens:array<int>` column from documents.text
     (token id = 32*len(word) + first-codepoint mod 32) so the token-stats
@@ -1174,18 +1184,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_recursiveref": _q_kw_recursiveref,
         "kw_items_legacy": _q_kw_items_legacy,
         "kw_dependencies": _q_kw_dependencies,
-        "kw_prefixitems": _q_kw_prefixitems,
         # -- NEW this session: training-pipeline operators with no driver
-        #    history yet (packing, mixture rebalancing, bloom dedup) --------
+        #    history yet (packing, mixing, bloom dedup, curation funnel) ----
         "pack_sequences": _q_pack_sequences,
         "mix_weights": _q_mix_weights,
         "sample_stratified": _q_sample_stratified,
         "dedup_bloom_new": _q_dedup_bloom_new,
+        "curation_funnel": _q_curation_funnel,
         # ---- driver correctness window boundary (50 entries above) --------
-        # kw_enum/kw_const/kw_dependentrequired/kw_dependentschemas moved
-        # behind the boundary: green r2 driver rows, and this round's only
-        # change touching them (big-int literals / dialect gating) is
-        # covered by tests/test_differential.py + test_legacy_drafts.py.
+        # kw_prefixitems/kw_enum/kw_const/kw_dependent* moved behind the
+        # boundary: green r2 driver rows, and this round's only change
+        # touching them (big-int literals / dialect gating) is covered by
+        # tests/test_differential.py + test_legacy_drafts.py.
+        "kw_prefixitems": _q_kw_prefixitems,
         "kw_dependentrequired": _q_kw_dependentrequired,
         "kw_dependentschemas": _q_kw_dependentschemas,
         "kw_enum": _q_kw_enum,
@@ -1896,6 +1907,13 @@ FROM cum GROUP BY 1, 2, 3
         "  SELECT 1 FROM documents c WHERE c.doc_id % 7 <> 0 "
         "  AND md5(c.text) = md5(b.text))"
     )
+    from json_schema_modern_spark.operators.funnel import (
+        curation_funnel_oracle_sql,
+    )
+
+    o["curation_funnel"] = curation_funnel_oracle_sql(
+        "(SELECT * FROM documents UNION ALL "
+        " SELECT * FROM documents WHERE doc_id % 97 = 0)")
     o["ann_bruteforce_topk"] = _ann_oracle()
     o["ann_lsh_buckets"] = _lsh_bucket_oracle()
     o["neardup_cosine_lsh"] = _neardup_lsh_oracle()

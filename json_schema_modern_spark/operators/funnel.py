@@ -1,0 +1,122 @@
+"""Curation funnel: the standard corpus-preparation pipeline
+(quality filter → exact dedup → split assignment) with a per-source
+stage-count rollup — the dashboard table every data-curation run reports.
+
+Stages (each a primitive already analyzed for scale elsewhere in this
+package; the funnel only composes them):
+
+1. raw          — every ingested row;
+2. quality      — rows whose cheap quality score (text.quality_features:
+                  length/punct/stopword mix) clears `quality_min`;
+3. unique       — one keeper per exact text fingerprint (md5), smallest
+                  id wins (dedup.exact_duplicates' keep rule);
+4. train        — keepers landing in the train split under the
+                  deterministic md5-bucket assignment (splits).
+
+Scale design (10^12 rows): the quality stage is a codegen'd per-row
+map fused into the scan; the dedup stage is the single hash-shuffle on
+the text fingerprint (uniform by construction — md5); the split stage is
+again a per-row map.  The four per-source rollups are |sources|-row
+aggregates joined broadcast, so the funnel adds exactly ONE data-sized
+shuffle to the scan — the same count as running exact dedup alone.
+
+The returned counts are monotone by construction
+(n_raw >= n_quality >= n_unique >= n_train per source) and the DuckDB
+oracle replays each stage as a CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .splits import split_bucket
+from .text import quality_features
+
+
+def curation_funnel(
+    df: DataFrame,
+    quality_min: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    train_buckets: int = 9800,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """(source, n_raw, n_quality, n_unique, n_train) per source."""
+    feats = quality_features(df, text_col=text_col, id_col=id_col,
+                             keep_cols=[source_col, text_col])
+
+    raw = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_raw"))
+
+    qual = feats.filter(F.col("quality_score") >= quality_min)
+    n_qual = qual.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_quality"))
+
+    # smallest-id keeper per exact fingerprint: min over (id, source)
+    # structs orders by id first, so the keeper's source rides along
+    # without a re-join
+    uniq = (qual.groupBy(F.md5(F.col(text_col)).alias("_fp"))
+                .agg(F.min(F.struct(F.col(id_col).alias("id"),
+                                    F.col(source_col).alias("src"))).alias("k"))
+                .select(F.col("k.id").alias(id_col),
+                        F.col("k.src").alias(source_col)))
+    n_uniq = uniq.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_unique"))
+
+    train = uniq.filter(
+        split_bucket(F.col(id_col), seed=seed) < train_buckets)
+    n_train = train.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_train"))
+
+    out = raw
+    for stage in (n_qual, n_uniq, n_train):
+        out = out.join(F.broadcast(stage), source_col, "left")
+    return out.select(
+        source_col,
+        "n_raw",
+        F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        F.coalesce("n_train", F.lit(0)).alias("n_train"),
+    )
+
+
+def curation_funnel_oracle_sql(table_expr: str, quality_min: float = 0.5,
+                               train_buckets: int = 9800,
+                               seed: str = "split-v1") -> str:
+    """DuckDB replay: same stages as CTEs (quality formula mirrors
+    text.quality_features / the text_quality oracle)."""
+    return f"""
+WITH d AS (SELECT * FROM {table_expr}),
+f AS (
+  SELECT doc_id, source, text,
+         CAST(round(CASE WHEN len(words) < 5 THEN 0.0 ELSE
+           least(len(words)/100.0, 1.0)*0.4
+           + (1.0 - least(pr*5, 1.0))*0.3
+           + least(sr*4, 1.0)*0.3 END, 6) AS DOUBLE) AS quality_score
+  FROM (
+    SELECT doc_id, source, text, words,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))*1.0
+             / greatest(length(text), 1) AS pr,
+           len(list_filter(words, w -> list_contains(
+             ['the','a','and','of','to','in','is','that','it','for'], w)))*1.0
+             / greatest(len(words), 1) AS sr
+    FROM (SELECT doc_id, source, text,
+                 string_split_regex(trim(lower(text)), '\\s+') AS words
+          FROM d))),
+q AS (SELECT * FROM f WHERE quality_score >= {quality_min}),
+u AS (SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+      FROM q GROUP BY md5(text)),
+t AS (SELECT * FROM u
+      WHERE CAST(concat('0x', substr(md5('{seed}' ||
+            CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+            < {train_buckets}),
+srcs AS (SELECT DISTINCT source FROM d)
+SELECT srcs.source,
+       coalesce(r.n, 0) AS n_raw,
+       coalesce(qc.n, 0) AS n_quality,
+       coalesce(uc.n, 0) AS n_unique,
+       coalesce(tc.n, 0) AS n_train
+FROM srcs
+LEFT JOIN (SELECT source, count(*) AS n FROM d GROUP BY 1) r USING (source)
+LEFT JOIN (SELECT source, count(*) AS n FROM q GROUP BY 1) qc USING (source)
+LEFT JOIN (SELECT source, count(*) AS n FROM u GROUP BY 1) uc USING (source)
+LEFT JOIN (SELECT source, count(*) AS n FROM t GROUP BY 1) tc USING (source)
+"""

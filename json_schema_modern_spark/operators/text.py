@@ -53,9 +53,13 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     return hits / F.greatest(F.size(w), F.lit(1))
 
 
-def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, n_chars, n_words, avg_word_len, punct_ratio, stopword_ratio,
-    quality_score) — the classic cheap quality filters."""
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     keep_cols: list[str] | None = None) -> DataFrame:
+    """(id, [keep_cols...,] n_chars, n_words, avg_word_len, punct_ratio,
+    stopword_ratio, quality_score) — the classic cheap quality filters.
+    `keep_cols` are passed through untouched so downstream stages (e.g.
+    the curation funnel) never need a re-join on id."""
     t = F.col(text_col)
     w = words(t)
     n_words = F.size(w)
@@ -72,6 +76,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         F.length(t).alias("n_chars"),
         n_words.alias("n_words"),
         F.round(avg_wl, 6).alias("avg_word_len"),
