@@ -53,8 +53,10 @@ def mixture_thresholds(
     per = (df.groupBy(source_col)
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum(F.col(size_col).cast("long")).alias("n_tokens")))
-    # scalar min over the |sources|-row aggregate: broadcast cross-join of
-    # a 1-row frame (drift.py precedent), not an unpartitioned window
+    # scalar min over the |sources|-row aggregate: broadcast cross-join
+    # of a PROVABLY 1-row frame (global agg, no grouping keys) — the
+    # drift.py scalar pattern; a constant-key equi-join folds to the
+    # same BroadcastNestedLoopJoin anyway
     min_tok = per.agg(F.min("n_tokens").alias("_min_tok"))
     per = per.crossJoin(F.broadcast(min_tok))
     return (per.select(
