@@ -785,6 +785,35 @@ def _q_curation_funnel(spark, sf_dir):
     return curation_funnel(_dup_docs(spark, sf_dir))
 
 
+def _q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle -> (shard, pos) export addresses:
+    md5 order key, per-row shard assignment, ONE shuffle (the per-shard
+    sort the shard writer needs anyway).  Oracle replays the window."""
+    from json_schema_modern_spark.operators.shards import assign_shards
+
+    return assign_shards(
+        _read(spark, sf_dir, "documents").select("doc_id"), n_shards=8)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-unigram importance weights (target = lang='en' slice
+    vs the raw corpus): one B-group bucket fit + broadcast ratio join +
+    per-doc sum — the only data-sized shuffle is the doc_id group-by."""
+    from json_schema_modern_spark.operators.importance import dsir_weights
+
+    return dsir_weights(_read(spark, sf_dir, "documents"))
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic pruning: sign-LSH cluster -> min-id
+    representative -> per-row cosine prune.  O(n) scoring (broadcast
+    |buckets|-row rep table), no pairwise self-join."""
+    from json_schema_modern_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_read(spark, sf_dir, "embeddings"),
+                          n_planes=6, threshold=0.3)
+
+
 def _doc_tokens(df: DataFrame) -> DataFrame:
     """Derive a deterministic `tokens:array<int>` column from documents.text
     (token id = 32*len(word) + first-codepoint mod 32) so the token-stats
@@ -1154,9 +1183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "neardup_cosine": _q_neardup_cosine,
         "neardup_cosine_lsh": _q_neardup_cosine_lsh,
-        "media_resize_plan": _q_media_resize_plan,
-        "media_frame_samples": _q_media_frame_samples,
-        "media_features": _q_media_features,
         "events_sessionize": _q_events_sessionize,
         "streaming_validation": _q_streaming_validation,
         "streaming_dedup": _q_streaming_dedup,
@@ -1191,11 +1217,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "dedup_bloom_new": _q_dedup_bloom_new,
         "curation_funnel": _q_curation_funnel,
+        "shuffle_shards": _q_shuffle_shards,
+        "dsir_weights": _q_dsir_weights,
+        "semdedup": _q_semdedup,
         # ---- driver correctness window boundary (50 entries above) --------
         # kw_prefixitems/kw_enum/kw_const/kw_dependent* moved behind the
         # boundary: green r2 driver rows, and this round's only change
         # touching them (big-int literals / dialect gating) is covered by
         # tests/test_differential.py + test_legacy_drafts.py.
+        # media_* moved behind the boundary to make room for the three new
+        # pipeline operators: r3-green and untouched this round.
+        "media_resize_plan": _q_media_resize_plan,
+        "media_frame_samples": _q_media_frame_samples,
+        "media_features": _q_media_features,
         "kw_prefixitems": _q_kw_prefixitems,
         "kw_dependentrequired": _q_kw_dependentrequired,
         "kw_dependentschemas": _q_kw_dependentschemas,
@@ -1914,6 +1948,12 @@ FROM cum GROUP BY 1, 2, 3
     o["curation_funnel"] = curation_funnel_oracle_sql(
         "(SELECT * FROM documents UNION ALL "
         " SELECT * FROM documents WHERE doc_id % 97 = 0)")
+    from json_schema_modern_spark.operators.importance import dsir_oracle_sql
+    from json_schema_modern_spark.operators.shards import shards_oracle_sql
+
+    o["shuffle_shards"] = shards_oracle_sql("documents")
+    o["dsir_weights"] = dsir_oracle_sql("documents")
+    o["semdedup"] = _semdedup_oracle(threshold=0.3)
     o["ann_bruteforce_topk"] = _ann_oracle()
     o["ann_lsh_buckets"] = _lsh_bucket_oracle()
     o["neardup_cosine_lsh"] = _neardup_lsh_oracle()
@@ -2310,6 +2350,31 @@ def _lsh_bucket_sql_expr(vec_expr: str, n_planes: int = 6) -> str:
 def _lsh_bucket_oracle() -> str:
     return (f"SELECT {_lsh_bucket_sql_expr('embedding')} AS bucket, count(*) AS cnt "
             f"FROM embeddings GROUP BY 1")
+
+
+def _semdedup_oracle(threshold: float = 0.6) -> str:
+    """DuckDB replay of semantic_dedup: same LSH buckets, min-id
+    representative, rounded cosine, same keep rule."""
+    bexpr = _lsh_bucket_sql_expr("embedding")
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {bexpr} AS bucket
+  FROM embeddings
+), r AS (
+  SELECT bucket, min(vec_id) AS rep_id FROM b GROUP BY 1
+), s AS (
+  SELECT b.vec_id, b.bucket, r.rep_id,
+         CAST(round(
+           list_sum(list_transform(list_zip(b.e, rb.e), x -> x[1]*x[2]))
+           / (sqrt(list_sum(list_transform(b.e, x -> x*x)))
+              * sqrt(list_sum(list_transform(rb.e, x -> x*x)))), 6)
+         AS DOUBLE) AS sim
+  FROM b JOIN r USING (bucket) JOIN b rb ON rb.vec_id = r.rep_id
+)
+SELECT vec_id, bucket, rep_id, sim,
+       (vec_id = rep_id OR sim < {threshold}) AS keep
+FROM s
+"""
 
 
 def _ann_lsh_topk_oracle() -> str:

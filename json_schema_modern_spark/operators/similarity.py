@@ -398,3 +398,76 @@ def _blockpair_near_duplicates(base: DataFrame, threshold: float, n_blocks: int 
         return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "sim": s[keep]})
 
     return rep.groupBy("_pk").applyInPandas(compute, out_schema)
+
+
+def cosine_cols(a: Column, b: Column) -> Column:
+    """Per-row cosine of two array columns — zip_with + aggregate, all
+    JVM-side (same construction as `dot`, but column-column)."""
+    prod = F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return prod / (norm(a) * norm(b))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al., 2023): cluster the
+    embedding space, keep one representative per cluster, and drop every
+    other member whose cosine to the representative clears `threshold`.
+
+    The paper clusters with k-means; this implementation substitutes the
+    engine's deterministic sign-LSH buckets (`lsh_bucket_ids`) as the
+    cluster assignment so the whole pipeline — including the oracle
+    replay — is closed-form: no training pass, no RNG, identical buckets
+    in any engine.  Representative = min id per bucket (stable under
+    resume and re-ingestion).
+
+    Returns (id, bucket, rep_id, sim, keep): sim is the rounded cosine to
+    the bucket representative, keep is False exactly for the pruned rows.
+    Downstream: `df.join(out.where("keep"), id)` is the deduplicated
+    corpus; keep-rate per bucket is the paper's dedup-ratio diagnostic.
+
+    Scale design (10^12 rows): bucket assignment is per-row arithmetic
+    (no shuffle); the representative table has at most 2**n_planes rows
+    — pick n_planes ~ 20-24 at corpus scale (1-16M clusters, matching
+    the paper's k) and it is still a few-hundred-MB BROADCAST, so the
+    only data-sized exchange is the per-bucket min-id aggregate
+    (map-side combined, |buckets| groups).  The scoring pass is then a
+    broadcast equi-join + per-row cosine: embarrassingly parallel, one
+    scan, no self-join — unlike pairwise near-dup, cost is O(n), not
+    O(n * bucket_size)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        lsh_bucket_ids(F.col(vec_col), planes).alias("bucket"),
+    )
+    reps = (
+        bucketed.groupBy("bucket").agg(F.min(id_col).alias("rep_id"))
+    )
+    rep_vecs = (
+        F.broadcast(reps).join(
+            bucketed.select(F.col(id_col).alias("rep_id"),
+                            F.col("_v").alias("_rep_v")),
+            "rep_id")
+    )
+    sim = F.round(cosine_cols(F.col("_v"), F.col("_rep_v")), 6)
+    return (
+        bucketed.join(F.broadcast(rep_vecs), "bucket")
+        .select(
+            F.col(id_col),
+            "bucket",
+            "rep_id",
+            sim.alias("sim"),
+            ((F.col(id_col) == F.col("rep_id"))
+             | (sim < F.lit(threshold))).alias("keep"),
+        )
+    )

@@ -1,0 +1,181 @@
+"""Shard-shuffle export, DSIR importance weights, and SemDeDup pruning.
+
+Each operator gets a hand-computed expectation on a tiny frame plus a
+DuckDB replay of the oracle SQL over sf0.001 parquet (the driver gate's
+comparison at sf0.01, shrunk)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- shards
+
+def test_assign_shards_deterministic_and_dense(spark):
+    from json_schema_modern_spark.operators.shards import assign_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id")
+    a = {r.doc_id: (r.shard, r.pos) for r in
+         assign_shards(docs, n_shards=4).collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in
+         assign_shards(docs, n_shards=4).collect()}
+    assert a == b                       # stable across runs, no RNG
+    # positions dense 1..n per shard
+    per = {}
+    for shard, pos in a.values():
+        per.setdefault(shard, []).append(pos)
+    assert set(per) <= {0, 1, 2, 3}
+    for shard, poss in per.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_assign_shards_order_is_md5_not_input(spark):
+    """Reversing the input row order must not change any (shard, pos)."""
+    from json_schema_modern_spark.operators.shards import assign_shards
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id long")
+    rev = spark.createDataFrame(
+        [(i,) for i in reversed(range(50))], "doc_id long")
+    a = {r.doc_id: (r.shard, r.pos)
+         for r in assign_shards(docs, n_shards=3).collect()}
+    b = {r.doc_id: (r.shard, r.pos)
+         for r in assign_shards(rev, n_shards=3).collect()}
+    assert a == b
+
+
+def test_shards_oracle_parity(spark):
+    from json_schema_modern_spark.operators.shards import (
+        assign_shards, shards_oracle_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = sorted(
+        tuple(r) for r in
+        assign_shards(spark.read.parquet(path).select("doc_id"),
+                      n_shards=8).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = sorted(con.execute(shards_oracle_sql("documents")).fetchall())
+    assert got == want
+
+
+def test_shard_summary_manifest(spark):
+    from json_schema_modern_spark.operators.shards import shard_summary
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    n = docs.count()
+    rows = shard_summary(docs, n_shards=4).collect()
+    assert sum(r.n_rows for r in rows) == n
+    for r in rows:
+        assert r.max_pos == r.n_rows    # dense => manifest is seekable
+
+
+# --------------------------------------------------------------- DSIR
+
+def test_dsir_hand_case(spark):
+    """2-bucket-free hand check: target doc repeats 'aa', raw adds 'bb';
+    the target-token bucket must score above the raw-only bucket."""
+    from json_schema_modern_spark.operators.importance import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "aa aa aa", "en"), (2, "bb bb bb", "de")],
+        "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in dsir_weights(df, buckets=16).collect()}
+    assert out[1].n_terms == 3 and out[2].n_terms == 3
+    # doc 1 is pure target vocabulary -> strictly higher weight
+    assert out[1].log_weight > out[2].log_weight
+    assert out[1].avg_log_ratio > out[2].avg_log_ratio
+    # closed-form: T_tgt=3, T_raw=6, B=16; bucket(aa): n_tgt=3, n_raw=3
+    lr_aa = math.log(4 / 19) - math.log(4 / 22)
+    assert abs(out[1].log_weight - round(3 * lr_aa, 6)) < 1e-9
+
+
+def test_dsir_zero_token_docs_kept(spark):
+    from json_schema_modern_spark.operators.importance import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "12345 !!!", "de"), (3, None, "en")],
+        "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in dsir_weights(df).collect()}
+    assert set(out) == {1, 2, 3}
+    for d in (2, 3):                    # no [a-z] tokens -> neutral row
+        assert out[d].n_terms == 0
+        assert out[d].log_weight == 0.0
+        assert out[d].avg_log_ratio == 0.0
+
+
+def test_dsir_oracle_parity(spark):
+    from json_schema_modern_spark.operators.importance import (
+        dsir_oracle_sql, dsir_weights,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = sorted(
+        (r.doc_id, r.n_terms, r.log_weight, r.avg_log_ratio)
+        for r in dsir_weights(spark.read.parquet(path)).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = sorted(con.execute(dsir_oracle_sql("documents")).fetchall())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2]
+        assert abs(g[2] - w[2]) < 1e-9, (g, w)
+        assert abs(g[3] - w[3]) < 1e-9, (g, w)
+
+
+# ----------------------------------------------------------- SemDeDup
+
+def test_semdedup_hand_case(spark):
+    """Identical vectors share a bucket; the non-representative one is
+    pruned; an orthogonal vector in another bucket survives."""
+    from json_schema_modern_spark.operators.similarity import semantic_dedup
+
+    dim = 64
+    v = [1.0] + [0.0] * (dim - 1)
+    w = [-x for x in v]
+    rows = [(1, v), (2, v), (3, w)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, dim=dim, threshold=0.9).collect()}
+    assert out[1].keep and out[1].rep_id == 1 and out[1].sim == 1.0
+    assert not out[2].keep and out[2].rep_id == 1 and out[2].sim == 1.0
+    # v and -v land in complementary sign buckets -> 3 is its own rep
+    assert out[3].keep and out[3].rep_id == 3
+    assert out[1].bucket != out[3].bucket
+
+
+def test_semdedup_keep_join_is_dedup(spark):
+    """keep=True rows contain exactly one member of every pruned pair's
+    bucket-representative relation (the paper's dedup contract)."""
+    from json_schema_modern_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.3).cache()
+    # every bucket's representative is kept
+    assert out.where((F.col("vec_id") == F.col("rep_id"))
+                     & ~F.col("keep")).count() == 0
+    # pruned rows really clear the threshold against their rep
+    assert out.where(~F.col("keep") & (F.col("sim") < 0.3)).count() == 0
+    assert out.count() == emb.count()   # one verdict per row
+    out.unpersist()
+
+
+def test_semdedup_scale_shape(spark):
+    """Plan shape: no cartesian/self-join — the scoring join must be a
+    broadcast equi-join on the bucket key."""
+    from json_schema_modern_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = semantic_dedup(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

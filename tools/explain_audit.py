@@ -272,6 +272,43 @@ def main() -> None:
     check("bloom dedup: LeftAnti verification join present",
           "LeftAnti" in bl_plan)
 
+    # 16. shard shuffle: exactly one hash exchange (the per-shard sort the
+    #     shard writer needs anyway); the scan must prune text
+    from json_schema_modern_spark.operators.shards import assign_shards
+
+    sh_plan2 = explain_str(assign_shards(docs.select("doc_id"), n_shards=8))
+    n_sh_ex = sum(1 for ln in sh_plan2.splitlines()
+                  if ln.strip().startswith("Arguments: hashpartitioning"))
+    check("shards: single shard-key exchange", n_sh_ex == 1,
+          f"hash exchanges: {n_sh_ex}")
+    check("shards: text pruned from scan",
+          all("text" not in ln for ln in sh_plan2.splitlines()
+              if "ReadSchema" in ln))
+
+    # 17. DSIR: the B-row ratio table broadcasts (the token stream never
+    #     shuffles for the join); the only nested-loop node is the 1-row
+    #     totals broadcast (same scalar pattern as mixture sampling)
+    from json_schema_modern_spark.operators.importance import dsir_weights
+
+    ds_plan = explain_str(dsir_weights(docs))
+    check("dsir: ratio table broadcast-joined",
+          "BroadcastHashJoin" in ds_plan)
+    n_ds_bnlj = len(_re.findall(r"^\(\d+\) BroadcastNestedLoopJoin",
+                                ds_plan, _re.M))
+    check("dsir: no data-sized cross product",
+          "CartesianProduct" not in ds_plan and n_ds_bnlj <= 1,
+          f"nested-loop join nodes: {n_ds_bnlj} (1-row totals broadcast)")
+
+    # 18. SemDeDup: O(n) scoring — representative table broadcast-equi-
+    #     joined on the bucket key, never a pairwise self-join
+    from json_schema_modern_spark.operators.similarity import semantic_dedup
+
+    sd_plan = explain_str(semantic_dedup(emb, threshold=0.3))
+    check("semdedup: rep table broadcast-joined on bucket",
+          "BroadcastHashJoin" in sd_plan)
+    check("semdedup: no cross product / pairwise self-join",
+          no_cross(sd_plan))
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
