@@ -14,7 +14,9 @@ fixed bucket table is the trick that makes the model engine-sized: the
 
 Engine-portable construction (the DuckDB oracle replays every step):
 
-  * tokens  = lower(text) split on ``[^a-z]+`` (empty strings dropped)
+  * tokens  = text split on ``[^A-Za-z]+``, then lowercased (split
+    before lower: post-split tokens are pure ASCII, immune to engine
+    differences in Unicode special casing; empty strings dropped)
   * bucket  = first 32 bits of md5(seed || token) mod B   (same md5
     bucket as `splits.split_bucket` — never Spark's Murmur3 ``hash()``)
   * probs   = add-one smoothing: (n_b + 1) / (N + B)
@@ -55,11 +57,16 @@ def _token_bucket(tok: Column, buckets: int = BUCKETS,
 
 
 def _tokens(text_col: Column) -> Column:
-    """lower + split on non-[a-z]; Java and RE2 agree on this class, and
-    any codepoint whose lowercase form is outside [a-z] is a separator in
-    both engines, so unicode case-mapping differences cannot leak in."""
-    return F.filter(F.split(F.lower(text_col), "[^a-z]+"),
-                    lambda w: F.length(w) > 0)
+    """Split on non-[A-Za-z] FIRST, then lowercase: the surviving tokens
+    are pure ASCII letters, where every engine's lower() agrees.  The
+    reverse order (lower then split) diverges on Unicode special casing —
+    Java lowercases U+0130 'İ' to "i\\u0307" (two codepoints, the
+    combining dot splits the token) while DuckDB's utf8proc maps it to a
+    single 'i' (the token survives intact)."""
+    return F.transform(
+        F.filter(F.split(text_col, "[^A-Za-z]+"),
+                 lambda w: F.length(w) > 0),
+        F.lower)
 
 
 def dsir_weights(
@@ -142,7 +149,7 @@ WITH toks AS (
   SELECT {id_col}, ({target_sql}) AS _is_target, {bucket} AS _b
   FROM (
     SELECT {id_col}, lang,
-           unnest(regexp_split_to_array(lower({text_col}), '[^a-z]+')) AS _tok
+           lower(unnest(regexp_split_to_array({text_col}, '[^A-Za-z]+'))) AS _tok
     FROM {table})
   WHERE _tok <> ''
 ), per_bucket AS (

@@ -179,3 +179,49 @@ def test_semdedup_scale_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_shards_parity_edge_ids(spark):
+    """Negative / huge / boundary ids hash identically in both engines
+    (the md5 input is the decimal string rendering on both sides)."""
+    from json_schema_modern_spark.operators.shards import (
+        assign_shards, shards_oracle_sql,
+    )
+
+    ids = [-1, 0, 1, -(2**62), 2**62, 999999999999, -42]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = sorted(tuple(r) for r in assign_shards(df, n_shards=5).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    want = sorted(con.execute(
+        shards_oracle_sql("t", n_shards=5)).fetchall())
+    assert got == want
+
+
+def test_dsir_parity_unicode_and_empty(spark):
+    """Unicode text (case-mapped chars, CJK, combining marks), empty and
+    null strings replay identically through the DuckDB oracle."""
+    from json_schema_modern_spark.operators.importance import (
+        dsir_oracle_sql, dsir_weights,
+    )
+
+    rows = [
+        (1, "Hello WORLD Straße İstanbul", "en"),
+        (2, "你好 世界 mixedLatin123tail", "zh"),
+        (3, "", "en"),
+        (4, None, "de"),
+        (5, "ﬀ ligature K kelvin", "en"),   # U+FB00, U+212A
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = sorted(
+        (r.doc_id, r.n_terms, r.log_weight, r.avg_log_ratio)
+        for r in dsir_weights(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(con.execute(dsir_oracle_sql("documents")).fetchall())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2], (g, w)
+        assert abs(g[2] - w[2]) < 1e-9 and abs(g[3] - w[3]) < 1e-9, (g, w)
