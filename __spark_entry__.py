@@ -814,6 +814,26 @@ def _q_semdedup(spark, sf_dir):
                           n_planes=6, threshold=0.3)
 
 
+def _q_diversity_ngrams(spark, sf_dir):
+    """Cross-document distinct-2 ratio per source (Li et al. 2016) —
+    one explode into a map-side-combined gram aggregate; shuffle bounded
+    by |distinct grams|, never the token stream."""
+    from json_schema_modern_spark.operators.diversity import (
+        distinct_ngram_ratio,
+    )
+
+    return distinct_ngram_ratio(_read(spark, sf_dir, "documents"), n=2)
+
+
+def _q_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency slope per source — unigram frequency table
+    (|vocab|-bounded), deterministic tie-broken ranks, explicit
+    covar_pop/var_pop OLS so the oracle replays the same estimator."""
+    from json_schema_modern_spark.operators.diversity import zipf_slope
+
+    return zipf_slope(_read(spark, sf_dir, "documents"))
+
+
 def _doc_tokens(df: DataFrame) -> DataFrame:
     """Derive a deterministic `tokens:array<int>` column from documents.text
     (token id = 32*len(word) + first-codepoint mod 32) so the token-stats
@@ -1183,7 +1203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "neardup_cosine": _q_neardup_cosine,
         "neardup_cosine_lsh": _q_neardup_cosine_lsh,
-        "events_sessionize": _q_events_sessionize,
         "streaming_validation": _q_streaming_validation,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_window_rate": _q_streaming_window_rate,
@@ -1196,7 +1215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_segments": _q_dedup_segments,
         "stats_by_source": _q_stats_by_source,
         "unique_doc_ids": _q_unique,
-        "ref_sortmerge_salted": _q_ref_sortmerge,
         "drift_psi": _q_drift_psi,
         "drift_psi_window": _q_drift_psi_window,
         # -- kw rows touched this round (window): dialect gating, big-int
@@ -1220,16 +1238,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": _q_shuffle_shards,
         "dsir_weights": _q_dsir_weights,
         "semdedup": _q_semdedup,
+        "diversity_ngrams": _q_diversity_ngrams,
+        "zipf_slope": _q_zipf_slope,
         # ---- driver correctness window boundary (50 entries above) --------
         # kw_prefixitems/kw_enum/kw_const/kw_dependent* moved behind the
         # boundary: green r2 driver rows, and this round's only change
         # touching them (big-int literals / dialect gating) is covered by
         # tests/test_differential.py + test_legacy_drafts.py.
-        # media_* moved behind the boundary to make room for the three new
-        # pipeline operators: r3-green and untouched this round.
+        # media_*, events_sessionize, ref_sortmerge_salted moved behind the
+        # boundary to make room for the five new pipeline operators:
+        # r3-green and their modules untouched this round.
         "media_resize_plan": _q_media_resize_plan,
         "media_frame_samples": _q_media_frame_samples,
         "media_features": _q_media_features,
+        "events_sessionize": _q_events_sessionize,
+        "ref_sortmerge_salted": _q_ref_sortmerge,
         "kw_prefixitems": _q_kw_prefixitems,
         "kw_dependentrequired": _q_kw_dependentrequired,
         "kw_dependentschemas": _q_kw_dependentschemas,
@@ -1951,8 +1974,14 @@ FROM cum GROUP BY 1, 2, 3
     from json_schema_modern_spark.operators.importance import dsir_oracle_sql
     from json_schema_modern_spark.operators.shards import shards_oracle_sql
 
+    from json_schema_modern_spark.operators.diversity import (
+        distinct_ngram_oracle_sql, zipf_slope_oracle_sql,
+    )
+
     o["shuffle_shards"] = shards_oracle_sql("documents")
     o["dsir_weights"] = dsir_oracle_sql("documents")
+    o["diversity_ngrams"] = distinct_ngram_oracle_sql("documents", n=2)
+    o["zipf_slope"] = zipf_slope_oracle_sql("documents")
     o["semdedup"] = _semdedup_oracle(threshold=0.3)
     o["ann_bruteforce_topk"] = _ann_oracle()
     o["ann_lsh_buckets"] = _lsh_bucket_oracle()

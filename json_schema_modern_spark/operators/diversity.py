@@ -1,0 +1,153 @@
+"""Corpus-level diversity diagnostics: distinct-n ratio and Zipf slope.
+
+Two standard training-corpus health metrics, per source:
+
+* **distinct-n** (Li et al. 2016): |distinct n-grams| / |n-grams| over
+  the whole source, not per document — the cross-document counterpart of
+  `text.repetition_stats`.  A source whose distinct-2 ratio collapses is
+  template spam or a crawler trap even when every individual document
+  looks clean.
+* **Zipf rank-frequency slope**: OLS slope of ln(freq) on ln(rank) over
+  the source's unigram distribution.  Natural text sits near -1
+  (Zipf's law); machine-generated or boilerplate-heavy sources flatten
+  (slope → 0) or steepen past -1.5.  Slope = covar_pop(ln freq, ln rank)
+  / var_pop(ln rank) — spelled as the explicit covariance ratio in BOTH
+  engines so the oracle replays the same estimator.
+
+Tokenization matches `text.repetition_stats` (lower + split on
+``[^a-z0-9]+``; same latent Unicode-special-casing caveat recorded in
+docs/DEVIATIONS.md — the synthetic corpus is unaffected).
+
+Scale design (10^12 tokens): the n-gram/unigram frequency table is one
+explode feeding a map-side-combined hash aggregate — the shuffle carries
+O(|distinct grams| x partitions) partial rows, never the token stream.
+distinct-n's exact COUNT(DISTINCT) is a second aggregate over that same
+|distinct|-bounded table; `exact=False` swaps in a HyperLogLog sketch
+(`approx_count_distinct`) collapsing it to one pass with fixed-size
+state — the oracle uses the exact form (precedent:
+`tokens.vocab_coverage`).  The Zipf rank is a per-source window over the
+frequency TABLE (|vocab| rows, not corpus rows); vocabulary is bounded
+(~10^6-10^7 types even at web scale), so the per-source sort is a
+single small task, and `top_k` caps the fitted head anyway — the
+standard practice, since the Zipf tail below min_freq is censored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _words(text_col: Column) -> Column:
+    return F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"),
+                    lambda x: x != F.lit(""))
+
+
+def _grams(text_col: Column, n: int) -> Column:
+    """Word n-grams via zip_with over shifted slices (explode-free until
+    the caller explodes; same construction as text.repetition_stats)."""
+    w = _words(text_col)
+    grams = F.slice(w, 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    for i in range(1, n):
+        shifted = F.slice(
+            w, i + 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
+        grams = F.zip_with(grams, shifted,
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return grams
+
+
+def distinct_ngram_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    by: str = "source",
+    exact: bool = True,
+) -> DataFrame:
+    """(source, total_ngrams, distinct_ngrams, distinct_ratio) —
+    cross-document distinct-n per source."""
+    g = df.select(F.col(by),
+                  F.explode(_grams(F.col(text_col), n)).alias("_g"))
+    distinct = (F.count_distinct("_g") if exact
+                else F.approx_count_distinct("_g"))
+    return (
+        g.groupBy(by)
+         .agg(F.count(F.lit(1)).alias("total_ngrams"),
+              distinct.alias("distinct_ngrams"))
+         .select(
+             by, "total_ngrams", "distinct_ngrams",
+             F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6)
+              .alias("distinct_ratio"))
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    top_k: int = 10_000,
+) -> DataFrame:
+    """(source, n_types, n_tokens, slope) — OLS slope of ln(freq) on
+    ln(rank) over the top_k unigram ranks per source.  Rank ties break
+    on the token string so the ranking (hence the fit) is deterministic
+    in any engine."""
+    toks = df.select(F.col(by),
+                     F.explode(_words(F.col(text_col))).alias("_tok"))
+    freqs = toks.groupBy(by, "_tok").agg(F.count(F.lit(1)).alias("_freq"))
+    w = Window.partitionBy(by).orderBy(F.desc("_freq"), F.asc("_tok"))
+    ranked = (freqs.withColumn("_rank", F.row_number().over(w))
+                   .where(F.col("_rank") <= top_k))
+    lx, ly = F.log("_rank"), F.log("_freq")
+    return (
+        ranked.groupBy(by)
+              .agg(F.count(F.lit(1)).alias("n_types"),
+                   F.sum("_freq").alias("n_tokens"),
+                   F.round(F.covar_pop(ly, lx) / F.var_pop(lx), 6)
+                    .alias("slope"))
+    )
+
+
+def distinct_ngram_oracle_sql(table: str = "documents",
+                              text_col: str = "text", n: int = 2,
+                              by: str = "source") -> str:
+    gram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+WITH w AS (
+  SELECT {by}, list_filter(string_split_regex(lower({text_col}),
+         '[^a-z0-9]+'), x -> x <> '') AS ws FROM {table}
+), g AS (
+  SELECT {by},
+         unnest(list_transform(range(1, greatest(len(ws) - {n - 2}, 1)),
+                i -> {gram})) AS _g
+  FROM w
+)
+SELECT {by}, CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(DISTINCT _g) AS BIGINT) AS distinct_ngrams,
+       CAST(round(count(DISTINCT _g) * 1.0 / count(*), 6) AS DOUBLE)
+         AS distinct_ratio
+FROM g GROUP BY 1
+"""
+
+
+def zipf_slope_oracle_sql(table: str = "documents",
+                          text_col: str = "text", by: str = "source",
+                          top_k: int = 10_000) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {by},
+         unnest(list_filter(string_split_regex(lower({text_col}),
+                '[^a-z0-9]+'), x -> x <> '')) AS _tok
+  FROM {table}
+), f AS (
+  SELECT {by}, _tok, count(*) AS _freq FROM toks GROUP BY 1, 2
+), r AS (
+  SELECT {by}, _tok, _freq,
+         row_number() OVER (PARTITION BY {by}
+                            ORDER BY _freq DESC, _tok ASC) AS _rank
+  FROM f
+)
+SELECT {by}, CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(_freq) AS BIGINT) AS n_tokens,
+       CAST(round(covar_pop(ln(_freq), ln(_rank))
+                  / var_pop(ln(_rank)), 6) AS DOUBLE) AS slope
+FROM r WHERE _rank <= {top_k} GROUP BY 1
+"""

@@ -225,3 +225,65 @@ def test_dsir_parity_unicode_and_empty(spark):
     for g, w in zip(got, want):
         assert g[:2] == w[:2], (g, w)
         assert abs(g[2] - w[2]) < 1e-9 and abs(g[3] - w[3]) < 1e-9, (g, w)
+
+
+# --------------------------------------------------------- diversity
+
+def test_distinct_ngram_hand_case(spark):
+    from json_schema_modern_spark.operators.diversity import (
+        distinct_ngram_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x y x y x"),      # bigrams: xy yx xy yx -> 4 total 2 distinct
+         ("a", "x y"),            # bigram xy -> dup of the corpus gram
+         ("b", "p q r")],         # pq qr -> all distinct
+        "source string, text string")
+    out = {r.source: r for r in distinct_ngram_ratio(df, n=2).collect()}
+    assert (out["a"].total_ngrams, out["a"].distinct_ngrams) == (5, 2)
+    assert out["a"].distinct_ratio == 0.4
+    assert (out["b"].total_ngrams, out["b"].distinct_ngrams) == (2, 2)
+    assert out["b"].distinct_ratio == 1.0
+
+
+def test_zipf_slope_on_exact_power_law(spark):
+    """Frequencies freq(r) = round(1000 / r) follow Zipf with slope -1;
+    the OLS fit over ln-ln must recover ~-1."""
+    from json_schema_modern_spark.operators.diversity import zipf_slope
+
+    rows = []
+    for r in range(1, 21):
+        tok = f"w{r:02d}"
+        rows.extend(("s", tok) for _ in range(round(1000 / r)))
+    df = spark.createDataFrame(
+        [("s", " ".join(t for _, t in rows)) ],
+        "source string, text string")
+    out = zipf_slope(df).collect()[0]
+    assert out.n_types == 20
+    assert -1.05 < out.slope < -0.95, out.slope
+
+
+def test_diversity_oracle_parity(spark):
+    from json_schema_modern_spark.operators.diversity import (
+        distinct_ngram_oracle_sql, distinct_ngram_ratio,
+        zipf_slope, zipf_slope_oracle_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    docs = spark.read.parquet(path)
+
+    got = sorted(tuple(r) for r in distinct_ngram_ratio(docs, n=3).collect())
+    want = sorted(con.execute(
+        distinct_ngram_oracle_sql("documents", n=3)).fetchall())
+    assert got == want
+
+    got = sorted(tuple(r) for r in zipf_slope(docs, top_k=50).collect())
+    want = sorted(con.execute(
+        zipf_slope_oracle_sql("documents", top_k=50)).fetchall())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert abs(g[3] - w[3]) < 1e-9, (g, w)

@@ -309,6 +309,20 @@ def main() -> None:
     check("semdedup: no cross product / pairwise self-join",
           no_cross(sd_plan))
 
+    # 19. diversity: gram/unigram aggregates partial-combine before the
+    #     shuffle (volume O(|distinct| x partitions), never the stream)
+    from json_schema_modern_spark.operators.diversity import (
+        distinct_ngram_ratio, zipf_slope,
+    )
+
+    dv_plan = explain_str(distinct_ngram_ratio(docs, n=2))
+    check("diversity: partial agg before shuffle",
+          "HashAggregate" in dv_plan and "Exchange" in dv_plan)
+    zf_plan = explain_str(zipf_slope(docs))
+    check("zipf: freq table partial-aggregates before shuffle",
+          "HashAggregate" in zf_plan and "Exchange" in zf_plan)
+    check("zipf: no cross product", no_cross(zf_plan))
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
