@@ -14,9 +14,10 @@ Two standard training-corpus health metrics, per source:
   / var_pop(ln rank) — spelled as the explicit covariance ratio in BOTH
   engines so the oracle replays the same estimator.
 
-Tokenization matches `text.repetition_stats` (lower + split on
-``[^a-z0-9]+``; same latent Unicode-special-casing caveat recorded in
-docs/DEVIATIONS.md — the synthetic corpus is unaffected).
+Tokenization is the engine-portable `text.portable_words` form (split on
+``[^A-Za-z0-9]+`` FIRST, then lowercase) — immune to the
+Unicode-special-casing divergence recorded in docs/DEVIATIONS.md, unlike
+the legacy lower-then-split tokenizers whose oracle hashes predate it.
 
 Scale design (10^12 tokens): the n-gram/unigram frequency table is one
 explode feeding a map-side-combined hash aggregate — the shuffle carries
@@ -39,8 +40,9 @@ from pyspark.sql import functions as F
 
 
 def _words(text_col: Column) -> Column:
-    return F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"),
-                    lambda x: x != F.lit(""))
+    from .text import portable_words
+
+    return portable_words(text_col, digits=True)
 
 
 def _grams(text_col: Column, n: int) -> Column:
@@ -86,10 +88,15 @@ def zipf_slope(
     by: str = "source",
     top_k: int = 10_000,
 ) -> DataFrame:
-    """(source, n_types, n_tokens, slope) — OLS slope of ln(freq) on
+    """(source, n_types, head_tokens, slope) — OLS slope of ln(freq) on
     ln(rank) over the top_k unigram ranks per source.  Rank ties break
     on the token string so the ranking (hence the fit) is deterministic
-    in any engine."""
+    in any engine.  head_tokens counts tokens in the FITTED head only
+    (censored at top_k), not the source total — `tokens.oov_stats` /
+    `stats_by_source` carry corpus totals.  A degenerate head with one
+    distinct rank (var = 0) yields NULL slope in both engines — guarded
+    explicitly, since unguarded 0/0 is NULL on some DuckDB versions and
+    NaN on others."""
     toks = df.select(F.col(by),
                      F.explode(_words(F.col(text_col))).alias("_tok"))
     freqs = toks.groupBy(by, "_tok").agg(F.count(F.lit(1)).alias("_freq"))
@@ -100,8 +107,9 @@ def zipf_slope(
     return (
         ranked.groupBy(by)
               .agg(F.count(F.lit(1)).alias("n_types"),
-                   F.sum("_freq").alias("n_tokens"),
-                   F.round(F.covar_pop(ly, lx) / F.var_pop(lx), 6)
+                   F.sum("_freq").alias("head_tokens"),
+                   F.when(F.var_pop(lx) > 0,
+                          F.round(F.covar_pop(ly, lx) / F.var_pop(lx), 6))
                     .alias("slope"))
     )
 
@@ -112,8 +120,10 @@ def distinct_ngram_oracle_sql(table: str = "documents",
     gram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
     return f"""
 WITH w AS (
-  SELECT {by}, list_filter(string_split_regex(lower({text_col}),
-         '[^a-z0-9]+'), x -> x <> '') AS ws FROM {table}
+  SELECT {by},
+         list_transform(list_filter(string_split_regex({text_col},
+             '[^A-Za-z0-9]+'), x -> x <> ''), x -> lower(x)) AS ws
+  FROM {table}
 ), g AS (
   SELECT {by},
          unnest(list_transform(range(1, greatest(len(ws) - {n - 2}, 1)),
@@ -134,8 +144,8 @@ def zipf_slope_oracle_sql(table: str = "documents",
     return f"""
 WITH toks AS (
   SELECT {by},
-         unnest(list_filter(string_split_regex(lower({text_col}),
-                '[^a-z0-9]+'), x -> x <> '')) AS _tok
+         lower(unnest(list_filter(string_split_regex({text_col},
+               '[^A-Za-z0-9]+'), x -> x <> ''))) AS _tok
   FROM {table}
 ), f AS (
   SELECT {by}, _tok, count(*) AS _freq FROM toks GROUP BY 1, 2
@@ -146,8 +156,10 @@ WITH toks AS (
   FROM f
 )
 SELECT {by}, CAST(count(*) AS BIGINT) AS n_types,
-       CAST(sum(_freq) AS BIGINT) AS n_tokens,
-       CAST(round(covar_pop(ln(_freq), ln(_rank))
-                  / var_pop(ln(_rank)), 6) AS DOUBLE) AS slope
+       CAST(sum(_freq) AS BIGINT) AS head_tokens,
+       CASE WHEN var_pop(ln(_rank)) > 0
+            THEN CAST(round(covar_pop(ln(_freq), ln(_rank))
+                            / var_pop(ln(_rank)), 6) AS DOUBLE)
+       END AS slope
 FROM r WHERE _rank <= {top_k} GROUP BY 1
 """

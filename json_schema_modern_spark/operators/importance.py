@@ -58,15 +58,11 @@ def _token_bucket(tok: Column, buckets: int = BUCKETS,
 
 def _tokens(text_col: Column) -> Column:
     """Split on non-[A-Za-z] FIRST, then lowercase: the surviving tokens
-    are pure ASCII letters, where every engine's lower() agrees.  The
-    reverse order (lower then split) diverges on Unicode special casing —
-    Java lowercases U+0130 'İ' to "i\\u0307" (two codepoints, the
-    combining dot splits the token) while DuckDB's utf8proc maps it to a
-    single 'i' (the token survives intact)."""
-    return F.transform(
-        F.filter(F.split(text_col, "[^A-Za-z]+"),
-                 lambda w: F.length(w) > 0),
-        F.lower)
+    are pure ASCII letters, where every engine's lower() agrees (the
+    shared immune construction — see text.portable_words)."""
+    from .text import portable_words
+
+    return portable_words(text_col, digits=False)
 
 
 def dsir_weights(

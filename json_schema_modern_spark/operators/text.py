@@ -32,6 +32,20 @@ def words(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def portable_words(text: Column, digits: bool = True) -> Column:
+    """Engine-portable word tokenizer: split on non-alphanumerics FIRST,
+    then lowercase the pure-ASCII tokens.  Immune to the Unicode
+    special-casing divergence recorded in docs/DEVIATIONS.md (Java's
+    lower() maps U+0130 'İ' to two codepoints, DuckDB's utf8proc to one,
+    so lower-then-split tokenizes differently between engines).  New
+    operators should use this form; the older lower-then-split
+    tokenizers above keep their long-green oracle hashes."""
+    cls = "[^A-Za-z0-9]+" if digits else "[^A-Za-z]+"
+    return F.transform(
+        F.filter(F.split(text, cls), lambda w: F.length(w) > 0),
+        F.lower)
+
+
 def token_count(text: Column) -> Column:
     """BPE-ish token count (regex pre-tokenization)."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))

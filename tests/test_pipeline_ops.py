@@ -263,6 +263,19 @@ def test_zipf_slope_on_exact_power_law(spark):
     assert -1.05 < out.slope < -0.95, out.slope
 
 
+def test_zipf_degenerate_head_is_null(spark):
+    """A source whose head has one distinct rank (var = 0) yields NULL
+    slope — guarded identically in Spark and the oracle, since raw 0/0
+    is NULL or NaN depending on the DuckDB version."""
+    from json_schema_modern_spark.operators.diversity import zipf_slope
+
+    df = spark.createDataFrame(
+        [("solo", "same same same")], "source string, text string")
+    out = zipf_slope(df).collect()[0]
+    assert out.n_types == 1 and out.head_tokens == 3
+    assert out.slope is None
+
+
 def test_diversity_oracle_parity(spark):
     from json_schema_modern_spark.operators.diversity import (
         distinct_ngram_oracle_sql, distinct_ngram_ratio,

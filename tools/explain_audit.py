@@ -315,12 +315,26 @@ def main() -> None:
         distinct_ngram_ratio, zipf_slope,
     )
 
+    def partial_then_exchange(plan: str) -> bool:
+        """Formatted explain prints the tree final-first, so map-side
+        combine shows as HashAggregate above an Exchange above another
+        HashAggregate (final <- shuffle <- partial)."""
+        kinds = [k for ln in plan.splitlines()
+                 for k in ("HashAggregate", "Exchange")
+                 if k in ln and ln.strip().startswith(("+-", ":", "*(", "Hash", "Exch"))]
+        for i in range(len(kinds) - 2):
+            if kinds[i] == "HashAggregate" and kinds[i + 1] == "Exchange" \
+                    and kinds[i + 2] == "HashAggregate":
+                return True
+        return False
+
     dv_plan = explain_str(distinct_ngram_ratio(docs, n=2))
-    check("diversity: partial agg before shuffle",
-          "HashAggregate" in dv_plan and "Exchange" in dv_plan)
+    check("diversity: map-side combine (HashAgg -> Exchange -> HashAgg)",
+          partial_then_exchange(dv_plan))
+    check("diversity: no cross product", no_cross(dv_plan))
     zf_plan = explain_str(zipf_slope(docs))
-    check("zipf: freq table partial-aggregates before shuffle",
-          "HashAggregate" in zf_plan and "Exchange" in zf_plan)
+    check("zipf: map-side combine (HashAgg -> Exchange -> HashAgg)",
+          partial_then_exchange(zf_plan))
     check("zipf: no cross product", no_cross(zf_plan))
 
     print()
