@@ -41,6 +41,18 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _src_stamp(sf_dir: str, name: str) -> int:
+    """Cache key for derived bench inputs: source parquet's mtime (s), so
+    a regenerated dataset under the same directory name invalidates the
+    derived /tmp tables instead of silently serving stale rows."""
+    import os
+
+    try:
+        return int(os.path.getmtime(f"{sf_dir}/{name}.parquet"))
+    except OSError:
+        return 0
+
+
 def _validate(spark, sf_dir, table, spec, id_cols) -> DataFrame:
     from json_schema_modern_spark import Validator
 
@@ -229,8 +241,10 @@ def _attrs_map(spark, sf_dir):
     import os
     import tempfile
 
-    cache = os.path.join(tempfile.gettempdir(), "spark_graft_bench",
-                         f"attrs_{os.path.basename(sf_dir.rstrip('/'))}")
+    cache = os.path.join(
+        tempfile.gettempdir(), "spark_graft_bench",
+        f"attrs_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_src_stamp(sf_dir, 'events')}")
     if os.path.exists(os.path.join(cache, "_SUCCESS")):
         return spark.read.parquet(cache)
     ev = _read(spark, sf_dir, "events")
@@ -1011,8 +1025,10 @@ def _json_payload_table(spark, sf_dir):
     import os
     import tempfile
 
-    cache = os.path.join(tempfile.gettempdir(), "spark_graft_bench",
-                         f"jsondocs_{os.path.basename(sf_dir.rstrip('/'))}")
+    cache = os.path.join(
+        tempfile.gettempdir(), "spark_graft_bench",
+        f"jsondocs_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_src_stamp(sf_dir, 'events')}")
     if os.path.exists(os.path.join(cache, "_SUCCESS")):
         return spark.read.parquet(cache)
     ev = _read(spark, sf_dir, "events")
@@ -1951,7 +1967,8 @@ FROM cum GROUP BY 1, 2, 3
     o["sample_stratified"] = (
         f"WITH d AS (SELECT * FROM {_ntok_docs}), "
         "per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens "
-        "        FROM d GROUP BY 1), "
+        "        FROM d GROUP BY 1 "
+        "        HAVING CAST(sum(n_tok) AS BIGINT) > 0), "
         "m AS (SELECT min(n_tokens) AS min_tok FROM per), "
         "th AS (SELECT source, (10000 * (SELECT min_tok FROM m)) // n_tokens "
         "       AS keep_threshold FROM per) "

@@ -1098,17 +1098,27 @@ class ColumnCompiler:
         if "dependentSchemas" in schema and applies("dependentSchemas") \
                 and (self.dialect in ("2019-09", "2020-12")
                      or self._deps_dispatch):
-            for prop, s in schema["dependentSchemas"].items():
-                pt = t.get_property(prop)
-                if pt is None:
-                    continue
-                _amark = len(self.ctx.annotations)
-                child = sub("dependentSchemas", s, t, suffix=f"/{json_pointer_escape(prop)}")
-                self._gate_annotations(_amark, pt.present)
-                ok = F.when(pt.present, child.ok).otherwise(F.lit(True))
-                gated = [F.when(pt.present, v).otherwise(_empty_viols()) for v in child.viols]
-                add(Compiled(ok=ok, viols=gated))
-                adopt(child, pt.present & child.ok)
+            # the dispatch flag authorizes THIS synthetic node only: a
+            # literal dependent* keyword nested inside a draft4-7
+            # `dependencies` subschema is unknown in that dialect and must
+            # NOT inherit the dispatch (the reference compiles the nested
+            # subschema under the document's own dialect)
+            _dispatch = self._deps_dispatch
+            self._deps_dispatch = False
+            try:
+                for prop, s in schema["dependentSchemas"].items():
+                    pt = t.get_property(prop)
+                    if pt is None:
+                        continue
+                    _amark = len(self.ctx.annotations)
+                    child = sub("dependentSchemas", s, t, suffix=f"/{json_pointer_escape(prop)}")
+                    self._gate_annotations(_amark, pt.present)
+                    ok = F.when(pt.present, child.ok).otherwise(F.lit(True))
+                    gated = [F.when(pt.present, v).otherwise(_empty_viols()) for v in child.viols]
+                    add(Compiled(ok=ok, viols=gated))
+                    adopt(child, pt.present & child.ok)
+            finally:
+                self._deps_dispatch = _dispatch
 
         # draft4-7 keyword; 2019-09+ ignore it (replaced by dependent*)
         if "dependencies" in schema and applies("dependencies") \

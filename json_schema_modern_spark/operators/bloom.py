@@ -71,7 +71,9 @@ def build_bloom(fingerprints: DataFrame, fp_col: str,
         seen = False
         for pdf in it:
             for h in pdf[fp_col]:
-                seen = True
+                if not isinstance(h, str):   # md5(NULL text) -> NULL fp:
+                    continue                 # NULL never equi-joins, so it
+                seen = True                  # has no bits to contribute
                 for pos in _bit_positions(h, m_bits, k):
                     bm[pos >> 3] |= 1 << (pos & 7)
         if seen:
@@ -94,6 +96,11 @@ def bloom_hits(fp_col, bitmap: bytes, m_bits: int, k: int):
     def might_contain(fps: pd.Series) -> pd.Series:
         out = np.empty(len(fps), dtype=bool)
         for i, h in enumerate(fps):
+            if not isinstance(h, str):
+                # NULL fingerprint: never matches in the exact anti-join
+                # either, so report a definite miss (row stays "new")
+                out[i] = False
+                continue
             hit = True
             for pos in _bit_positions(h, m_bits, k):
                 if not (bm[pos >> 3] >> (pos & 7)) & 1:

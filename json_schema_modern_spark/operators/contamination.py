@@ -75,11 +75,12 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
     )
     # _gs is never null (when/otherwise yields []), but guard size() anyway:
-    # an unguarded size(NULL) is -1/NULL depending on conf and would corrupt
-    # the rate denominator for null-text rows.
+    # unguarded size(NULL) is NULL under ANSI and -1 under legacy
+    # sizeOfNull (which coalesce would pass through into the denominator)
     total = with_grams.select(
         F.col(id_col),
-        F.coalesce(F.size("_gs"), F.lit(0)).alias("total_ngrams"))
+        F.when(F.col("_gs").isNull(), F.lit(0))
+         .otherwise(F.size("_gs")).alias("total_ngrams"))
     return (
         total.join(hits, id_col, "left")
         .select(

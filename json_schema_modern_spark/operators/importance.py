@@ -142,9 +142,11 @@ def dsir_oracle_sql(table: str = "documents", text_col: str = "text",
               f"AS BIGINT) % {buckets}")
     return f"""
 WITH toks AS (
-  SELECT {id_col}, ({target_sql}) AS _is_target, {bucket} AS _b
+  SELECT {id_col}, _is_target, {bucket} AS _b
   FROM (
-    SELECT {id_col}, lang,
+    -- evaluate the target predicate HERE, where every table column is
+    -- in scope (the outer level projects only id/flag/token)
+    SELECT {id_col}, ({target_sql}) AS _is_target,
            lower(unnest(regexp_split_to_array({text_col}, '[^A-Za-z]+'))) AS _tok
     FROM {table})
   WHERE _tok <> ''

@@ -57,6 +57,12 @@ def mixture_thresholds(
     # of a PROVABLY 1-row frame (global agg, no grouping keys) — the
     # drift.py scalar pattern; a constant-key equi-join folds to the
     # same BroadcastNestedLoopJoin anyway
+    # a source with zero (or all-NULL) tokens has no defined share: it
+    # would divide-by-zero in `div n_tokens` (a hard error under ANSI and
+    # in the oracle) and, as the min, zero every OTHER source's
+    # threshold.  It contributes nothing to sample — drop it here, which
+    # also drops its docs at stratified_sample's inner threshold join.
+    per = per.where(F.col("n_tokens") > 0)
     min_tok = per.agg(F.min("n_tokens").alias("_min_tok"))
     per = per.crossJoin(F.broadcast(min_tok))
     return (per.select(
@@ -94,6 +100,7 @@ WITH per AS (
   SELECT {source_col}, count(*) AS n_docs,
          CAST(sum({size_expr}) AS BIGINT) AS n_tokens
   FROM {table_expr} GROUP BY 1
+  HAVING CAST(sum({size_expr}) AS BIGINT) > 0
 ), m AS (SELECT min(n_tokens) AS min_tok FROM per)
 SELECT {source_col}, n_docs, n_tokens,
        ({buckets} * (SELECT min_tok FROM m)) // n_tokens AS keep_threshold,

@@ -209,10 +209,16 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
         if len(keep) == 0:
             return pd.Series(out)
         kl = lens[keep]
-        big = ("\x00" * k).join(s.to_numpy()[keep])
+        # separator width: a doc with g < w grams reads ONE window of w
+        # positions starting at its first gram, so the masked gap after it
+        # (sep_len + k - 1 positions) must cover w - 1, or the window
+        # would reach the NEXT document's gram hashes -> sep_len >= w - k
+        # (k suffices for the default w <= 2k - 1)
+        sep_len = max(k, w - k)
+        big = ("\x00" * sep_len).join(s.to_numpy()[keep])
         codes = np.frombuffer(big.encode("latin-1"), dtype=np.uint8).astype(np.int64)
         hs = sliding_window_view(codes, k) @ weights
-        starts = np.concatenate(([0], np.cumsum(kl[:-1] + k)))
+        starts = np.concatenate(([0], np.cumsum(kl[:-1] + sep_len)))
         g = kl - k + 1                       # gram count per kept doc
         # mask separator-spanning gram positions, then pad so every doc's
         # single-window case (g < w) reads a full width-w window of MAXes
@@ -268,9 +274,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
             w, i + 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
         grams = F.zip_with(grams, shifted,
                            lambda a, b: F.concat(a, F.lit(" "), b))
-    # null text ⇒ null word array ⇒ size() would be NULL/-1; report 0 grams
-    n_grams = F.coalesce(F.size(grams), F.lit(0))
-    n_distinct = F.coalesce(F.size(F.array_distinct(grams)), F.lit(0))
+    # null text ⇒ null word array ⇒ size() is NULL under ANSI but -1
+    # under legacy sizeOfNull (coalesce would pass the -1); gate on
+    # isNull() so null rows report 0 grams under either config
+    n_grams = F.when(grams.isNull(), F.lit(0)).otherwise(F.size(grams))
+    n_distinct = F.when(grams.isNull(), F.lit(0)) \
+        .otherwise(F.size(F.array_distinct(grams)))
     dup = F.when(n_grams > 0,
                  F.round(F.lit(1.0) - n_distinct / n_grams, 6)) \
         .otherwise(F.lit(0.0))

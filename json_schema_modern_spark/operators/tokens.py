@@ -45,14 +45,17 @@ def oov_stats(
     (documented oracle-parity convention)."""
     toks = F.col(tokens_col)
     oov = F.size(F.filter(toks, lambda t: (t < F.lit(0)) | (t >= F.lit(vocab_size))))
-    # F.size(NULL) is -1, not NULL: a null tokens row would silently
-    # SUBTRACT from the aggregate.  Coalesce the sizes to 0 so null rows
-    # contribute nothing (the DuckDB oracle's len(NULL)=NULL is dropped by
-    # SUM the same way).
+    # size(NULL) is NULL under ANSI (this engine's default) but -1 under
+    # spark.sql.legacy.sizeOfNull — coalesce() would pass the -1 straight
+    # into SUM, so gate on isNull() explicitly: null rows contribute 0
+    # under EITHER config (the DuckDB oracle's len(NULL)=NULL is dropped
+    # by SUM the same way).
     return (
         df.select(F.col(group_col).alias("grp"),
-                  F.coalesce(F.size(toks), F.lit(0)).alias("_n"),
-                  F.coalesce(oov, F.lit(0)).alias("_oov"))
+                  F.when(toks.isNull(), F.lit(0))
+                   .otherwise(F.size(toks)).alias("_n"),
+                  F.when(toks.isNull(), F.lit(0))
+                   .otherwise(oov).alias("_oov"))
         .groupBy("grp")
         .agg(F.sum("_n").alias("n_tokens"), F.sum("_oov").alias("n_oov"))
         .select(

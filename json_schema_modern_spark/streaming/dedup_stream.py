@@ -99,9 +99,16 @@ def dedup_stream_ttl(
       keys seen within roughly one TTL — the property that makes this
       safe at 10^12 lifetime fingerprints where the exact variant is not.
 
-    Output: (fp, keep_id, n_docs, window_start_ms) — one row per
-    (fingerprint, TTL window), ``window_start_ms`` = first occurrence's
-    timestamp in that window."""
+    Output: (fp, keep_id, n_docs, window_start_ms) — ONE immutable row
+    per (fingerprint, TTL window), emitted when the window OPENS (append
+    mode; the keep/suppress decision must not wait a TTL):
+    ``window_start_ms`` = min timestamp and ``n_docs`` = occurrence count
+    *in the window-opening micro-batch*.  Later within-window occurrences
+    are suppressed; their count and latest timestamp live in the state
+    row (driving the gap rule) but are NOT re-emitted — an appended row
+    is immutable, and the timeout eviction that bounds memory discards
+    the tally with the state.  A consumer needing exact per-window totals
+    runs the batch operator over the closed window instead."""
     import pandas as pd  # noqa: F401 (worker-side import)
 
     out_schema = StructType.fromDDL(
@@ -115,13 +122,15 @@ def dedup_stream_ttl(
             # idle past the TTL: evict — the physical memory bound
             state.remove()
             return iter(())
-        batch_n, batch_min, batch_max_ts = 0, None, None
+        batch_n, batch_min, batch_min_ts, batch_max_ts = 0, None, None, None
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
             batch_n += len(pdf)
             m = int(pdf[id_col].min())
             batch_min = m if batch_min is None else min(batch_min, m)
+            lt = int(pdf[ts_col].min())
+            batch_min_ts = lt if batch_min_ts is None else min(batch_min_ts, lt)
             mt = int(pdf[ts_col].max())
             batch_max_ts = mt if batch_max_ts is None else max(batch_max_ts, mt)
         fresh = not state.exists
@@ -138,7 +147,7 @@ def dedup_stream_ttl(
         state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"fp": [key[0]], "keep_id": [batch_min],
                             "n_docs": [batch_n],
-                            "window_start_ms": [batch_max_ts]})
+                            "window_start_ms": [batch_min_ts]})
 
     keyed = stream_df.select(
         _fingerprint(text_col).alias("fp"),

@@ -285,3 +285,24 @@ def test_draft7_ref_masks_siblings(spark):
                                              "minimum": 100}}})
     bad = {r.v for r in modern.validate(df, id_cols=["v"]).violations.collect()}
     assert bad == {5}                              # sibling minimum applies
+
+
+def test_nested_dependent_kw_not_enforced_in_draft7(spark):
+    """A literal dependentRequired nested INSIDE a draft-7 `dependencies`
+    subschema is an unknown keyword in draft 7 and must stay inert: the
+    dispatch that lets the synthesized dependent* through the dialect
+    gate authorizes only the synthetic node, not its children."""
+    spec = {"$schema": D7, "type": "object",
+            "dependencies": {"a": {"dependentRequired": {"b": ["c"]}}}}
+    v = Validator(spec)
+    # a and b present, c absent: draft 7 ignores the nested keyword
+    df = spark.createDataFrame([(1, 2, None)],
+                               "a bigint, b bigint, c bigint")
+    res = v.validate(df, id_cols=[])
+    assert res.flag() is True, \
+        [tuple(r) for r in res.violations.collect()]
+    # same spec under 2019-09: the nested keyword is real and fires
+    spec19 = dict(spec, **{"$schema": D2019})
+    spec19["dependentSchemas"] = spec19.pop("dependencies")
+    res19 = Validator(spec19).validate(df, id_cols=[])
+    assert res19.flag() is False

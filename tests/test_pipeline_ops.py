@@ -300,3 +300,38 @@ def test_diversity_oracle_parity(spark):
     for g, w in zip(got, want):
         assert g[:3] == w[:3]
         assert abs(g[3] - w[3]) < 1e-9, (g, w)
+
+
+# ------------------------------------------------- winnowing regression
+
+def test_winnowing_wide_window_no_cross_doc_spill(spark):
+    """w > doc_len + k: a short document's single window must read only
+    its own (masked-padded) positions, never the neighbor's gram hashes.
+    Regression: the vectorized batch used a fixed k-wide separator, so
+    'zzzz' with k=4, w=16 stole a fingerprint from the next document."""
+    from json_schema_modern_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "zzzz"), (2, "short doc")], "doc_id long, text string")
+    got = {r.doc_id: sorted(r.prints)
+           for r in winnowing_fingerprints(df, k=4, w=16).collect()}
+
+    def ref(text, k, w):
+        import re
+        s = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9]+", " ", text.lower())).strip()
+        if len(s) < k:
+            return []
+        hs = [sum(ord(c) << (7 * (k - 1 - j)) for j, c in enumerate(s[i:i + k]))
+              for i in range(len(s) - k + 1)]
+        if len(hs) < w:
+            return sorted(set([min(hs)]))
+        return sorted({min(hs[i:i + w]) for i in range(len(hs) - w + 1)})
+
+    assert got[1] == ref("zzzz", 4, 16)
+    assert got[2] == ref("short doc", 4, 16)
+    # default params unchanged (oracle-hash compatibility)
+    got8 = {r.doc_id: sorted(r.prints)
+            for r in winnowing_fingerprints(df).collect()}
+    assert got8[2] == ref("short doc", 8, 4)

@@ -90,3 +90,27 @@ def test_ttl_dedup_window_expiry(spark, tmp_path):
     assert (3, 1, 0) in got          # alpha window 1
     assert not any(k == 8 for k, _, _ in got), "within-ttl dup re-emitted"
     assert len(got) == 3
+
+
+def test_ttl_dedup_window_start_is_first_occurrence(spark, tmp_path):
+    """An opening batch with mixed timestamps must report the MIN ts as
+    window_start_ms (the first occurrence), and keep_id = min doc id —
+    regression: the opening batch's max ts was emitted instead."""
+    from json_schema_modern_spark.streaming.dedup_stream import dedup_stream_ttl
+
+    src = tmp_path / "ttl_src2"
+    schema = "doc_id bigint, text string, ts bigint"
+    spark.createDataFrame(
+        [(7, "mixed ts doc", 4_000), (4, "Mixed  TS  doc!", 1_000)],
+        schema).coalesce(1).write.parquet(str(src / "a"))
+    q = (dedup_stream_ttl(
+            spark.readStream.schema(schema).parquet(str(src / "*")),
+            ttl_ms=60_000)
+         .writeStream.format("memory").queryName("dedup_ttl2")
+         .option("checkpointLocation", str(tmp_path / "ttl_ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("dedup_ttl2").collect()
+    assert len(rows) == 1
+    assert (rows[0].keep_id, rows[0].n_docs, rows[0].window_start_ms) \
+        == (4, 2, 1_000)
