@@ -747,7 +747,8 @@ def _q_pack_sequences(spark, sf_dir):
     from json_schema_modern_spark.operators.packing import pack_next_fit
 
     docs = _doc_tokens(_read(spark, sf_dir, "documents")) \
-        .withColumn("n_tok", F.size("tokens").cast("long"))
+        .withColumn("n_tok", F.when(F.col("tokens").isNull(), F.lit(0))
+                    .otherwise(F.size("tokens")).cast("long"))
     return pack_next_fit(docs, capacity=256)
 
 
@@ -758,7 +759,8 @@ def _q_mix_weights(spark, sf_dir):
     from json_schema_modern_spark.operators.mixing import mixture_thresholds
 
     docs = _doc_tokens(_read(spark, sf_dir, "documents")) \
-        .withColumn("n_tok", F.size("tokens").cast("long"))
+        .withColumn("n_tok", F.when(F.col("tokens").isNull(), F.lit(0))
+                    .otherwise(F.size("tokens")).cast("long"))
     return mixture_thresholds(docs)
 
 
@@ -1957,7 +1959,8 @@ FROM cum GROUP BY 1, 2, 3
         mixture_thresholds_oracle_sql,
     )
 
-    _ntok_docs = (f"(SELECT source, doc_id, CAST(length({_tok_expr}) AS BIGINT)"
+    _ntok_docs = (f"(SELECT source, doc_id, "
+                  f"COALESCE(CAST(length({_tok_expr}) AS BIGINT), 0)"
                   " AS n_tok FROM documents)")
     o["pack_sequences"] = pack_next_fit_oracle_sql(_ntok_docs, capacity=256)
     o["mix_weights"] = mixture_thresholds_oracle_sql(

@@ -142,21 +142,24 @@ def psi_drift(
     p = (F.col("cnt") + F.lit(0.5)) / (F.col("n_grp") + F.lit(0.5) * F.col("n_buckets_seen"))
     q = (F.col("gcnt") + F.lit(0.5)) / (F.col("n_glob") + F.lit(0.5) * F.col("n_buckets_seen"))
     term = (p - q) * F.log(p / q)
-    # cumulative window in bucket order, then take the last row: the
-    # double summation happens in a DETERMINISTIC sequential order (a
-    # plain groupBy-sum would add in shuffle-arrival order, and float
-    # addition isn't associative — the oracle hash would wobble)
-    wnd = Window.partitionBy("grp").orderBy("bucket") \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
+    # fold the per-bucket terms in DETERMINISTIC bucket order inside ONE
+    # aggregation (a plain groupBy-sum would add in shuffle-arrival order,
+    # and float addition isn't associative — the oracle hash would wobble;
+    # the previous Window cumulative-sum achieved the same order at the
+    # cost of an extra shuffle + sort — collect_list/array_sort/aggregate
+    # folds the ≤ B+2 terms per group inside the existing agg instead)
+    stats = (
         full.join(F.broadcast(totals), "grp")
         .crossJoin(F.broadcast(n_global))
         .crossJoin(F.broadcast(nb))
-        .select("grp", "bucket", "n_grp", "n_glob",
-                F.sum(term).over(wnd).alias("cpsi"))
+        .select("grp", "bucket", "n_grp", "n_glob", term.alias("term"))
+        .groupBy("grp", "n_grp", "n_glob")
+        .agg(F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("psi"))
     )
-    stats = cum.groupBy("grp", "n_grp", "n_glob").agg(
-        F.max_by("cpsi", "bucket").alias("psi"))
     return stats.select(
         F.col("grp").alias(group_col),
         F.col("n_grp").alias("n_group"),
@@ -172,15 +175,28 @@ def ks_drift_pandas(
     group_col: str,
     reference: list[float] | None = None,
     alpha: float = 0.01,
+    max_sample: int = 1_000_000,
 ) -> DataFrame:
     """applyInPandas KS per group against a broadcast reference sample.
 
-    reference=None ⇒ compare against the pooled sample collected per batch
-    group... at scale callers pass an explicit (downsampled) reference —
-    the broadcast ECDF design from SURVEY.md §2.8."""
+    reference=None ⇒ compare against a pooled sample — but ONLY for
+    bounded inputs: the sample is collected driver-side, so (mirroring
+    ``ivf_centroids``' max_sample guard) the input row count is checked
+    first and the call fails fast when it exceeds ``max_sample``, telling
+    the caller to pass an explicit downsampled ``reference`` instead of
+    silently collecting 100k rows out of a 10^12-row table.  At scale
+    callers always pass an explicit reference — the broadcast ECDF design
+    from SURVEY.md §2.8."""
     import numpy as np
 
     if reference is None:
+        n_in = df.count()
+        if n_in > max_sample:
+            raise ValueError(
+                f"ks_drift_pandas: reference=None collects a driver-side "
+                f"sample, but the input has {n_in} rows (> max_sample="
+                f"{max_sample}); pass an explicit downsampled `reference` "
+                f"list (the scale path) or raise max_sample deliberately")
         reference = [r[0] for r in df.select(value_col).sample(0.1, seed=42).limit(100_000).collect()]
     ref = sorted(float(x) for x in reference)
     c = _c_alpha(alpha)

@@ -85,7 +85,8 @@ def unigram_logprob_scores(
         return pd.Series(out)
 
     t = F.col(tokens_col)
-    # size(NULL) is -1, not NULL, in this engine config — branch explicitly
+    # size(NULL) is NULL under ANSI (this engine's default) and -1 under
+    # legacy sizeOfNull — the isNull branch is required either way
     n_tok = F.when(t.isNull(), F.lit(0)).otherwise(F.size(t))
     return df.select(
         F.col(id_col),

@@ -79,7 +79,17 @@ def pack_next_fit(
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        if pdf[size_col].isna().any():
+            raise ValueError(
+                f"pack_next_fit: NULL {size_col} in group "
+                f"{pdf[group_col].iloc[0]!r} — a null size silently corrupts "
+                f"fill/bin_offset accounting; coalesce or filter upstream "
+                f"(e.g. guard F.size(tokens) with isNull, as oov_stats does)")
         sizes = pdf[size_col].to_numpy()
+        if (sizes < 0).any():
+            raise ValueError(
+                f"pack_next_fit: negative {size_col} in group "
+                f"{pdf[group_col].iloc[0]!r} (legacy sizeOfNull=-1?)")
         n = len(sizes)
         bin_ids = [0] * n
         offsets = [0] * n

@@ -414,7 +414,7 @@ def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 6,
     seed: int = 42,
     threshold: float = 0.6,
@@ -443,7 +443,14 @@ def semantic_dedup(
     (map-side combined, |buckets| groups).  The scoring pass is then a
     broadcast equi-join + per-row cosine: embarrassingly parallel, one
     scan, no self-join — unlike pairwise near-dup, cost is O(n), not
-    O(n * bucket_size)."""
+    O(n * bucket_size).
+
+    ``dim=None`` (default) derives the embedding width from the data
+    (same as `embedding_near_duplicates`) — a mismatched explicit dim
+    would silently truncate/zero-pad the hyperplane dot products and
+    skew every bucket."""
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
     planes = hyperplanes(dim, n_planes, seed)
     bucketed = df.select(
         F.col(id_col),

@@ -116,6 +116,15 @@ class ValidationPipeline:
         geometry from the manifest.  Compiled Column expressions are
         session-bound and re-derive lazily on first validate — the
         analogue of the reference re-adding coderefs after THAW."""
+        # same workdir normalization/validation as __init__: strip
+        # file://, reject remote URIs explicitly (otherwise the open()
+        # below fails with an opaque ENOENT on "hdfs:/..." paths)
+        if "://" in workdir and not workdir.startswith("file://"):
+            raise ValueError(
+                "workdir must be a local filesystem path (remote URIs are "
+                "not supported; point workdir at a shared local mount)")
+        if workdir.startswith("file://"):
+            workdir = workdir[7:]
         with open(os.path.join(workdir, "run_manifest.json")) as f:
             manifest = json.load(f)
         fp = fingerprint or manifest["spec_fingerprint"]

@@ -364,6 +364,10 @@ class PyEvaluator:
                     if node.get("exclusiveMinimum") is True:
                         if not inst > node["minimum"]:
                             return fail
+                        # draft-4 boolean form: tooling hooked on the
+                        # exclusiveMinimum keyword must still see it fire
+                        if fire and not fire("exclusiveMinimum"):
+                            return fail
                     elif not inst >= node["minimum"]:
                         return fail
                     if fire and not fire("minimum"):
@@ -371,6 +375,8 @@ class PyEvaluator:
                 if "maximum" in node:
                     if node.get("exclusiveMaximum") is True:
                         if not inst < node["maximum"]:
+                            return fail
+                        if fire and not fire("exclusiveMaximum"):
                             return fail
                     elif not inst <= node["maximum"]:
                         return fail

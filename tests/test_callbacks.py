@@ -190,3 +190,31 @@ def test_compile_callbacks_per_keyword_location(spark):
     assert ("minimum", "/properties/n_tok/$ref/minimum") in seen
     assert ("type", "/properties/n_tok/$ref/type") in seen
     assert ("required", "/required") in seen
+
+
+def test_draft4_boolean_exclusive_callbacks_fire():
+    """Draft-4 boolean exclusiveMinimum/exclusiveMaximum are modifiers of
+    minimum/maximum, but tooling hooked on those keywords must still see
+    them fire after the modified check succeeds (parity with the
+    per-keyword callback contract; round-5 advice fix)."""
+    ev = PyEvaluator(dialect="4")
+    seen = []
+
+    def track(name):
+        def cb(data, schema, state):
+            seen.append(name)
+        return cb
+
+    schema = {
+        "minimum": 1, "exclusiveMinimum": True,
+        "maximum": 10, "exclusiveMaximum": True,
+    }
+    cbs = {k: track(k) for k in
+           ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum")}
+    assert ev.evaluate(schema, 5, callbacks=cbs)
+    assert sorted(seen) == ["exclusiveMaximum", "exclusiveMinimum",
+                            "maximum", "minimum"]
+    # failing the exclusive bound fires nothing (callbacks only on success)
+    seen.clear()
+    assert not ev.evaluate(schema, 1, callbacks=cbs)
+    assert seen == []

@@ -191,3 +191,25 @@ def test_bloom_oversized_m_rejected():
     pos = _bit_positions("a" * 32, 1 << 20, 6)
     assert len(pos) == 6 and all(0 <= p < 1 << 20 for p in pos)
     assert len(set(_bit_positions("b" * 32, 1 << 20, 2))) <= 2
+
+
+def test_pack_null_size_raises(spark):
+    """NULL n_tok must fail fast, not corrupt fill accounting (the size(
+    NULL) hazard: NaN under ANSI, -1 under legacy sizeOfNull)."""
+    from json_schema_modern_spark.operators.packing import pack_next_fit
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, None)],
+        "source string, doc_id long, n_tok long")
+    with pytest.raises(Exception, match="NULL n_tok"):
+        pack_next_fit(df, capacity=128).collect()
+
+
+def test_pack_negative_size_raises(spark):
+    from json_schema_modern_spark.operators.packing import pack_next_fit
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, -1)],
+        "source string, doc_id long, n_tok long")
+    with pytest.raises(Exception, match="negative n_tok"):
+        pack_next_fit(df, capacity=128).collect()
