@@ -25,6 +25,7 @@ import re
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -457,16 +458,23 @@ def simhash_near_duplicates(
     bucket holds ~10^2-10^3 fingerprints and the within-bucket self-join
     stays linear-ish.  (The previous 4×16-bit prefix pigeonhole capped at
     65,536 buckets per view — quadratic per-bucket blowup at web scale;
-    VERDICT r3 "what's wrong" #2.)  Shuffle volume is C(B,3) rows per doc
-    on uniform md5-grade keys, shuffled ONCE: buckets materialize via
-    groupBy + collect_list and pairs explode JVM-side within each bucket,
-    so the Arrow fingerprint UDF runs a single pass (a self-join would
-    recompute it per side — PythonUDF nodes defeat exchange-reuse
-    canonicalization) and the Hamming filter runs BEFORE the cross-view
-    distinct, keeping the dedup shuffle to true near-dup pairs only.
-    Caveat shared with any blocking scheme: a flood of IDENTICAL
-    fingerprints (e.g. empty documents) concentrates one bucket — run
-    exact dedup first, as the pipeline docs prescribe."""
+    VERDICT r3 "what's wrong" #2.)
+
+    The whole pipeline after the single Arrow fingerprint pass runs at
+    DISTINCT-FINGERPRINT granularity: identical fingerprints collapse
+    into groups up front (one groupBy), intra-group pairs are emitted
+    directly as hamming-0 (never expanded through the views), the C(B,3)
+    view explode + bucket collect_list + Hamming filter + cross-view
+    distinct all operate on fingerprints, and a final expansion join maps
+    qualifying fingerprint pairs back to id pairs.  Each unordered doc
+    pair lives in exactly one fingerprint pair, so the expansion needs no
+    distinct — the only distinct in the plan runs over fingerprint pairs,
+    orders of magnitude fewer rows than the id-level pairs the previous
+    pipeline deduped (web corpora concentrate on few fingerprints:
+    templated pages, boilerplate, exact dups).  This also removes the old
+    caveat where a flood of identical fingerprints concentrated one
+    bucket: they are one group row here.  Shuffle volume is C(B,3) rows
+    per DISTINCT fingerprint on uniform keys, shuffled once."""
     if n_blocks is None:
         n_blocks = max_hamming + 3
     if n_blocks <= max_hamming:
@@ -479,6 +487,45 @@ def simhash_near_duplicates(
             "granularity or lower n_blocks; explode factor would dominate")
     spec = _simhash_block_spec(64, n_blocks)
     f = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col), seed).alias("_f"))
+
+    # collapse identical fingerprints FIRST: web corpora concentrate on a
+    # few fingerprints (templated pages, exact dups), and every stage after
+    # this line runs over DISTINCT fingerprints only — the C(B,k) view
+    # explode, the bucket self-join, the Hamming filter, and (critically)
+    # the cross-view dedup all shrink from id-level to fingerprint-level.
+    # The old id-level pipeline deduped millions of expanded pairs through
+    # a full distinct shuffle; pair multiplicity is a pure function of the
+    # two group sizes, so dedup at fingerprint-pair granularity + a final
+    # expansion join reproduces the identical output with the distinct
+    # running over orders of magnitude fewer rows.
+    # collect_set: duplicate (id, fingerprint) rows collapse — identical
+    # to the exhaustive oracle's DISTINCT (doc_id, f) projection
+    groups = f.groupBy("_f").agg(
+        F.sort_array(F.collect_set("_id")).alias("ids"),
+    ).withColumn("n", F.size("ids"))
+    # persist: `groups` feeds THREE plan branches (intra pairs, the view
+    # explode, and the two expansion joins); PythonUDF nodes defeat
+    # exchange-reuse canonicalization, so without this the Arrow
+    # fingerprint pass re-runs over the full text corpus once per branch
+    # (measured: 6 ArrowEvalPython tree nodes).  The groups table is one
+    # row per DISTINCT fingerprint — (int64, id list) — orders of
+    # magnitude smaller than the text it summarizes, and MEMORY_AND_DISK
+    # spills under pressure.  Spark's CacheManager keys entries by
+    # canonicalized plan, so repeated calls over the same input share one
+    # cache entry rather than stacking copies.
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # intra-group pairs: identical fingerprints ⇒ hamming 0, emitted once
+    # (the old code expanded these through all C(B,k) views, then deduped)
+    intra = (
+        groups.where(F.col("n") > 1)
+        .select(F.explode("ids").alias("id_a"), F.col("ids").alias("rs"))
+        .select("id_a", F.explode("rs").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+
+    # inter-group: Manku banding over the distinct-fingerprint table
     views = []
     for vi, combo in enumerate(combos):
         key, shift = None, 0
@@ -490,21 +537,33 @@ def simhash_near_duplicates(
             key = part if key is None else key.bitwiseOR(part)
             shift += w
         views.append(F.struct(F.lit(vi).alias("blk"), key.alias("key")))
-    blocks = f.select(
-        "_id", "_f", F.explode(F.array(*views)).alias("b"),
-    ).select("_id", "_f", "b.blk", "b.key")
+    blocks = groups.select(
+        "_f", F.explode(F.array(*views)).alias("b"),
+    ).select("_f", "b.blk", "b.key")
     buckets = (
         blocks.groupBy("blk", "key")
-        .agg(F.collect_list(F.struct("_id", "_f")).alias("xs"))
+        .agg(F.collect_list("_f").alias("xs"))
         .where(F.size("xs") > 1)
     )
-    pairs = (
-        buckets.select(F.explode("xs").alias("l"), F.col("xs").alias("rs"))
-        .select("l", F.explode("rs").alias("r"))
-        .where(F.col("l._id") < F.col("r._id"))
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
-                F.bit_count(F.col("l._f").bitwiseXOR(F.col("r._f"))).alias("hamming"))
+    fpairs = (
+        buckets.select(F.explode("xs").alias("fa"), F.col("xs").alias("rs"))
+        .select("fa", F.explode("rs").alias("fb"))
+        .where(F.col("fa") < F.col("fb"))
+        .select("fa", "fb",
+                F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
+    # expand fingerprint pairs back to id pairs: each unordered doc pair
+    # lives in exactly one fingerprint pair, so NO distinct is needed here
+    inter = (
+        fpairs
+        .join(groups.select(F.col("_f").alias("fa"), F.col("ids").alias("ids_a")), "fa")
+        .join(groups.select(F.col("_f").alias("fb"), F.col("ids").alias("ids_b")), "fb")
+        .select(F.explode("ids_a").alias("a"), "ids_b", "hamming")
+        .select("a", F.explode("ids_b").alias("b"), "hamming")
+        .where(F.col("a") != F.col("b"))   # same id under two fingerprints
+        .select(F.least("a", "b").alias("id_a"),
+                F.greatest("a", "b").alias("id_b"), "hamming")
+    )
+    return intra.unionAll(inter)
