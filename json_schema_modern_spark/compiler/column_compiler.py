@@ -1935,9 +1935,18 @@ class ColumnCompiler:
             oks.append(c.ok)
             decoded = F.when(c.ok, decoded)
         mt = schema.get("contentMediaType")
-        mtl = mt.lower() if mt is not None else None
+        # resolve through the media-type registry: parameter stripping
+        # ("text/plain;charset=utf-8" matches the "text/*" row), wildcard
+        # lookup order exact > suffix > type/* > */*, and custom
+        # register_media_type entries (Utilities.pm:695-742).  Resolution
+        # happens ONCE at compile time — contentMediaType is a schema
+        # literal — so the per-row work stays whole-column expressions.
+        from ..spec.media_types import get_media_type
+
+        entry = get_media_type(mt) if mt is not None else None
+        mtl = entry.handler if entry is not None else None
         cs_target: Target | None = None
-        if mtl == "application/json":
+        if mtl == "json":
             parsed_ok = F.try_parse_json(decoded).isNotNull() | decoded.isNull()
             c = E("contentMediaType", parsed_ok,
                   f"could not decode string as {mt}")
@@ -1949,14 +1958,17 @@ class ColumnCompiler:
                     parsed = F.from_json(decoded, sub_schema)
                     cs_target = Target(col=parsed, dtype=sub_schema, ptr=t.ptr,
                                        present=t.present & parsed.isNotNull())
-        elif mtl is not None and (mtl.startswith("text/") or mtl == "text"):
+        elif mtl == "text":
             # text/* registry entry (U.pm:557-569): any string decodes;
-            # contentSchema sees the decoded STRING
+            # contentSchema sees the decoded STRING.  The charset
+            # parameter participates in MATCHING above; Column-tier
+            # values are already UTF-8 Spark strings, so the decode
+            # itself is identity (the python tier applies charset).
             cs_target = Target(col=decoded, dtype=T.StringType(), ptr=t.ptr,
                                present=t.present & decoded.isNotNull())
-        elif mtl == "application/octet-stream":
+        elif mtl == "octet-stream":
             pass  # opaque bytes — anything decodes (U.pm:548-555)
-        elif mtl == "application/x-ndjson":
+        elif mtl == "ndjson":
             # every non-blank line must parse as JSON (U.pm:600-616)
             lines = F.filter(F.split(decoded, "\n"),
                              lambda ln: F.length(F.trim(ln)) > 0)
@@ -1965,7 +1977,7 @@ class ColumnCompiler:
             c = E("contentMediaType", nd_ok, f"could not decode string as {mt}")
             out.extend(c.viols)
             oks.append(c.ok)
-        elif mtl == "application/x-www-form-urlencoded":
+        elif mtl == "form":
             # k=v pairs joined by & (U.pm:571-598); contentSchema sees the
             # parsed MAP — composing with the MapType object keywords
             form_ok = decoded.rlike(r"^([^=&]*=[^=&]*(&[^=&]*=[^=&]*)*)?$") \
@@ -1979,8 +1991,10 @@ class ColumnCompiler:
                                    dtype=T.MapType(T.StringType(), T.StringType()),
                                    ptr=t.ptr,
                                    present=t.present & c.ok & decoded.isNotNull())
-        # other media types: annotation-only (lenient default — the
-        # reference aborts only under strict assertion vocabularies)
+        # unmatched media types, and custom register_media_type entries
+        # that carry only a python decoder (no Column handler): annotation
+        # only — same as the reference's decoder-less registry rows
+        # (U.pm:668 "return if not $definition->{decode}")
         if cs_target is not None and "contentSchema" in schema:
             child = self._node(schema["contentSchema"], cs_target,
                                f"{kloc}/contentSchema",

@@ -120,9 +120,13 @@ class PyEvaluator:
     """One evaluator = one registry of schema documents (the reference's
     JSON::Schema::Modern object: documents added once, evaluated many)."""
 
-    def __init__(self, validate_formats: bool = True, dialect: str = "2020-12"):
+    def __init__(self, validate_formats: bool = True, dialect: str = "2020-12",
+                 validate_content_schemas: bool = False):
         self.registry = SchemaRegistry()
         self.validate_formats = validate_formats
+        # assert contentEncoding/contentMediaType/contentSchema instead of
+        # treating them as annotations (Modern.pm validate_content_schemas)
+        self.validate_content_schemas = validate_content_schemas
         self.dialect = dialect
         # draft rank (4 < 6 < 7 < 2019-09 < 2020-12) gates keyword
         # applicability: a keyword from a later draft is an UNKNOWN keyword
@@ -426,6 +430,46 @@ class PyEvaluator:
                     return fail
                 if fire and not fire("pattern"):
                     return fail
+
+        # content vocabulary in assertion mode (Content.pm:46-113 under
+        # validate_content_schemas; annotation-only otherwise, per spec).
+        # contentEncoding/contentMediaType are draft7+, contentSchema
+        # 2019-09+ (Content.pm keywords()); decode failures are ERRORS,
+        # an unmatched media type (no registry decoder) is an ABORT.
+        if (t == "string" and self.validate_content_schemas and self.rank >= 2
+                and ("contentEncoding" in node or "contentMediaType" in node)):
+            from ..spec.media_types import (
+                decode_content_encoding, decode_media_type, get_media_type,
+            )
+
+            content: Any = inst
+            if "contentEncoding" in node:
+                try:
+                    content = decode_content_encoding(
+                        node["contentEncoding"], inst)
+                except ValueError:
+                    return fail
+                if fire and not fire("contentEncoding"):
+                    return fail
+            if "contentMediaType" in node:
+                entry = get_media_type(node["contentMediaType"])
+                if entry is None or entry.decoder is None:
+                    raise EvalError(
+                        "cannot find decoder for contentMediaType "
+                        f"\"{node['contentMediaType']}\"")
+                try:
+                    content = decode_media_type(node["contentMediaType"],
+                                                content)
+                except Exception:  # noqa: BLE001 - any decode failure = error
+                    return fail
+                if fire and not fire("contentMediaType"):
+                    return fail
+                if "contentSchema" in node and self.rank >= 3:
+                    if not child(node["contentSchema"], content,
+                                 ks="/contentSchema"):
+                        return fail
+                    if fire and not fire("contentSchema"):
+                        return fail
 
         if "enum" in node:
             if not any(_deep_eq(inst, m) for m in node["enum"]):

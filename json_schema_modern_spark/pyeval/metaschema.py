@@ -77,10 +77,38 @@ def metaschema_evaluator(dialect: str = DEFAULT_DIALECT) -> PyEvaluator:
         meta = root / "meta"
         if meta.is_dir():
             files.extend(sorted(meta.iterdir(), key=lambda p: p.name))
+        # the official output-format schema ships alongside the
+        # metaschemas (reference CACHED_METASCHEMAS, Modern.pm:1064,1073:
+        # ".../output/schema" → share/draftX/output/schema.json), so
+        # user $refs to the output-schema URI resolve
+        out = root / "output" / "schema.json"
+        if out.is_file():
+            files.append(out)
         for f in files:
             ev.add_schema(json.loads(f.read_text()))
         _evaluators[dialect] = ev
     return ev
+
+
+def validate_output_document(doc: Any,
+                             dialect: str = DEFAULT_DIALECT) -> "SchemaValidationResult":
+    """Self-hosting check of a validation-output document (the parsed
+    JSON of one `basic_output()` / `strict_basic_output()` row) against
+    the OFFICIAL output-format schema bundled from the reference's
+    share/draft{2020-12,2019-09}/output/schema.json — the same documents
+    the reference registers at Modern.pm:1064/1073."""
+    if dialect not in ("2020-12", "2019-09"):
+        raise SpecError(
+            f"no output-format schema is published for dialect {dialect!r}")
+    ev = metaschema_evaluator(dialect)
+    uri = f"https://json-schema.org/draft/{dialect}/output/schema"
+    try:
+        ok = ev.evaluate_uri(uri, doc)
+    except EvalError as e:
+        return SchemaValidationResult(valid=False, errors=[str(e)])
+    return SchemaValidationResult(
+        valid=bool(ok),
+        errors=[] if ok else [f"document does not match {uri}"])
 
 
 @dataclass

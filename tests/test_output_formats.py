@@ -215,3 +215,45 @@ def test_array_applicator_annotations(spark):
     assert a1["/properties/v/items"] is True
     assert a1["/properties/v/prefixItems"] == 1     # longer than the prefix
     assert a2["/properties/v/prefixItems"] is True  # prefix covered it all
+
+
+def test_outputs_validate_against_official_output_schema(spark):
+    """Self-hosting: every basic_output()/strict_basic_output() document
+    validates against the OFFICIAL output-format schema bundled from the
+    reference's share/draft{2020-12,2019-09}/output/schema.json (the
+    reference registers the same URIs at Modern.pm:1064,1073)."""
+    from json_schema_modern_spark.pyeval.metaschema import (
+        validate_output_document,
+    )
+
+    spec = {"type": "object",
+            "required": ["v"],
+            "properties": {"v": {"type": "integer", "minimum": 5},
+                           "s": {"$ref": "#/$defs/short"}},
+            "$defs": {"short": {"maxLength": 2}}}
+    res = _res(spark, spec, [(1, 3, "toolong"), (2, 7, "ok"), (3, None, None)],
+               "rid int, v int, s string")
+    for r in res.basic_output().collect():
+        doc = json.loads(r.result)
+        assert validate_output_document(doc, "2020-12"), doc
+    # strict_basic is the 2019-09-flavored rendering (URI-fragment
+    # locations); check it against the 2019-09 output schema
+    for r in res.strict_basic_output().collect():
+        doc = json.loads(r.result)
+        assert validate_output_document(doc, "2019-09"), doc
+    # negative control: the official schema rejects a non-boolean valid
+    assert not validate_output_document({"valid": "yes"}, "2020-12")
+    assert not validate_output_document({"errors": []}, "2019-09")
+
+
+def test_output_schema_uri_resolvable_from_user_schemas():
+    """The bundled output-schema URI is registered like any cached
+    metaschema, so a user schema can $ref it (Modern.pm:1064)."""
+    from json_schema_modern_spark.pyeval.metaschema import (
+        metaschema_evaluator,
+    )
+
+    ev = metaschema_evaluator("2020-12")
+    uri = "https://json-schema.org/draft/2020-12/output/schema"
+    assert ev.evaluate_uri(uri, {"valid": True})
+    assert not ev.evaluate_uri(uri, {"valid": 1})
