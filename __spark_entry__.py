@@ -937,6 +937,22 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, query_vector(64, seed=42), cents, k=10, nprobe=2)
 
 
+def _q_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN over TRAINED centroids: deterministic bounded-sample Lloyd
+    k-means (ivf_centroids — quantized per iteration so another engine's
+    summation order cannot drift the derivation), then the same
+    cell-pruned top-k as the seeded path.  The oracle replays the
+    identical unrolled Lloyd iterations in SQL — training itself is
+    verified, not just the probe."""
+    from json_schema_modern_spark.operators.similarity import (
+        ivf_centroids, ivf_topk, query_vector,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=8, sample_mod=10, iters=3)
+    return ivf_topk(emb, query_vector(64, seed=42), cents, k=10, nprobe=2)
+
+
 def _q_neardup_cosine(spark, sf_dir):
     from json_schema_modern_spark.operators.similarity import embedding_near_duplicates
 
@@ -1219,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": _q_ann_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         "neardup_cosine": _q_neardup_cosine,
         "neardup_cosine_lsh": _q_neardup_cosine_lsh,
         "streaming_validation": _q_streaming_validation,
@@ -2008,6 +2025,7 @@ FROM cum GROUP BY 1, 2, 3
     o["neardup_cosine_lsh"] = _neardup_lsh_oracle()
     o["ann_lsh_topk"] = _ann_lsh_topk_oracle()
     o["ann_ivf_topk"] = _ann_ivf_oracle()
+    o["ann_ivf_trained"] = _ann_ivf_trained_oracle()
     o["neardup_cosine"] = (
         "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "CAST(round(list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1]*x[2])) "
@@ -2481,6 +2499,70 @@ SELECT vec_id, sim FROM (
   WHERE {cell} IN ({', '.join(str(p) for p in probe)}))
 ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
+
+
+def _ann_ivf_trained_oracle(k: int = 8, iters: int = 3, sample_mod: int = 10) -> str:
+    """Re-derive the TRAINED centroids inside DuckDB: the same bounded
+    sample (vec_id % sample_mod == 0), the same init (first k sample
+    vectors in id order), and `iters` UNROLLED Lloyd iterations — assign
+    via list_min over (d2, i) structs (ties → lowest index, matching
+    numpy argmin), per-dimension AVG re-centering rounded to 6 decimals
+    exactly like ivf_centroids(quantize=6), empty clusters keeping the
+    previous centroid via LEFT JOIN.  Then the same nprobe=2 cell pruning
+    and cosine top-10 as the Spark query."""
+    import math
+
+    from json_schema_modern_spark.operators.similarity import query_vector
+
+    q = query_vector(64, seed=42)
+    qlit = "[" + ",".join(repr(x) for x in q) + "]::DOUBLE[]"
+    qn = repr(math.sqrt(sum(x * x for x in q)))
+
+    def d2(v: str, c: str) -> str:
+        return ("list_sum(list_transform(list_zip(" + v + ", " + c + "), "
+                "y -> (y[1]-y[2])*(y[1]-y[2])))")
+
+    def assign(src: str, cent: str) -> str:
+        cs = f"(SELECT list({{'i': i, 'c': c}} ORDER BY i) FROM {cent})"
+        return ("list_min(list_transform(" + cs + ", "
+                "x -> {'d': " + d2(f"{src}.v", "x.c") + ", 'i': x.i})).i")
+
+    ctes = [
+        f"samp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id % {sample_mod} = 0)",
+        f"cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i, v AS c "
+        f"FROM samp ORDER BY vec_id LIMIT {k})",
+    ]
+    for j in range(1, iters + 1):
+        prev = f"cent{j - 1}"
+        ctes.append(
+            f"asg{j} AS (SELECT s.vec_id, s.v, {assign('s', prev)} AS cl FROM samp s)")
+        # per-dim mean then re-list: two grouping levels (zip-unnest of
+        # the vector with its 1-based subscripts)
+        ctes.append(
+            f"m{j} AS (SELECT cl, d, avg(x) AS m FROM "
+            f"(SELECT cl, unnest(range(1, 1 + length(v))) AS d, unnest(v) AS x FROM asg{j}) "
+            f"GROUP BY cl, d), "
+            f"newc{j} AS (SELECT cl AS i, list(CAST(round(m, 6) AS DOUBLE) ORDER BY d) AS c "
+            f"FROM m{j} GROUP BY cl)")
+        ctes.append(
+            f"cent{j} AS (SELECT p.i, COALESCE(n.c, p.c) AS c "
+            f"FROM cent{j - 1} p LEFT JOIN newc{j} n ON p.i = n.i)")
+    final = f"cent{iters}"
+    ctes.append(
+        f"probe AS (SELECT i FROM {final} ORDER BY {d2('c', qlit)}, i LIMIT 2)")
+    ctes.append(
+        "allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+    ctes.append(
+        f"cells AS (SELECT e.vec_id, e.v, {assign('e', final)} AS cl FROM allv e)")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT vec_id, sim FROM (\n"
+        "  SELECT vec_id,\n"
+        f"    CAST(round(list_sum(list_transform(list_zip(v, {qlit}), x -> x[1]*x[2]))\n"
+        f"      / (sqrt(list_sum(list_transform(v, x -> x*x))) * {qn}), 6) AS DOUBLE) AS sim\n"
+        "  FROM cells WHERE cl IN (SELECT i FROM probe))\n"
+        "ORDER BY sim DESC, vec_id ASC LIMIT 10")
 
 
 def _neardup_lsh_oracle() -> str:

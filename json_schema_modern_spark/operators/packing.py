@@ -53,6 +53,7 @@ def pack_next_fit(
     group_col: str = "source",
     order_col: str = "doc_id",
     size_col: str = "n_tok",
+    n_salts: int = 1,
 ) -> DataFrame:
     """Per-row bin assignment: (group, order, size, bin_id, bin_offset,
     oversize).  bin_id restarts at 0 per group; bin_offset is the token
@@ -62,9 +63,23 @@ def pack_next_fit(
     current bin is non-empty AND fill + size > capacity.  An oversize
     document (size > capacity) therefore lands alone in a bin when the
     bin is fresh, and forces a fresh bin otherwise.
+
+    ``n_salts > 1`` removes the single-giant-group skew ceiling: the
+    group's stream is split into ``n_salts`` deterministic sub-streams
+    (md5(order) mod n_salts — the same replayable bucketing
+    ``splits.py`` uses), each packed independently in parallel tasks,
+    and the boundary stitch interleaves bin ids as
+    ``local_bin * n_salts + salt`` so ids stay unique within the group
+    and the whole assignment remains a pure function of
+    (group, order, sizes, n_salts).  Cost of the stitch: each sub-stream
+    ends with its own partially-filled bin, so at most ``n_salts - 1``
+    extra under-filled bins per group vs the serial pass — negligible
+    against the task-parallelism it buys on a 90%-one-source corpus.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
 
     out_schema = StructType([
         StructField(group_col, df.schema[group_col].dataType, True),
@@ -103,6 +118,12 @@ def pack_next_fit(
             bin_ids[i] = bin_id
             offsets[i] = fill
             fill += s
+        if "_salt" in pdf.columns:
+            # interleaved stitch: sub-stream `salt` owns the id residue
+            # class salt (mod n_salts) — unique within the group,
+            # deterministic, no cross-task coordination
+            salt = int(pdf["_salt"].iloc[0])
+            bin_ids = [b * n_salts + salt for b in bin_ids]
         return pd.DataFrame({
             group_col: pdf[group_col],
             order_col: pdf[order_col],
@@ -112,9 +133,16 @@ def pack_next_fit(
             "oversize": (sizes > cap).astype("int32"),
         })
 
+    if n_salts == 1:
+        src = df.select(group_col, order_col,
+                        F.col(size_col).cast("long").alias(size_col))
+        return src.groupBy(group_col).applyInPandas(pack_group, schema=out_schema)
+    salt = (F.conv(F.substring(F.md5(F.col(order_col).cast("string")), 1, 8),
+                   16, 10).cast("long") % n_salts).alias("_salt")
     src = df.select(group_col, order_col,
-                    F.col(size_col).cast("long").alias(size_col))
-    return src.groupBy(group_col).applyInPandas(pack_group, schema=out_schema)
+                    F.col(size_col).cast("long").alias(size_col), salt)
+    return src.groupBy(group_col, "_salt").applyInPandas(
+        pack_group, schema=out_schema)
 
 
 def packing_summary(packed: DataFrame, capacity: int,

@@ -121,13 +121,22 @@ def ivf_centroids(
     sample_mod: int = 10,
     iters: int = 5,
     max_sample: int = 200_000,
+    quantize: int | None = 6,
 ) -> list[list[float]]:
     """Deterministic coarse quantizer for IVF: Lloyd's k-means on a BOUNDED
     deterministic sample (id % sample_mod == 0, collected driver-side).
     Init = the first k sample vectors in id order; fixed iteration count;
     empty clusters keep their previous centroid.  Pure function of
-    (data, parameters) ⇒ the DuckDB oracle re-derives identical centroids
-    through this same helper.
+    (data, parameters) ⇒ the DuckDB oracle re-derives identical centroids —
+    either through this same helper or by replaying the unrolled Lloyd
+    iterations in SQL (`__spark_entry__._ann_ivf_trained_oracle`).
+
+    ``quantize`` rounds each centroid coordinate after every iteration
+    (and the final result) to that many decimals: cluster means are the
+    one step where numpy's pairwise summation and another engine's
+    sequential summation can drift by ~1e-16, and rounding re-anchors the
+    two derivations to identical values so assignments never diverge
+    across engines.  Pass None for raw float64 means.
 
     ``max_sample`` is an absolute driver-memory guard: the modulus alone
     does NOT bound the sample (10% of a 10^12-row table is not a driver
@@ -154,6 +163,8 @@ def ivf_centroids(
             members = x[assign == j]
             if len(members):
                 cent[j] = members.mean(axis=0)
+        if quantize is not None:
+            cent = np.round(cent, quantize)
     return [[float(v) for v in c] for c in cent]
 
 

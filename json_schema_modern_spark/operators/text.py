@@ -191,7 +191,12 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     the per-document unique-sorted fingerprint sets come from a lexsort +
     boundary-mask split.  That removes the former per-doc loop (the r2→r3
     ask) and keeps the batch CPU-viable at 100 TB.
-    Normalization matches `fingerprint` exactly."""
+
+    Normalization (lowercase, non-alnum→space, squeeze, trim — matching
+    `fingerprint` exactly) runs JVM-side as codegen'd regexp_replace
+    Columns BEFORE the UDF, so the Arrow batch arrives pre-normalized and
+    the Python side spends its cycles only on the numpy hash pipeline
+    (pandas .str regex was ~40% of the batch cost)."""
     if k > 8:
         raise ValueError("base-128 polynomial is exact only for k <= 8")
     weights = np.left_shift(np.int64(1), 7 * np.arange(k - 1, -1, -1, dtype=np.int64))
@@ -200,9 +205,7 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     def win_udf(texts: pd.Series) -> pd.Series:
         imax = np.iinfo(np.int64).max
         n = len(texts)
-        s = (texts.fillna("").str.lower()
-             .str.replace(r"[^a-z0-9]+", " ", regex=True)
-             .str.replace(r"\s+", " ", regex=True).str.strip())
+        s = texts.fillna("")  # pre-normalized to [a-z0-9 ] by the caller
         lens = s.str.len().to_numpy(dtype=np.int64)
         keep = np.flatnonzero(lens >= k)
         out = [[]] * n
@@ -242,7 +245,9 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
             out[i] = prints.tolist()
         return pd.Series(out)
 
-    return df.select(F.col(id_col), win_udf(F.col(text_col)).alias("prints"))
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return df.select(F.col(id_col), win_udf(norm).alias("prints"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -213,3 +213,71 @@ def test_pack_negative_size_raises(spark):
         "source string, doc_id long, n_tok long")
     with pytest.raises(Exception, match="negative n_tok"):
         pack_next_fit(df, capacity=128).collect()
+
+
+def test_pack_salted_skew(spark):
+    """n_salts sub-stream packing: one group holding 90% of rows packs
+    across >1 task (VERDICT r4 #7 — the serial-giant-group ceiling)."""
+    from json_schema_modern_spark.operators.packing import pack_next_fit
+
+    rows = [("web", i, 40 + (i % 60)) for i in range(900)]
+    rows += [("books", i, 40 + (i % 60)) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+
+    packed = pack_next_fit(df, capacity=256, n_salts=8)
+    # tag each output row with the task-partition that produced it BEFORE
+    # any later shuffle: applyInPandas emits rows in the packing task.
+    # AQE coalesces this kilobyte-sized test shuffle into one partition
+    # (at real scale the partitions stay sized); pin it off so the test
+    # observes the salt-driven task spread.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    try:
+        spark.conf.set(coalesce_key, "false")
+        tagged = packed.withColumn("pid", F.spark_partition_id())
+        web_pids = {r.pid for r in
+                    tagged.filter(F.col("source") == "web").select("pid")
+                    .distinct().collect()}
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert len(web_pids) > 1, "giant group packed on a single task"
+
+    out = packed.collect()
+    assert len(out) == 1000  # every doc assigned exactly once
+    # capacity invariant per (group, bin)
+    import collections
+    fills = collections.Counter()
+    for r in out:
+        fills[(r.source, r.bin_id)] += r.n_tok
+        assert r.bin_offset + r.n_tok <= 256 or r.oversize
+    assert all(v <= 256 for v in fills.values())
+    # stitch uniqueness: residue class identifies the sub-stream
+    assert len({r.bin_id % 8 for r in out if r.source == "web"}) > 1
+
+    # deterministic: a re-run reproduces the identical assignment
+    again = {(r.source, r.doc_id): (r.bin_id, r.bin_offset)
+             for r in pack_next_fit(df, capacity=256, n_salts=8).collect()}
+    assert all(again[(r.source, r.doc_id)] == (r.bin_id, r.bin_offset)
+               for r in out)
+
+
+def test_pack_salted_matches_per_substream_serial(spark):
+    """Each sub-stream's packing equals the serial next-fit over just
+    that sub-stream's rows (the stitch only renumbers bins)."""
+    from json_schema_modern_spark.operators.packing import pack_next_fit
+
+    rows = [("a", i, 30 + (i * 7) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    salted = pack_next_fit(df, capacity=128, n_salts=4).collect()
+    by_salt = {}
+    for r in salted:
+        by_salt.setdefault(r.bin_id % 4, []).append(r)
+    # rebuild each sub-stream's input and pack it serially (n_salts=1)
+    for salt, rs in by_salt.items():
+        sub = spark.createDataFrame(
+            [("a", r.doc_id, r.n_tok) for r in rs],
+            "source string, doc_id long, n_tok long")
+        serial = {r.doc_id: (r.bin_id, r.bin_offset)
+                  for r in pack_next_fit(sub, capacity=128).collect()}
+        for r in rs:
+            assert serial[r.doc_id] == ((r.bin_id - salt) // 4, r.bin_offset)
