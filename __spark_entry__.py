@@ -462,6 +462,26 @@ def _q_kw_content_json(spark, sf_dir):
                                  "keyword", "error")
 
 
+def _q_kw_content_text(spark, sf_dir):
+    """Parameterized media type through the registry (r5): the
+    contentMediaType string carries parameters and resolves via wildcard
+    matching to the text/* handler (exact > suffix > type/* > */*,
+    U.pm:695-742), so contentSchema asserts over the decoded string —
+    before the registry this fell through to annotation-only."""
+    from json_schema_modern_spark import Validator
+    from json_schema_modern_spark.compiler.column_compiler import CompileOptions
+
+    spec = {"type": "object", "properties": {"text": {
+        "contentMediaType": "text/plain; charset=utf-8",
+        "contentSchema": {"maxLength": 450},
+    }}}
+    docs = _read(spark, sf_dir, "documents")
+    res = Validator(spec, CompileOptions(validate_content_schemas=True)) \
+        .validate(docs, id_cols=["doc_id"])
+    return res.violations.select("doc_id", "instance_location",
+                                 "keyword_location", "keyword", "error")
+
+
 def _q_stats(spark, sf_dir):
     from json_schema_modern_spark.operators.stats import column_stats
 
@@ -750,6 +770,20 @@ def _q_pack_sequences(spark, sf_dir):
         .withColumn("n_tok", F.when(F.col("tokens").isNull(), F.lit(0))
                     .otherwise(F.size("tokens")).cast("long"))
     return pack_next_fit(docs, capacity=256)
+
+
+def _q_pack_salted(spark, sf_dir):
+    """Salted sub-stream packing (the skew-proof path, VERDICT r4 #7):
+    n_salts=4 deterministic md5 sub-streams per group, bin ids stitched
+    as local*4+salt — the oracle replays the identical salt bucketing
+    and recursion, so the skew path is hash-verified, not just
+    unit-tested."""
+    from json_schema_modern_spark.operators.packing import pack_next_fit
+
+    docs = _doc_tokens(_read(spark, sf_dir, "documents")) \
+        .withColumn("n_tok", F.when(F.col("tokens").isNull(), F.lit(0))
+                    .otherwise(F.size("tokens")).cast("long"))
+    return pack_next_fit(docs, capacity=256, n_salts=4)
 
 
 def _q_mix_weights(spark, sf_dir):
@@ -1266,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW this session: training-pipeline operators with no driver
         #    history yet (packing, mixing, bloom dedup, curation funnel) ----
         "pack_sequences": _q_pack_sequences,
+        "pack_salted": _q_pack_salted,
         "mix_weights": _q_mix_weights,
         "sample_stratified": _q_sample_stratified,
         "dedup_bloom_new": _q_dedup_bloom_new,
@@ -1302,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_pandas": _q_drift_pandas,
         "hist_n_chars": _q_hist,
         "kw_content_json": _q_kw_content_json,
+        "kw_content_text": _q_kw_content_text,
         "kw_ref_defs": _q_kw_ref_defs,
         # -- untouched this round, green r2/r3 -------------------------------
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -1587,6 +1623,12 @@ def oracle_sql() -> dict[str, str]:
                   "maximum", "'value is greater than 45'", "CAST(l_quantity AS VARCHAR)", "lineitem",
                   "l_quantity IS NOT NULL AND l_quantity > 45", extra_id=", l_linenumber"),
     ])
+    o["kw_content_text"] = (
+        "SELECT doc_id, '/text' AS instance_location, "
+        "'/properties/text/contentSchema/maxLength' AS keyword_location, "
+        "'maxLength' AS keyword, 'length is greater than 450' AS error "
+        "FROM documents WHERE text IS NOT NULL AND length(text) > 450"
+    )
     o["kw_content_json"] = (
         "SELECT event_id, '/props/k' AS instance_location, "
         "'/properties/props/contentSchema/properties/k/minimum' AS keyword_location, "
@@ -1980,6 +2022,7 @@ FROM cum GROUP BY 1, 2, 3
                   f"COALESCE(CAST(length({_tok_expr}) AS BIGINT), 0)"
                   " AS n_tok FROM documents)")
     o["pack_sequences"] = pack_next_fit_oracle_sql(_ntok_docs, capacity=256)
+    o["pack_salted"] = pack_next_fit_oracle_sql(_ntok_docs, capacity=256, n_salts=4)
     o["mix_weights"] = mixture_thresholds_oracle_sql(
         _ntok_docs, "n_tok")
     _bucket = ("CAST(concat('0x', substr(md5('mix-v1' || "

@@ -170,9 +170,126 @@ def run_headline(spark) -> dict:
     return timings
 
 
+OPS_REPL = int(os.environ.get("SPARK_GRAFT_OPS_REPL", "32"))
+
+
+def _ops_input_path(spark) -> str:
+    """Materialize a replicated sf input for per-op scaling: at raw sf0.1
+    these jobs finish in 1-2 s at ONE core, so fixed costs (job
+    scheduling, Arrow worker spin-up, codegen dispatch) dominate and the
+    4-core run measures overhead, not the operator — the same reason the
+    token scaling pass uses a 9.6M-row table.  Each replica re-keys ids
+    and perturbs content (suffix on text, epsilon-scale on embeddings) so
+    dedup/ANN work stays realistic rather than collapsing into one giant
+    duplicate group."""
+    path = os.path.join(TOKEN_CACHE, f"ops_{_sf_of(SF_DIR)}_x{OPS_REPL}")
+    if not os.path.exists(os.path.join(path, "documents.parquet", "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        r = F.explode(F.array(*[F.lit(i) for i in range(OPS_REPL)])).alias("_r")
+        d = docs.select("*", r).withColumn(
+            "doc_id",
+            F.col("doc_id").cast("long")
+            + F.col("_r").cast("long") * F.lit(1_000_000_000).cast("long")
+        ).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" replica-"),
+                             F.col("_r").cast("string"))
+        ).drop("_r")
+        e = emb.select("*", r).withColumn(
+            "vec_id",
+            F.col("vec_id").cast("long")
+            + F.col("_r").cast("long") * F.lit(1_000_000_000).cast("long")
+        ).withColumn(
+            "embedding",
+            F.transform("embedding",
+                        lambda x: x * (F.lit(1.0) + F.col("_r") * F.lit(1e-3)))
+        ).drop("_r")
+        # 16 output splits: the sf0.1 source is ~2 parquet files, and a
+        # 2-split scan caps the fingerprint/UDF stage at 2 concurrent
+        # tasks no matter how many cores the session has — the scaling
+        # measurement would measure file layout, not the operator
+        d.repartition(16).write.mode("overwrite").parquet(
+            f"{path}/documents.parquet")
+        e.repartition(16).write.mode("overwrite").parquet(
+            f"{path}/embeddings.parquet")
+    return path
+
+
+def run_ops_only(op_names: list[str]) -> None:
+    """Internal: time the named queries() entries in one session at
+    $SPARK_GRAFT_CPUS (min-of-$SPARK_GRAFT_QUERY_REPEATS each, one
+    unmeasured warm run) over the replicated ops input, print one JSON
+    line."""
+    import __spark_entry__ as entrymod
+
+    spark = _get_spark(CPUS)
+    # tasks >> cores, as on a real cluster: the 16-split layout coalesces
+    # to ~6 scan partitions at 128MB default, and 6 tasks on 4 cores is
+    # 2 waves with the second half-empty — wave quantization reads as
+    # fake inefficiency (measured: semdedup 0.625 at 6 splits vs 0.830
+    # at 32)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+    sf_dir = _ops_input_path(spark)
+    qs = entrymod.queries()
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
+    timings = {}
+    for name in op_names:
+        fn = qs[name]
+        fn(spark, sf_dir).count()  # warm: JIT + parquet cache, unmeasured
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    print(json.dumps({"cpus": CPUS, "sf": _sf_of(SF_DIR),
+                      "repl": OPS_REPL, "ops": timings}))
+
+
+SCALING_OPS = ("dedup_minhash_lsh", "dedup_simhash", "semdedup")
+
+
+def run_scaling_ops() -> None:
+    """North-rule protocol applied per-operator to the dedup/ANN tail
+    (VERDICT r4 #10): the same queries at local[N] vs local[4N] on the
+    same sf input; efficiency = t_N / (4 × t_4N).  Design claims about
+    shuffle shape become measured numbers."""
+    n, n4 = SCALE_N, 4 * SCALE_N
+    results = {}
+    for cpus in (n, n4):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--ops-only",
+             *SCALING_OPS],
+            env=env, capture_output=True, text=True, timeout=3000,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    per_op = {}
+    for op in SCALING_OPS:
+        t1 = results[n]["ops"][op]
+        t4 = results[n4]["ops"][op]
+        per_op[op] = {f"sec_{n}": t1, f"sec_{n4}": t4,
+                      "efficiency": round(t1 / (4.0 * t4), 3)}
+    print(json.dumps({
+        "metric": f"per-op scaling local[{n}] -> local[{n4}]",
+        "sf": _sf_of(SF_DIR), "repl": OPS_REPL, "ops": per_op,
+    }))
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         run_scaling()
+        return
+    if "--scaling-ops" in sys.argv:
+        run_scaling_ops()
+        return
+    if "--ops-only" in sys.argv:
+        i = sys.argv.index("--ops-only")
+        run_ops_only(sys.argv[i + 1:])
         return
 
     spark = _get_spark(CPUS)

@@ -70,19 +70,6 @@ FORMAT_REGEX: dict[str, str] = {
         r"(?:#(?:[A-Za-z0-9\-._~:/?\[\]@!$&'()*+,;=]|%[0-9A-Fa-f]{2})*)?$"),
     "iri": r"^[a-zA-Z][a-zA-Z0-9+.-]*:[^\s]*$",
     "iri-reference": r"^[^\s\\]*$",
-    # idn-* are documented rlike APPROXIMATIONS of the reference's
-    # Net::IDN / Data::Validate::Domain behavior
-    # (FormatAssertion.pm:138-141): unicode letters/digits allowed per
-    # label, 63-char labels, 253-char total, no leading/trailing hyphen —
-    # without the full IDNA2008 mapping/bidi rules
-    "idn-hostname": (
-        r"^(?=.{1,253}$)((?!-)[\p{L}\p{N}-]{1,63}(?<!-))"
-        r"(\.((?!-)[\p{L}\p{N}-]{1,63}(?<!-)))*$"
-    ),
-    "idn-email": (
-        r"^[^@\s]+@(?=.{1,253}$)((?!-)[\p{L}\p{N}-]{1,63}(?<!-))"
-        r"(\.((?!-)[\p{L}\p{N}-]{1,63}(?<!-)))*$"
-    ),
 }
 
 # date formats additionally need a real-calendar check: regex admits Feb 30.
@@ -149,6 +136,26 @@ def _regex_format_predicate(col: Column) -> Column:
     return _re_ok(col)
 
 
+def _idn_format_predicate(name: str, col: Column) -> Column:
+    """idn-hostname / idn-email: the IDNA2008 pipeline (functions/idna.py
+    — punycode round-trip, RFC 5892 derived-property approximation,
+    CONTEXTJ/CONTEXTO, RFC 5893 bidi) as a vectorized pandas UDF.  Like
+    `regex`, IDN validity is not expressible as a JVM match (punycode +
+    Unicode property tables); cold path by nature — idn columns are
+    metadata-ish, not token data."""
+    from json_schema_modern_spark.functions.idna import (
+        check_idn_email, check_idn_hostname,
+    )
+
+    fn = check_idn_hostname if name == "idn-hostname" else check_idn_email
+
+    @F.pandas_udf("boolean")
+    def _idn_ok(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else fn(x))
+
+    return _idn_ok(col)
+
+
 def format_predicate(name: str, col: Column) -> Column | None:
     """Boolean Column: value conforms to the named format.
     None ⇒ unknown format (annotation-only, always valid)."""
@@ -156,6 +163,8 @@ def format_predicate(name: str, col: Column) -> Column | None:
         return _custom[name](col)
     if name == "regex":
         return _regex_format_predicate(col)
+    if name in ("idn-hostname", "idn-email"):
+        return _idn_format_predicate(name, col)
     pat = FORMAT_REGEX.get(name)
     if pat is None:
         return None

@@ -205,6 +205,20 @@ FORMAT_CHECKERS: dict[str, Callable[[str], bool]] = {
 }
 
 
+def _register_idn() -> None:
+    # IDNA2008 pipeline (functions/idna.py) — late import keeps this
+    # module importable standalone if idna.py is trimmed from a build
+    from json_schema_modern_spark.functions.idna import (
+        check_idn_email, check_idn_hostname,
+    )
+
+    FORMAT_CHECKERS["idn-hostname"] = check_idn_hostname
+    FORMAT_CHECKERS["idn-email"] = check_idn_email
+
+
+_register_idn()
+
+
 def _regex_compiles(v: str) -> bool:
     try:
         re.compile(v)

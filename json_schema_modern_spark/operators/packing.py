@@ -165,32 +165,43 @@ def packing_summary(packed: DataFrame, capacity: int,
 def pack_next_fit_oracle_sql(table_expr: str, capacity: int,
                              group_col: str = "source",
                              order_col: str = "doc_id",
-                             size_col: str = "n_tok") -> str:
+                             size_col: str = "n_tok",
+                             n_salts: int = 1) -> str:
     """ANSI-SQL (DuckDB) replay of pack_next_fit: recursive CTE stepping
     one document per group per iteration (running-sum-with-reset is not
-    expressible with plain window functions)."""
+    expressible with plain window functions).  ``n_salts > 1`` replays
+    the salted sub-stream split: the recursion groups by
+    (group, md5-bucket-of-order) and the final bin id is stitched as
+    local_bin * n_salts + salt — the identical derivation to the Spark
+    side, so the salted path is hash-verified end-to-end."""
+    if n_salts > 1:
+        salt = (f"CAST(concat('0x', substr(md5(CAST({order_col} AS VARCHAR)), "
+                f"1, 8)) AS BIGINT) % {n_salts}")
+    else:
+        salt = "CAST(0 AS BIGINT)"
     return f"""
 WITH RECURSIVE t AS (
-  SELECT {group_col} AS g, {order_col} AS o,
+  SELECT {group_col} AS g, {salt} AS salt, {order_col} AS o,
          CAST({size_col} AS BIGINT) AS s,
-         row_number() OVER (PARTITION BY {group_col} ORDER BY {order_col}) AS rn
+         row_number() OVER (PARTITION BY {group_col}, {salt}
+                            ORDER BY {order_col}) AS rn
   FROM {table_expr}
 ), rec AS (
-  SELECT g, o, s, rn, CAST(0 AS BIGINT) AS bin_id,
+  SELECT g, salt, o, s, rn, CAST(0 AS BIGINT) AS bin_id,
          CAST(0 AS BIGINT) AS bin_offset, s AS fill
   FROM t WHERE rn = 1
   UNION ALL
-  SELECT t.g, t.o, t.s, t.rn,
+  SELECT t.g, t.salt, t.o, t.s, t.rn,
          CASE WHEN rec.fill > 0 AND rec.fill + t.s > {capacity}
               THEN rec.bin_id + 1 ELSE rec.bin_id END,
          CASE WHEN rec.fill > 0 AND rec.fill + t.s > {capacity}
               THEN 0 ELSE rec.fill END,
          CASE WHEN rec.fill > 0 AND rec.fill + t.s > {capacity}
               THEN t.s ELSE rec.fill + t.s END
-  FROM rec JOIN t ON t.g = rec.g AND t.rn = rec.rn + 1
+  FROM rec JOIN t ON t.g = rec.g AND t.salt = rec.salt AND t.rn = rec.rn + 1
 )
 SELECT g AS {group_col}, o AS {order_col}, s AS {size_col},
-       bin_id, bin_offset,
+       bin_id * {n_salts} + salt AS bin_id, bin_offset,
        CAST(CASE WHEN s > {capacity} THEN 1 ELSE 0 END AS INT) AS oversize
 FROM rec
 """
