@@ -170,7 +170,15 @@ def run_headline(spark) -> dict:
     return timings
 
 
-OPS_REPL = int(os.environ.get("SPARK_GRAFT_OPS_REPL", "32"))
+OPS_REPL = int(os.environ.get("SPARK_GRAFT_OPS_REPL", "256"))
+# embeddings replicate harder than documents: the sf0.1 table is only
+# 2k vectors, and semdedup's broadcast-join pass is so cheap per row
+# that 64k rows (32x) finish in ~2 s of WORK at one core — fixed costs
+# (dim-probe job, two broadcast builds, scheduling) then dominate and
+# the measured "efficiency" is overhead amortization, not the operator
+# (measured 0.39 at 32x).  512x -> 1.02M vectors puts per-row work back
+# in charge.
+EMB_REPL = int(os.environ.get("SPARK_GRAFT_EMB_REPL", "512"))
 
 
 def _ops_input_path(spark) -> str:
@@ -182,22 +190,35 @@ def _ops_input_path(spark) -> str:
     and perturbs content (suffix on text, epsilon-scale on embeddings) so
     dedup/ANN work stays realistic rather than collapsing into one giant
     duplicate group."""
-    path = os.path.join(TOKEN_CACHE, f"ops_{_sf_of(SF_DIR)}_x{OPS_REPL}")
+    path = os.path.join(
+        TOKEN_CACHE, f"ops_{_sf_of(SF_DIR)}_x{OPS_REPL}_e{EMB_REPL}_v2")
     if not os.path.exists(os.path.join(path, "documents.parquet", "_SUCCESS")):
         from pyspark.sql import functions as F
 
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         r = F.explode(F.array(*[F.lit(i) for i in range(OPS_REPL)])).alias("_r")
+        re_ = F.explode(
+            F.array(*[F.lit(i) for i in range(EMB_REPL)])).alias("_r")
         d = docs.select("*", r).withColumn(
             "doc_id",
             F.col("doc_id").cast("long")
             + F.col("_r").cast("long") * F.lit(1_000_000_000).cast("long")
         ).withColumn(
-            "text", F.concat(F.col("text"), F.lit(" replica-"),
-                             F.col("_r").cast("string"))
+            # suffix EVERY word with the replica id, not just the doc tail:
+            # a tail suffix leaves replicas shingle-identical, so every doc
+            # gains REPL near-dup copies (a 3200%+ dup rate no corpus has)
+            # and the measured job degenerates into a quadratic intra-group
+            # pair explosion — memory-bandwidth-bound, which on a
+            # shared-memory VM anti-scales (measured 0.50 at 64x).  Per-word
+            # suffixing makes replicas shingle-DISJOINT: each replica is an
+            # independent corpus slice, work grows linearly with REPL, and
+            # the dup rate stays the sf table's own (the %97 dup union)
+            "text", F.regexp_replace(
+                F.col("text"), r"(\S+)",
+                F.concat(F.lit("$1-r"), F.col("_r").cast("string")))
         ).drop("_r")
-        e = emb.select("*", r).withColumn(
+        e = emb.select("*", re_).withColumn(
             "vec_id",
             F.col("vec_id").cast("long")
             + F.col("_r").cast("long") * F.lit(1_000_000_000).cast("long")
@@ -231,6 +252,12 @@ def run_ops_only(op_names: list[str]) -> None:
     # fake inefficiency (measured: semdedup 0.625 at 6 splits vs 0.830
     # at 32)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+    # shuffle partitions = 4x cores, not 1x: the replicated corpus makes
+    # LSH buckets fat (each doc has ~REPL near-identical replicas), and at
+    # partitions == cores one straggler partition idles the other cores —
+    # 4x gives the scheduler units to rebalance, same reason clusters run
+    # 2-5x tasks per core
+    spark.conf.set("spark.sql.shuffle.partitions", str(4 * CPUS))
     sf_dir = _ops_input_path(spark)
     qs = entrymod.queries()
     reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
@@ -246,7 +273,7 @@ def run_ops_only(op_names: list[str]) -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
     print(json.dumps({"cpus": CPUS, "sf": _sf_of(SF_DIR),
-                      "repl": OPS_REPL, "ops": timings}))
+                      "repl": OPS_REPL, "emb_repl": EMB_REPL, "ops": timings}))
 
 
 SCALING_OPS = ("dedup_minhash_lsh", "dedup_simhash", "semdedup")
@@ -276,7 +303,7 @@ def run_scaling_ops() -> None:
                       "efficiency": round(t1 / (4.0 * t4), 3)}
     print(json.dumps({
         "metric": f"per-op scaling local[{n}] -> local[{n4}]",
-        "sf": _sf_of(SF_DIR), "repl": OPS_REPL, "ops": per_op,
+        "sf": _sf_of(SF_DIR), "repl": OPS_REPL, "emb_repl": EMB_REPL, "ops": per_op,
     }))
 
 

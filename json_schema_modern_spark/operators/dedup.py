@@ -241,16 +241,57 @@ def minhash_lsh_candidates(
     shingle_n: int = 2,
     seed: int = 42,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b, band) via banded LSH.
+    """Candidate near-dup pairs (id_a < id_b) via banded LSH.
 
     rows = b bands of r = num_hashes/b rows each; two docs collide if any
     band's sub-signature matches exactly.  Shuffle key is (band, hash of
-    sub-signature): uniform by construction, so no salting needed."""
+    sub-signature): uniform by construction, so no salting needed.
+
+    Like `simhash_near_duplicates`, everything after the single Arrow
+    signature pass runs at DISTINCT-SIGNATURE granularity: identical
+    signatures (exact dups, boilerplate — the bulk of a web corpus)
+    collapse into one group row up front, intra-group pairs are emitted
+    directly (identical signature ⇒ every band collides), the band
+    explode + bucket collect_list + cross-band distinct operate on
+    signature groups, and a final expansion join maps qualifying group
+    pairs back to id pairs.  Each unordered doc pair lives in exactly one
+    group pair, so the expansion needs no distinct.  The previous
+    formulation self-joined the banded rows — two full shuffles of the
+    id-level table AND a second run of the signature UDF (PythonUDF nodes
+    defeat exchange-reuse canonicalization), with the distinct running
+    over id-level pair multiplicity."""
     r = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
-    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    bucket_rows = banded.select(
-        "_id",
+    sigged = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    # group key: md5 over the full signature (collision-negligible 128-bit
+    # surrogate — grouping/joining on a fixed-width string beats an
+    # array<long> comparator in the exchange).  Empty-shingle docs have an
+    # all-null signature → concat_ws("") → one shared group, which is
+    # exactly the old behavior (their band keys were all equal too).
+    gk = F.md5(F.concat_ws(",", *[
+        F.element_at("_sig", i + 1).cast("string") for i in range(num_hashes)
+    ]))
+    groups = (
+        sigged.withColumn("_gk", gk)
+        .groupBy("_gk")
+        .agg(F.sort_array(F.collect_set("_id")).alias("ids"),
+             F.first("_sig").alias("_sig"))
+        .withColumn("n", F.size("ids"))
+    )
+    # persist: feeds three branches (intra pairs, band explode, expansion
+    # joins); one row per distinct signature, spills under pressure
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+
+    intra = (
+        groups.where(F.col("n") > 1)
+        .select(F.explode("ids").alias("id_a"), F.col("ids").alias("rs"))
+        .select("id_a", F.explode("rs").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+    bucket_rows = groups.select(
+        "_gk",
         F.explode(
             F.array(*[
                 F.struct(
@@ -260,16 +301,31 @@ def minhash_lsh_candidates(
                 for i in range(bands)
             ])
         ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bkey")
-    left = bucket_rows.alias("l")
-    right = bucket_rows.alias("r")
-    pairs = (
-        left.join(right, ["band", "bkey"])
-        .where(F.col("l._id") < F.col("r._id"))
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+    ).select("_gk", "bb.band", "bb.bkey")
+    buckets = (
+        bucket_rows.groupBy("band", "bkey")
+        .agg(F.collect_list("_gk").alias("xs"))
+        .where(F.size("xs") > 1)
     )
-    return pairs
+    gpairs = (
+        buckets.select(F.explode("xs").alias("ga"), F.col("xs").alias("rs"))
+        .select("ga", F.explode("rs").alias("gb"))
+        .where(F.col("ga") < F.col("gb"))
+        .select("ga", "gb")
+        .distinct()  # across bands — at group granularity, not id
+    )
+    inter = (
+        gpairs
+        .join(groups.select(F.col("_gk").alias("ga"),
+                            F.col("ids").alias("ids_a")), "ga")
+        .join(groups.select(F.col("_gk").alias("gb"),
+                            F.col("ids").alias("ids_b")), "gb")
+        .select(F.explode("ids_a").alias("a"), F.col("ids_b"))
+        .select("a", F.explode("ids_b").alias("b"))
+        .select(F.least("a", "b").alias("id_a"),
+                F.greatest("a", "b").alias("id_b"))
+    )
+    return intra.unionAll(inter)
 
 
 def ngram_jaccard_pairs(

@@ -141,6 +141,14 @@ def main() -> None:
 
     lsh_plan = explain_str(minhash_lsh_candidates(docs, num_hashes=32, bands=8))
     check("dedup LSH: band join is equi (no cross product)", no_cross(lsh_plan))
+    # like SimHash below: the signature UDF must not be recomputed per
+    # branch — either one Arrow node or a persisted groups relation
+    lsh_arrow = sum(1 for ln in lsh_plan.splitlines()
+                    if "ArrowEvalPython" in ln and "(" not in ln.split("Arrow")[0])
+    lsh_inmem = sum(1 for ln in lsh_plan.splitlines()
+                    if "InMemoryTableScan" in ln and "(" not in ln.split("InMemory")[0])
+    check("dedup LSH: single signature UDF pass", lsh_arrow == 1 or lsh_inmem >= 1,
+          f"tree ArrowEvalPython nodes: {lsh_arrow}, InMemoryTableScan: {lsh_inmem}")
     pp_plan = explain_str(ngram_jaccard_pairs(docs, threshold=0.9))
     check("dedup PPJoin: prefix join is equi (no cross product)", no_cross(pp_plan))
     sh_plan = explain_str(simhash_near_duplicates(docs, max_hamming=3))
