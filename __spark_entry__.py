@@ -672,6 +672,53 @@ def _q_dedup_clusters(spark, sf_dir):
     return resolve_duplicate_clusters(pairs)
 
 
+def _q_dedup_tokens_minhash(spark, sf_dir):
+    """MinHash-LSH in TOKENIZER space: near-dup candidate pairs over the
+    derived token sequences (the north rule's actual input unit), shingled
+    as token-id 3-grams JVM-side with one Arrow signature pass.  The
+    oracle recomputes the identical signatures from the same token
+    derivation in DuckDB BIGINT and re-joins the 4-band keys."""
+    from json_schema_modern_spark.operators.dedup import (
+        minhash_lsh_candidates_tokens,
+    )
+
+    t = _doc_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens")
+    return minhash_lsh_candidates_tokens(t, num_hashes=16, bands=4, ngram_n=3)
+
+
+def _q_dedup_prefix(spark, sf_dir):
+    """Truncated-duplicate detection: sequences whose token stream is an
+    exact prefix of a longer one (the cut-off-recrawl failure mode that
+    aggressive truncation hides from Jaccard near-dup).  Deterministic
+    truncated replicas (every 7th doc, kept head = max(n/2, 8)) guarantee
+    a non-degenerate answer; the oracle rebuilds the same corpus and
+    verifies prefix equality by direct list comparison — independent of
+    the engine's md5 head-bucket join."""
+    from json_schema_modern_spark.operators.dedup import (
+        prefix_containment_pairs,
+    )
+
+    base = _doc_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens")
+    trunc = base.where(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_t")).alias("doc_id"),
+        F.expr("slice(tokens, 1, greatest(cast(floor(size(tokens)/2) as int), 8))").alias("tokens"),
+    )
+    corpus = base.select(F.col("doc_id").cast("string").alias("doc_id"),
+                         "tokens").unionAll(trunc)
+    return prefix_containment_pairs(corpus, prefix_k=8)
+
+
+def _q_source_jsd(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source token unigram
+    distributions — the source-similarity matrix behind mixture design.
+    Intersection-only decomposition (disjoint mass folds in as 0.5·ln2
+    closed-form); per-pair terms fold in deterministic token order."""
+    from json_schema_modern_spark.operators.drift import jsd_matrix
+
+    return jsd_matrix(_doc_tokens(_read(spark, sf_dir, "documents")),
+                      "tokens", "source")
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1282,6 +1329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_segments": _q_dedup_segments,
+        "dedup_tokens_minhash": _q_dedup_tokens_minhash,
+        "dedup_prefix_containment": _q_dedup_prefix,
+        "source_jsd_matrix": _q_source_jsd,
         "stats_by_source": _q_stats_by_source,
         "unique_doc_ids": _q_unique,
         "drift_psi": _q_drift_psi,
@@ -2009,6 +2059,46 @@ FROM cum GROUP BY 1, 2, 3
         "CAST(round(count(DISTINCT token) / 200.0, 6) AS DOUBLE) AS coverage "
         "FROM u WHERE token >= 0 AND token < 200"
     )
+    o["dedup_tokens_minhash"] = _tokens_minhash_pairs_oracle(_tok_expr)
+    # truncated-duplicate corpus: same deterministic replicas as the
+    # engine (every 7th doc, head = max(n/2, 8)); prefix verified by
+    # direct list equality — independent of the engine's md5 head bucket
+    o["dedup_prefix_containment"] = f"""
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_tok_expr} AS toks FROM documents),
+tr AS (SELECT concat(CAST(doc_id AS VARCHAR), '_t') AS doc_id,
+              toks[1:greatest(CAST(floor(len(toks)/2) AS INT), 8)] AS toks
+       FROM (SELECT doc_id, {_tok_expr} AS toks FROM documents)
+       WHERE doc_id % 7 = 0),
+u AS (SELECT * FROM t UNION ALL SELECT * FROM tr),
+f AS (SELECT * FROM u WHERE len(toks) >= 8)
+SELECT a.doc_id AS id_short, b.doc_id AS id_long,
+       CAST(len(a.toks) AS INT) AS n_short, CAST(len(b.toks) AS INT) AS n_long
+FROM f a JOIN f b ON a.toks[1:8] = b.toks[1:8]
+WHERE len(a.toks) < len(b.toks) AND b.toks[1:len(a.toks)] = a.toks
+"""
+    # pairwise JSD: same intersection-only decomposition as the engine
+    # (disjoint mass = 0.5·ln2 closed form); round-6 absorbs the
+    # engine-vs-DuckDB summation-order float noise (~1e-12)
+    o["source_jsd_matrix"] = f"""
+WITH t AS (SELECT source, {_tok_expr} AS toks FROM documents),
+u AS (SELECT source, unnest(toks) AS token FROM t),
+c AS (SELECT source, token, count(*) AS cnt FROM u GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tok FROM c GROUP BY 1),
+d AS (SELECT c.source, c.token, c.cnt / tot.n_tok AS p
+      FROM c JOIN tot ON c.source = tot.source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb,
+         sum(0.5*a.p*ln(2*a.p/(a.p+b.p)) + 0.5*b.p*ln(2*b.p/(a.p+b.p))) AS tsum,
+         sum(a.p) AS pasum, sum(b.p) AS pbsum
+  FROM d a JOIN d b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2),
+grid AS (SELECT a.source AS sa, a.n_tok AS na, b.source AS sb, b.n_tok AS nb
+         FROM tot a JOIN tot b ON a.source < b.source)
+SELECT grid.sa AS source_a, grid.sb AS source_b,
+       grid.na AS n_tokens_a, grid.nb AS n_tokens_b,
+       CAST(round(coalesce(tsum, 0) + 0.5*ln(2)*(2 - coalesce(pasum, 0) - coalesce(pbsum, 0)), 6) AS DOUBLE) AS jsd
+FROM grid LEFT JOIN inter ON grid.sa = inter.sa AND grid.sb = inter.sb
+"""
     # next-fit packing: recursive-CTE replay of the sequential
     # running-sum-with-reset (not expressible with plain windows)
     from json_schema_modern_spark.operators.packing import (
@@ -2299,6 +2389,39 @@ dig AS (
   SELECT doc_id,
          list_transform(shingles, s -> {POLY_SQL}) AS digests
   FROM sh),
+sigs AS (SELECT doc_id, {sig_cols} FROM dig),
+bands AS ({band_rows})
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.k3 = r.k3 AND l.k4 = r.k4
+WHERE l.doc_id < r.doc_id
+"""
+
+
+def _tokens_minhash_pairs_oracle(tok_expr: str) -> str:
+    """Token-space MinHash-LSH oracle: rebuild the token-id 3-gram shingle
+    sets from the same token derivation, recompute the 16-hash signatures
+    in DuckDB BIGINT, and re-join the 4-band keys as raw 4-tuples —
+    independent of the engine's Arrow UDF and md5 band surrogates."""
+    from json_schema_modern_spark.operators.dedup import (
+        MERSENNE_P, _hash_params, poly_digest_sql)
+
+    POLY_SQL = poly_digest_sql("s")
+    a, b = _hash_params(16, 42)
+    sig_cols = ", ".join(
+        f"list_min(list_transform(digests, d -> ({a[i]} * d + {b[i]}) % {MERSENNE_P})) AS s{i+1}"
+        for i in range(16))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, s{4*i+1} AS k1, s{4*i+2} AS k2, "
+        f"s{4*i+3} AS k3, s{4*i+4} AS k4 FROM sigs"
+        for i in range(4))
+    return f"""
+WITH t AS (SELECT doc_id, {tok_expr} AS toks FROM documents),
+g AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], '-'))) AS grams
+      FROM t),
+dig AS (SELECT doc_id, list_transform(grams, s -> {POLY_SQL}) AS digests FROM g),
 sigs AS (SELECT doc_id, {sig_cols} FROM dig),
 bands AS ({band_rows})
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b

@@ -260,9 +260,18 @@ def minhash_lsh_candidates(
     id-level table AND a second run of the signature UDF (PythonUDF nodes
     defeat exchange-reuse canonicalization), with the distinct running
     over id-level pair multiplicity."""
-    r = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
     sigged = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    return _lsh_pairs_from_signatures(sigged, num_hashes, bands)
+
+
+def _lsh_pairs_from_signatures(sigged: DataFrame, num_hashes: int,
+                               bands: int) -> DataFrame:
+    """Banded-LSH pair generation over a (_id, _sig:array<long>) frame at
+    distinct-signature granularity — the shared tail of the text- and
+    token-level MinHash paths (see `minhash_lsh_candidates` for the full
+    design rationale)."""
+    r = num_hashes // bands
     # group key: md5 over the full signature (collision-negligible 128-bit
     # surrogate — grouping/joining on a fixed-width string beats an
     # array<long> comparator in the exchange).  Empty-shingle docs have an
@@ -326,6 +335,123 @@ def minhash_lsh_candidates(
                 F.greatest("a", "b").alias("id_b"))
     )
     return intra.unionAll(inter)
+
+
+def token_ngram_shingles(tokens: Column, n: int = 3) -> Column:
+    """array<string> of distinct token-id n-grams ("t1-t2-t3") built
+    JVM-side — the shingle set for token-level (tokenizer-space) dedup,
+    where the unit of near-duplication is the pre-tokenized sequence the
+    trainer actually consumes, not the source text.
+
+    `sequence(1, size-n+1)` is guarded: Spark's sequence(1, 0) counts DOWN
+    ([1, 0]), so short arrays must short-circuit to an empty shingle set.
+    """
+    m = F.size(tokens) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws("-", F.transform(
+            F.slice(tokens, i, n), lambda t: t.cast("string"))),
+    )
+    return F.when(m >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>"))
+
+
+def minhash_signature_shingles(shingles: Column, num_hashes: int = 16,
+                               seed: int = 42) -> Column:
+    """array<long> MinHash signature over a precomputed shingle-string
+    array — same exact universal-hash family as `minhash_signature`
+    (portable to the DuckDB oracle), but the shingling already happened
+    JVM-side so the Arrow batch carries only the distinct gram strings."""
+    a, b = _hash_params(num_hashes, seed)
+    a_np = np.asarray(a, dtype=np.int64)
+    b_np = np.asarray(b, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(grams: pd.Series) -> pd.Series:
+        out = []
+        for sh in grams:
+            if sh is None or len(sh) == 0:
+                out.append([None] * num_hashes)
+                continue
+            d = _poly_digests(list(sh), POLY_B1, POLY_P1)
+            mins = ((d[:, None] * a_np + b_np) % MERSENNE_P).min(axis=0)
+            out.append(mins.tolist())
+        return pd.Series(out)
+
+    return sig_udf(shingles)
+
+
+def minhash_lsh_candidates_tokens(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) over PRE-TOKENIZED sequences
+    — MinHash-LSH in tokenizer space, the dedup that matches what a
+    trainer sees (two documents whose token streams overlap are duplicates
+    even when whitespace/markup differences hide it from text shingling).
+
+    100 TB shape: shingling is a pure Column pipeline (codegen), one Arrow
+    pass computes signatures over the distinct-gram arrays, and everything
+    downstream is the shared distinct-signature banding path
+    (`_lsh_pairs_from_signatures`) — shuffle keys are uniform md5 band
+    hashes, never all-pairs."""
+    sig = minhash_signature_shingles(
+        token_ngram_shingles(F.col(tokens_col), ngram_n), num_hashes, seed)
+    sigged = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    return _lsh_pairs_from_signatures(sigged, num_hashes, bands)
+
+
+def prefix_containment_pairs(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    prefix_k: int = 8,
+) -> DataFrame:
+    """Truncated-duplicate pairs: (id_short, id_long, n_short, n_long)
+    where the shorter token sequence is an exact PREFIX of the longer —
+    the scraped-web failure mode (the same page captured once complete
+    and once cut off mid-stream) that Jaccard-style near-dup misses when
+    the truncation is aggressive (shingle overlap ∝ kept fraction).
+
+    100 TB shape: candidate generation is a self-equi-join on
+    md5(first `prefix_k` token ids) — the shuffle carries (key, id,
+    tokens) and only sequences sharing an identical k-token head ever
+    meet; the full-prefix verification (`slice` equality) runs inside the
+    joined rows.  Sequences shorter than `prefix_k` are dropped (a <8-token
+    "document" is not a truncation candidate).  Key skew equals head
+    duplication, which is exactly the phenomenon being measured — AQE
+    skew-join handles pathological heads.  Equal-length exact duplicates
+    are excluded (strict n_short < n_long): `exact_duplicates` owns those.
+    """
+    t = F.col(tokens_col)
+    keyed = (
+        df.where(F.size(t) >= prefix_k)
+        .select(
+            F.md5(F.concat_ws(",", F.transform(
+                F.slice(t, 1, prefix_k),
+                lambda x: x.cast("string")))).alias("_pk"),
+            F.col(id_col).alias("_id"),
+            t.alias("_toks"),
+            F.size(t).alias("_n"),
+        )
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, "_pk")
+        .where(F.col("a._n") < F.col("b._n"))
+        .where(F.expr("slice(b._toks, 1, a._n) = a._toks"))
+        .select(
+            F.col("a._id").alias("id_short"),
+            F.col("b._id").alias("id_long"),
+            F.col("a._n").alias("n_short"),
+            F.col("b._n").alias("n_long"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(

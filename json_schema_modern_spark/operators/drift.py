@@ -256,3 +256,92 @@ def drift_violations(drift_df: DataFrame, group_col: str, value_col: str,
         ).alias("error"),
         F.col(group_col).cast("string").alias("offending_value"),
     )
+
+
+def jsd_matrix(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_tokens_a, n_tokens_b, jsd) — pairwise
+    Jensen-Shannon divergence (natural log; 0 = identical, ln 2 = disjoint)
+    between the token unigram distributions of every group pair — the
+    source-similarity diagnostic behind mixture design (two near-identical
+    sources add redundancy, not diversity) and drift forensics (which
+    source moved away from the others).
+
+    Decomposition that avoids materializing the full |S|×|V| grid per
+    pair: with M = (P+Q)/2, tokens outside the support intersection
+    contribute exactly 0.5·p·ln2 (resp. 0.5·q·ln2), so
+
+        JSD(P,Q) = Σ_{t∈P∩Q} [0.5·p·ln(2p/(p+q)) + 0.5·q·ln(2q/(p+q))]
+                 + 0.5·ln2 · (2 − Σ_{t∈P∩Q} p − Σ_{t∈P∩Q} q)
+
+    and only the INTERSECTION rows ever join.  100 TB shape: unigram
+    counts are one map-side-combined agg (shuffle ≤ |S|·|V| rows, V =
+    tokenizer vocab); the pair join shuffles the per-source dists on
+    token; totals and the |S|² pair grid are broadcast.  Per-pair terms
+    fold in deterministic token order (array_sort + aggregate, the same
+    pattern as `psi_drift`) so the result is bit-stable for the oracle.
+    Disjoint-support pairs surface with jsd = ln 2 via the grid left-join.
+    """
+    ln2 = 0.6931471805599453
+    counts = (
+        df.select(F.col(group_col).alias("grp"),
+                  F.explode(tokens_col).alias("token"))
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy("grp").agg(F.sum("cnt").alias("n_tok"))
+    dist = (
+        counts.join(F.broadcast(totals), "grp")
+        .select("grp", "token",
+                (F.col("cnt") / F.col("n_tok")).alias("p"))
+    )
+    a = dist.select(F.col("grp").alias("grp_a"), "token",
+                    F.col("p").alias("pa"))
+    b = dist.select(F.col("grp").alias("grp_b"), F.col("token"),
+                    F.col("p").alias("pb"))
+    pa, pb = F.col("x.pa"), F.col("x.pb")
+    term = (
+        0.5 * pa * F.log(2.0 * pa / (pa + pb))
+        + 0.5 * pb * F.log(2.0 * pb / (pa + pb))
+    )
+    inter = (
+        a.join(b, "token")
+        .where(F.col("grp_a") < F.col("grp_b"))
+        .select("grp_a", "grp_b",
+                F.struct("token", "pa", "pb").alias("x"))
+        .select("grp_a", "grp_b", F.col("x.token").alias("token"),
+                term.alias("term"), pa.alias("pa"), pb.alias("pb"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("token", "term", "pa", "pb"))
+        ).alias("arr"))
+        .select(
+            "grp_a", "grp_b",
+            F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["term"]).alias("tsum"),
+            F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["pa"]).alias("pasum"),
+            F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["pb"]).alias("pbsum"),
+        )
+    )
+    grid = (
+        totals.select(F.col("grp").alias("grp_a"), F.col("n_tok").alias("n_tokens_a"))
+        .crossJoin(F.broadcast(totals.select(F.col("grp").alias("grp_b"),
+                                             F.col("n_tok").alias("n_tokens_b"))))
+        .where(F.col("grp_a") < F.col("grp_b"))
+    )
+    return (
+        grid.join(inter, ["grp_a", "grp_b"], "left_outer")
+        .select(
+            F.col("grp_a").alias("source_a"),
+            F.col("grp_b").alias("source_b"),
+            "n_tokens_a", "n_tokens_b",
+            F.round(
+                F.coalesce(F.col("tsum"), F.lit(0.0))
+                + 0.5 * ln2 * (2.0 - F.coalesce(F.col("pasum"), F.lit(0.0))
+                               - F.coalesce(F.col("pbsum"), F.lit(0.0))),
+                6,
+            ).alias("jsd"),
+        )
+    )
