@@ -719,6 +719,26 @@ def _q_source_jsd(spark, sf_dir):
                       "tokens", "source")
 
 
+def _q_source_overlap(spark, sf_dir):
+    """Per-source MinHash sketch → pairwise estimated Jaccard over token
+    3-gram shingle sets: the shared-CONTENT complement of the JSD matrix
+    (distributionally close sources can still share zero actual text).
+    Oracle recomputes sketches slot-by-slot in DuckDB BIGINT."""
+    from json_schema_modern_spark.operators.dedup import source_overlap_sketch
+
+    return source_overlap_sketch(
+        _doc_tokens(_read(spark, sf_dir, "documents")), "tokens", "source")
+
+
+def _q_boilerplate(spark, sf_dir):
+    """Top-k word 3-grams per source by document frequency — the C4-era
+    boilerplate detector; deterministic (n_docs DESC, gram ASC) ranking."""
+    from json_schema_modern_spark.operators.diversity import boilerplate_ngrams
+
+    return boilerplate_ngrams(_read(spark, sf_dir, "documents"),
+                              n=3, top_k=5, min_docs=2)
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1332,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tokens_minhash": _q_dedup_tokens_minhash,
         "dedup_prefix_containment": _q_dedup_prefix,
         "source_jsd_matrix": _q_source_jsd,
+        "source_overlap_sketch": _q_source_overlap,
+        "boilerplate_ngrams": _q_boilerplate,
         "stats_by_source": _q_stats_by_source,
         "unique_doc_ids": _q_unique,
         "drift_psi": _q_drift_psi,
@@ -2060,6 +2082,12 @@ FROM cum GROUP BY 1, 2, 3
         "FROM u WHERE token >= 0 AND token < 200"
     )
     o["dedup_tokens_minhash"] = _tokens_minhash_pairs_oracle(_tok_expr)
+    o["source_overlap_sketch"] = _source_overlap_oracle(_tok_expr)
+    from json_schema_modern_spark.operators.diversity import (
+        boilerplate_ngrams_oracle_sql,
+    )
+    o["boilerplate_ngrams"] = boilerplate_ngrams_oracle_sql(
+        "documents", n=3, top_k=5, min_docs=2)
     # truncated-duplicate corpus: same deterministic replicas as the
     # engine (every 7th doc, head = max(n/2, 8)); prefix verified by
     # direct list equality — independent of the engine's md5 head bucket
@@ -2428,6 +2456,35 @@ SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM bands l JOIN bands r
   ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.k3 = r.k3 AND l.k4 = r.k4
 WHERE l.doc_id < r.doc_id
+"""
+
+
+def _source_overlap_oracle(tok_expr: str) -> str:
+    """Per-source MinHash sketch oracle: same token 3-gram shingles, same
+    polynomial digests and (a, b) hash family recomputed in DuckDB BIGINT,
+    per-slot mins via plain min-aggregates, pair grid via self-join."""
+    from json_schema_modern_spark.operators.dedup import (
+        MERSENNE_P, _hash_params, poly_digest_sql)
+
+    POLY_SQL = poly_digest_sql("gram")
+    a, b = _hash_params(16, 42)
+    mins = ", ".join(
+        f"min(({a[j]} * d + {b[j]}) % {MERSENNE_P}) AS s{j}" for j in range(16))
+    match = " + ".join(
+        f"(CASE WHEN x.s{j} = y.s{j} THEN 1 ELSE 0 END)" for j in range(16))
+    return f"""
+WITH t AS (SELECT source, {tok_expr} AS toks FROM documents),
+g0 AS (SELECT source,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], '-')))) AS gram
+       FROM t),
+g AS (SELECT DISTINCT source, gram FROM g0),
+d AS (SELECT source, {POLY_SQL} AS d FROM g),
+sk AS (SELECT source, {mins} FROM d GROUP BY 1)
+SELECT x.source AS source_a, y.source AS source_b,
+       CAST({match} AS INT) AS n_matching,
+       CAST(round(({match}) / 16.0, 6) AS DOUBLE) AS jaccard_est
+FROM sk x JOIN sk y ON x.source < y.source
 """
 
 

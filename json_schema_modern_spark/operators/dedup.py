@@ -406,6 +406,66 @@ def minhash_lsh_candidates_tokens(
     return _lsh_pairs_from_signatures(sigged, num_hashes, bands)
 
 
+def source_overlap_sketch(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    num_hashes: int = 16,
+    ngram_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(source_a, source_b, n_matching, jaccard_est) — estimated Jaccard
+    overlap between the token-n-gram SHINGLE SETS of every group pair via
+    per-group k-slot MinHash sketches: slot j of a group is min over its
+    distinct shingles of h_j(digest), and E[fraction of matching slots] =
+    Jaccard(A, B).  Complements `jsd_matrix`: JSD compares unigram
+    DISTRIBUTIONS (two sources can be distributionally close while sharing
+    no actual content); sketch overlap measures shared CONTENT (near-
+    identical crawls, cross-dump duplication) at sketch cost.
+
+    100 TB shape: shingling is pure Column, the digest is one Arrow pass
+    over distinct (group, gram) rows, the sketch is a single map-side-
+    combined groupBy with k min-aggregates (shuffle = |groups|·k cells),
+    and the pair grid is a broadcast self-join of |groups| sketch rows.
+    """
+    a, b = _hash_params(num_hashes, seed)
+
+    @F.pandas_udf("long")
+    def digest_udf(grams: pd.Series) -> pd.Series:
+        vals = grams.tolist()
+        if not vals:
+            return pd.Series([], dtype="int64")
+        return pd.Series(_poly_digests(vals, POLY_B1, POLY_P1))
+
+    grams = (
+        df.select(F.col(group_col).alias("grp"),
+                  F.explode(token_ngram_shingles(F.col(tokens_col), ngram_n)).alias("gram"))
+        .distinct()
+        .select("grp", digest_udf("gram").alias("d"))
+    )
+    sketch = grams.groupBy("grp").agg(*[
+        F.min((F.lit(a[j]) * F.col("d") + F.lit(b[j])) % F.lit(MERSENNE_P)).alias(f"s{j}")
+        for j in range(num_hashes)
+    ])
+    left = sketch.select(F.col("grp").alias("source_a"),
+                         *[F.col(f"s{j}").alias(f"a{j}") for j in range(num_hashes)])
+    right = sketch.select(F.col("grp").alias("source_b"),
+                          *[F.col(f"s{j}").alias(f"b{j}") for j in range(num_hashes)])
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    return (
+        left.crossJoin(F.broadcast(right))
+        .where(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a", "source_b",
+            matches.alias("n_matching"),
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
+        )
+    )
+
+
 def prefix_containment_pairs(
     df: DataFrame,
     tokens_col: str = "tokens",

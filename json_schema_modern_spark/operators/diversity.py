@@ -163,3 +163,72 @@ SELECT {by}, CAST(count(*) AS BIGINT) AS n_types,
        END AS slope
 FROM r WHERE _rank <= {top_k} GROUP BY 1
 """
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    by: str = "source",
+    top_k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(source, gram, n_docs, rank) — the top-k word n-grams per group by
+    DOCUMENT frequency (each doc votes once per distinct gram): the C4-era
+    boilerplate detector (navigation chrome, cookie banners, footer
+    legalese repeat across documents, not merely within one).  Grams seen
+    in fewer than `min_docs` documents are noise, not boilerplate.
+
+    100 TB shape: per-doc distinct grams explode once, the doc-frequency
+    agg is map-side combined (shuffle O(|distinct grams|)), and the top-k
+    is a row_number window partitioned by group over the already-
+    aggregated gram counts — the same bounded-partition pattern as
+    `zipf_slope`.  Ties break on gram text for a deterministic ranking.
+    """
+    g = df.select(
+        F.col(by),
+        F.explode(F.array_distinct(_grams(F.col(text_col), n))).alias("gram"),
+    )
+    counts = (
+        g.groupBy(by, "gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    w = Window.partitionBy(by).orderBy(F.desc("n_docs"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(by, "gram", "n_docs", "rank")
+    )
+
+
+def boilerplate_ngrams_oracle_sql(table: str = "documents",
+                                  text_col: str = "text", n: int = 3,
+                                  by: str = "source", top_k: int = 5,
+                                  min_docs: int = 2) -> str:
+    """DuckDB replay of `boilerplate_ngrams`: same word split, per-doc
+    distinct grams, doc-frequency count, and (n_docs DESC, gram ASC)
+    row_number ranking."""
+    gram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+WITH w AS (
+  SELECT {by}, row_number() OVER () AS _doc,
+         list_transform(list_filter(string_split_regex({text_col},
+             '[^A-Za-z0-9]+'), x -> x <> ''), x -> lower(x)) AS ws
+  FROM {table}
+), g AS (
+  SELECT DISTINCT {by}, _doc,
+         unnest(list_transform(range(1, greatest(len(ws) - {n - 2}, 1)),
+                i -> {gram})) AS gram
+  FROM w
+), c AS (
+  SELECT {by}, gram, CAST(count(*) AS BIGINT) AS n_docs
+  FROM g GROUP BY 1, 2 HAVING count(*) >= {min_docs}
+), r AS (
+  SELECT {by}, gram, n_docs,
+         CAST(row_number() OVER (PARTITION BY {by}
+              ORDER BY n_docs DESC, gram ASC) AS INT) AS rank
+  FROM c
+)
+SELECT * FROM r WHERE rank <= {top_k}
+"""
