@@ -985,6 +985,26 @@ def _q_token_lm_score(spark, sf_dir):
         _doc_tokens(_read(spark, sf_dir, "documents")), _TOKEN_VOCAB)
 
 
+def _q_token_bigram_score(spark, sf_dir):
+    """Conditional bigram cross-entropy per document (order-sensitive LM
+    filter; no driver-side model array — the bigram table joins back to
+    the exploded pairs, O(|observed bigrams|) shuffle)."""
+    from json_schema_modern_spark.operators.lm_score import (
+        bigram_logprob_scores,
+    )
+
+    return bigram_logprob_scores(
+        _doc_tokens(_read(spark, sf_dir, "documents")), _TOKEN_VOCAB)
+
+
+def _q_token_entropy(spark, sf_dir):
+    """Within-document Shannon entropy of the token distribution — the
+    degenerate-repetition filter; deterministic token-order fold."""
+    from json_schema_modern_spark.operators.tokens import token_entropy
+
+    return token_entropy(_doc_tokens(_read(spark, sf_dir, "documents")))
+
+
 def _q_token_oov(spark, sf_dir):
     from json_schema_modern_spark.operators.tokens import oov_stats
 
@@ -1332,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_oov_stats": _q_token_oov,
         "token_vocab_coverage": _q_token_vocab_coverage,
         "token_lm_score": _q_token_lm_score,
+        "token_bigram_score": _q_token_bigram_score,
+        "token_entropy": _q_token_entropy,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_lsh_buckets": _q_ann_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -2065,6 +2087,36 @@ FROM cum GROUP BY 1, 2, 3
         "CAST(round(s.sc, 6) AS DOUBLE) AS lm_score "
         "FROM t LEFT JOIN s ON t.doc_id = s.doc_id"
     )
+    # bigram LM: parallel unnests zip element-wise in DuckDB, so the two
+    # shifted slices reconstruct the same adjacent pairs as zip_with
+    o["token_bigram_score"] = f"""
+WITH t AS (SELECT doc_id, {_tok_expr} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS t1,
+             unnest(toks[2:len(toks)]) AS t2 FROM t),
+ip AS (SELECT * FROM p
+       WHERE t1 >= 0 AND t1 < 200 AND t2 >= 0 AND t2 < 200),
+c2 AS (SELECT t1, t2, count(*) AS n2 FROM ip GROUP BY 1, 2),
+c1 AS (SELECT t1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+s AS (SELECT ip.doc_id, count(*) AS nb,
+             -avg(ln((c2.n2 + 1.0) / (c1.n1 + 200.0))) AS sc
+      FROM ip JOIN c2 USING (t1, t2) JOIN c1 USING (t1) GROUP BY 1)
+SELECT t.doc_id, CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(round(s.sc, 6) AS DOUBLE) AS bigram_score
+FROM t LEFT JOIN s USING (doc_id)
+"""
+    o["token_entropy"] = f"""
+WITH t AS (SELECT doc_id, {_tok_expr} AS toks FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS token FROM t),
+c AS (SELECT doc_id, token, count(*) AS cnt FROM u GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS nd FROM c GROUP BY 1),
+h AS (SELECT c.doc_id, -sum((c.cnt / n.n) * ln(c.cnt / n.n)) AS ent
+      FROM c JOIN n USING (doc_id) GROUP BY 1)
+SELECT t.doc_id, coalesce(n.n, 0) AS n_tokens,
+       coalesce(n.nd, 0) AS n_distinct,
+       CAST(round(h.ent, 6) AS DOUBLE) AS entropy
+FROM t LEFT JOIN n USING (doc_id) LEFT JOIN h USING (doc_id)
+"""
     o["token_oov_stats"] = (
         f"WITH t AS (SELECT source, {_tok_expr} AS toks FROM documents) "
         "SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens, "

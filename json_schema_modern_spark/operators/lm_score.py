@@ -93,3 +93,60 @@ def unigram_logprob_scores(
         n_tok.cast("long").alias("n_tokens"),
         F.round(score_udf(t), 6).alias("lm_score"),
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, n_bigrams, bigram_score) per document: conditional bigram
+    cross-entropy in nats, −mean log p(t2|t1) with add-one smoothing
+
+        p(t2|t1) = (c(t1,t2) + 1) / (c(t1,·) + V)
+
+    trained on the same corpus, over adjacent pairs with BOTH ids
+    in-vocab (out-of-vocab pairs are skipped; a doc with no in-vocab
+    bigram scores NULL).  The order-sensitive sibling of the unigram
+    filter: repetitive token streams ("a b a b a b") look typical to a
+    unigram model but improbable to a bigram one.
+
+    100 TB shape: unlike the unigram path there is NO driver-side model
+    array — the bigram table is a DataFrame joined back to the exploded
+    pairs (c(t1,t2) has no V² bound driver-side; shuffle is
+    O(|observed bigrams|), and the scoring join keys on (t1,t2) — AQE
+    broadcasts it when small, sort-merge otherwise).  Pair construction
+    is one zip_with, the count aggs are map-side combined, and the
+    per-doc mean is a plain avg (round-6 on both engines)."""
+    t = F.col(tokens_col)
+    pairs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+            )).alias("p"),
+        )
+        .select("_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .where((F.col("t1") >= 0) & (F.col("t1") < vocab_size)
+               & (F.col("t2") >= 0) & (F.col("t2") < vocab_size))
+    )
+    c2 = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("t1").agg(F.sum("n2").alias("n1"))
+    lp = F.log((F.col("n2") + F.lit(1.0)) / (F.col("n1") + F.lit(float(vocab_size))))
+    scored = (
+        pairs.join(c2, ["t1", "t2"]).join(c1, ["t1"])
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("nb"), (-F.avg(lp)).alias("sc"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, F.col(id_col) == F.col("_id"), "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round("sc", 6).alias("bigram_score"),
+        )
+    )

@@ -84,3 +84,53 @@ def vocab_coverage(
         F.round(F.col("n_distinct_tokens") / F.lit(float(vocab_size)), 6)
         .alias("coverage"),
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, n_tokens, n_distinct, entropy) — within-document Shannon
+    entropy of the token unigram distribution in nats: H = −Σ (c/n)·ln(c/n)
+    over the doc's own token counts.  The degenerate-repetition filter:
+    "a b a b a b" has H = ln 2 no matter how long it runs, while natural
+    text grows toward ln(n_distinct); filter on H or on H/ln(n_distinct).
+
+    100 TB shape: one explode + map-side-combined (id, token) count, then
+    a per-doc fold over the ≤|doc vocab| count rows in deterministic token
+    order (array_sort + aggregate — bit-stable for the oracle, same
+    pattern as psi_drift).  Empty/null token arrays yield n=0 and NULL
+    entropy via the left join back to the id spine."""
+    c = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens_col).alias("token"))
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("token", "cnt"))).alias("arr"))
+        .select(
+            "_id",
+            F.aggregate("arr", F.lit(0).cast("long"),
+                        lambda acc, x: acc + x["cnt"]).alias("n"),
+            F.size("arr").alias("nd"),
+            "arr",
+        )
+        .select(
+            "_id", "n", "nd",
+            F.aggregate(
+                "arr", F.lit(0.0),
+                lambda acc, x: acc - (x["cnt"] / F.col("n"))
+                * F.log(x["cnt"] / F.col("n")),
+            ).alias("ent"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(c, F.col(id_col) == F.col("_id"), "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("n_distinct"),
+            F.round("ent", 6).alias("entropy"),
+        )
+    )

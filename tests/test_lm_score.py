@@ -47,3 +47,42 @@ def test_scores(toy):
 def test_vocab_guard(toy):
     with pytest.raises(ValueError, match="broadcast-join"):
         unigram_logprobs(toy, vocab_size=5_000_000)
+
+
+def test_bigram_scores_hand_computed(spark):
+    from json_schema_modern_spark.operators.lm_score import (
+        bigram_logprob_scores,
+    )
+
+    # corpus bigrams (V=4): d1 -> (0,1),(1,0),(0,1); d2 -> (0,1);
+    # d3 -> (9,0) skipped (9 OOV), (0,3) kept
+    rows = [(1, [0, 1, 0, 1]), (2, [0, 1]), (3, [9, 0, 3]),
+            (4, []), (5, None), (6, [7])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {r.doc_id: r for r in bigram_logprob_scores(df, 4).collect()}
+    # c2: (0,1)->3, (1,0)->1, (0,3)->1 ; c1: 0->4, 1->1
+    p01 = (3 + 1) / (4 + 4)
+    p10 = (1 + 1) / (1 + 4)
+    p03 = (1 + 1) / (4 + 4)
+    want1 = -(2 * math.log(p01) + math.log(p10)) / 3
+    assert got[1].n_bigrams == 3
+    assert got[1].bigram_score == pytest.approx(want1, abs=1e-6)
+    assert got[2].n_bigrams == 1
+    assert got[2].bigram_score == pytest.approx(-math.log(p01), abs=1e-6)
+    assert got[3].n_bigrams == 1   # the OOV-adjacent pair was skipped
+    assert got[3].bigram_score == pytest.approx(-math.log(p03), abs=1e-6)
+    # empty / null / single-token docs: zero bigrams, NULL score
+    for d in (4, 5, 6):
+        assert got[d].n_bigrams == 0 and got[d].bigram_score is None
+
+
+def test_bigram_orders_repetition_below_novelty(spark):
+    from json_schema_modern_spark.operators.lm_score import (
+        bigram_logprob_scores,
+    )
+
+    rows = [(1, [1, 2] * 10), (2, list(range(3, 23)))]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {r.doc_id: r.bigram_score
+           for r in bigram_logprob_scores(df, 100).collect()}
+    assert got[1] < got[2]   # repetitive stream is more predictable

@@ -37,3 +37,20 @@ def test_vocab_coverage(tok_df):
     row = vocab_coverage(tok_df, vocab_size=10, exact=True).collect()[0]
     # in-vocab distinct ids: {1, 2, 3}
     assert (row.n_distinct_tokens, row.vocab_size, row.coverage) == (3, 10, 0.3)
+
+
+def test_token_entropy(spark):
+    import math
+
+    from json_schema_modern_spark.operators.tokens import token_entropy
+
+    rows = [(1, "a", [1, 2, 1, 2, 1, 2]), (2, "a", [1, 2, 3, 4]),
+            (3, "b", [5]), (4, "b", []), (5, "b", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
+    got = {r.doc_id: (r.n_tokens, r.n_distinct, r.entropy)
+           for r in token_entropy(df).collect()}
+    assert got[1] == (6, 2, round(math.log(2), 6))
+    assert got[2] == (4, 4, round(math.log(4), 6))
+    assert got[3] == (1, 1, 0.0)
+    assert got[4] == (0, 0, None)
+    assert got[5] == (0, 0, None)
