@@ -739,6 +739,39 @@ def _q_boilerplate(spark, sf_dir):
                               n=3, top_k=5, min_docs=2)
 
 
+def _q_drift_chi2(spark, sf_dir):
+    """Pearson chi-square goodness-of-fit per source vs the pooled n_chars
+    distribution (30 buckets over [0,600], Laplace-smoothed pooled
+    proportions), reported per degree of freedom — the L2 sibling of the
+    PSI check; same ≤|groups|×(B+2)-row shuffle shape."""
+    from json_schema_modern_spark.operators.drift import chi2_drift
+
+    df = _read(spark, sf_dir, "documents")
+    return chi2_drift(df, "n_chars", "source", 0.0, 600.0, 30, threshold=2.0)
+
+
+def _q_source_rank_corr(spark, sf_dir):
+    """Pairwise Spearman rank correlation between per-source token
+    frequency rankings (top-100 tokens, dense deterministic ranks) —
+    the rank-space complement of the JSD matrix; exact integer sums so
+    no float fold order matters."""
+    from json_schema_modern_spark.operators.drift import rank_corr_matrix
+
+    return rank_corr_matrix(_doc_tokens(_read(spark, sf_dir, "documents")),
+                            "tokens", "source", top_k=100)
+
+
+def _q_dedup_span_coverage(spark, sf_dir):
+    """Per-document duplicate-span coverage: fraction of the doc's
+    distinct token 5-gram shingles that occur in ≥1 other document —
+    the per-doc dual of corpus dedup (exact dups score 1.0); shuffle is
+    O(|distinct grams|), no pair list ever materializes."""
+    from json_schema_modern_spark.operators.dedup import duplicate_span_coverage
+
+    return duplicate_span_coverage(_doc_tokens(_read(spark, sf_dir, "documents")),
+                                   "tokens", "doc_id", ngram_n=5)
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1376,6 +1409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_jsd_matrix": _q_source_jsd,
         "source_overlap_sketch": _q_source_overlap,
         "boilerplate_ngrams": _q_boilerplate,
+        "drift_chi2": _q_drift_chi2,
+        "source_rank_corr": _q_source_rank_corr,
+        "dedup_span_coverage": _q_dedup_span_coverage,
         "stats_by_source": _q_stats_by_source,
         "unique_doc_ids": _q_unique,
         "drift_psi": _q_drift_psi,
@@ -2178,6 +2214,90 @@ SELECT grid.sa AS source_a, grid.sb AS source_b,
        grid.na AS n_tokens_a, grid.nb AS n_tokens_b,
        CAST(round(coalesce(tsum, 0) + 0.5*ln(2)*(2 - coalesce(pasum, 0) - coalesce(pbsum, 0)), 6) AS DOUBLE) AS jsd
 FROM grid LEFT JOIN inter ON grid.sa = inter.sa AND grid.sb = inter.sb
+"""
+    # chi-square drift: same binning/smoothing as PSI, squared-residual
+    # term; the cumulative-window trick replays the engine's bucket-order
+    # float fold exactly
+    o["drift_chi2"] = """
+WITH binned AS (
+  SELECT source AS grp,
+         CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 600 THEN 31
+              ELSE CAST(floor(n_chars/20.0) AS BIGINT) + 1 END AS bucket,
+         count(*) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+gtot AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS gcnt FROM binned GROUP BY 1),
+totals AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_grp FROM binned GROUP BY 1),
+nglob AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_glob FROM gtot),
+nb AS (SELECT count(*) AS n_buckets_seen FROM gtot),
+full_grid AS (
+  SELECT g.grp, gl.bucket, coalesce(b.cnt, 0) AS cnt, gl.gcnt
+  FROM (SELECT DISTINCT grp FROM binned) g
+  CROSS JOIN gtot gl
+  LEFT JOIN binned b ON b.grp = g.grp AND b.bucket = gl.bucket),
+terms AS (
+  SELECT f.grp, f.bucket, t.n_grp, n.n_glob, nb.n_buckets_seen,
+         (f.cnt - t.n_grp * ((f.gcnt + 0.5) / (n.n_glob + 0.5 * nb.n_buckets_seen)))
+         * (f.cnt - t.n_grp * ((f.gcnt + 0.5) / (n.n_glob + 0.5 * nb.n_buckets_seen)))
+         / (t.n_grp * ((f.gcnt + 0.5) / (n.n_glob + 0.5 * nb.n_buckets_seen))) AS term
+  FROM full_grid f JOIN totals t ON f.grp = t.grp CROSS JOIN nglob n CROSS JOIN nb),
+cum AS (
+  SELECT grp, bucket, n_grp, n_glob, n_buckets_seen,
+         sum(term) OVER (PARTITION BY grp ORDER BY bucket) AS c
+  FROM terms)
+SELECT grp AS source, n_grp AS n_group, n_glob AS n_global,
+       CAST(round(round(arg_max(c, bucket) / greatest(n_buckets_seen - 1, 1), 9), 6) AS DOUBLE) AS chi2_per_df,
+       arg_max(c, bucket) / greatest(n_buckets_seen - 1, 1) > 2.0 AS drifted
+FROM cum GROUP BY 1, 2, 3, n_buckets_seen
+"""
+    # Spearman rank correlation: deterministic (cnt DESC, token ASC)
+    # ranks, exact integer sums — the single sqrt/divide is the only
+    # float op on both engines, so no fold-order caveat applies
+    o["source_rank_corr"] = f"""
+WITH t AS (SELECT source, {_tok_expr} AS toks FROM documents),
+u AS (SELECT source, unnest(toks) AS token FROM t),
+c AS (SELECT source, token, count(*) AS cnt FROM u GROUP BY 1, 2),
+r AS (SELECT source, token,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY cnt DESC, token ASC) AS BIGINT) AS r
+      FROM c QUALIFY r <= 100),
+s AS (SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(a.r) AS BIGINT) AS sx, CAST(sum(b.r) AS BIGINT) AS sy,
+             CAST(sum(a.r * a.r) AS BIGINT) AS sxx,
+             CAST(sum(b.r * b.r) AS BIGINT) AS syy,
+             CAST(sum(a.r * b.r) AS BIGINT) AS sxy
+      FROM r a JOIN r b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT source_a, source_b, n_common,
+       CAST(round(CASE WHEN n_common >= 2
+                        AND n_common * sxx - sx * sx > 0
+                        AND n_common * syy - sy * sy > 0
+                  THEN (n_common * sxy - sx * sy)
+                       / sqrt(CAST(n_common * sxx - sx * sx AS DOUBLE)
+                              * CAST(n_common * syy - sy * sy AS DOUBLE))
+                  ELSE NULL END, 6) AS DOUBLE) AS rho
+FROM s
+"""
+    # duplicate-span coverage: distinct token 5-gram shingles per doc,
+    # gram document frequency, per-doc shared fraction
+    _gram5 = " || '-' || ".join(f"CAST(toks[i + {j}] AS VARCHAR)" for j in range(5))
+    o["dedup_span_coverage"] = f"""
+WITH t AS (SELECT doc_id, {_tok_expr} AS toks FROM documents),
+g AS (SELECT DISTINCT doc_id, {_gram5} AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+            FROM t)),
+dfreq AS (SELECT gram, count(*) AS ndocs FROM g GROUP BY 1),
+p AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN dfreq.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM g JOIN dfreq ON g.gram = dfreq.gram GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_shared, 0) AS n_shared,
+       CASE WHEN coalesce(p.n_shingles, 0) > 0
+            THEN CAST(round(p.n_shared / p.n_shingles, 6) AS DOUBLE)
+            ELSE NULL END AS shared_frac
+FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
 """
     # next-fit packing: recursive-CTE replay of the sequential
     # running-sum-with-reset (not expressible with plain windows)

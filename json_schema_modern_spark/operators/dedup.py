@@ -809,3 +809,54 @@ def simhash_near_duplicates(
                 F.greatest("a", "b").alias("id_b"), "hamming")
     )
     return intra.unionAll(inter)
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    ngram_n: int = 5,
+) -> DataFrame:
+    """(doc_id, n_shingles, n_shared, shared_frac) — per-document
+    duplicate-span coverage: the fraction of the document's DISTINCT
+    token n-gram shingles that also occur in at least one OTHER
+    document.  The per-document dual of corpus-level dedup — exact
+    duplicates score 1.0, boilerplate-heavy pages score high, unique
+    content scores near 0 — and the filterable signal behind
+    Lee-et-al-style "remove documents dominated by repeated spans"
+    (arXiv:2107.06499's deduplication rationale applied as a per-doc
+    score rather than a pair list).  Documents with fewer than `ngram_n`
+    tokens have no shingles and report 0/0 with NULL shared_frac.
+
+    100 TB shape: per-doc distinct shingles explode once; the gram
+    document-frequency agg is map-side combined (shuffle O(|distinct
+    grams|)); the join back to (doc, gram) rows is on gram — the same
+    key cardinality — and the final per-doc agg shuffles (doc, flag)
+    pairs.  No pair list ever materializes, so cost is linear in corpus
+    shingle volume, not quadratic in duplicate-cluster sizes."""
+    pairs = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(token_ngram_shingles(F.col(tokens_col), ngram_n))
+                  .alias("gram"))
+    )
+    dfreq = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
+    per_doc = (
+        pairs.join(dfreq, "gram")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("_id"), "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.when(F.coalesce("n_shingles", F.lit(0)) > 0,
+                   F.round(F.col("n_shared") / F.col("n_shingles"), 6))
+            .alias("shared_frac"),
+        )
+    )

@@ -345,3 +345,142 @@ def jsd_matrix(
             ).alias("jsd"),
         )
     )
+
+
+def chi2_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 32,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """(group, n_group, n_global, chi2_per_df, drifted) — Pearson
+    chi-square goodness-of-fit per group against the pooled distribution
+    over fixed width_bucket bins:
+
+        X² = Σ_b (o_b − e_b)² / e_b,   e_b = n_grp · q_b
+
+    with Laplace smoothing on the pooled proportions q_b (+0.5 per seen
+    bucket) so empty global cells stay finite; reported normalized by
+    degrees of freedom (seen buckets − 1), so `drifted = X²/df >
+    threshold` reads on the familiar reduced-chi-square scale (≈1 when
+    the group matches the pool, threshold defaults to a loose 2.0).
+    The L2-flavored sibling of `psi_drift` (log-ratio): chi-square
+    over-weights cells where the pool is thin, PSI weights by the
+    probability mass that moved — running both separates "rare bucket
+    exploded" from "bulk shifted".
+
+    100 TB shape: identical to psi_drift — one groupBy(group, bucket)
+    count (map-side combined, shuffle ≤ |groups|×(B+2) rows), broadcast
+    global totals, and the per-group fold runs over ≤ B+2 rows in
+    deterministic bucket order (array_sort + aggregate) for a bit-stable
+    oracle hash."""
+    b = F.width_bucket(F.col(value_col).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
+    binned = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), b.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    glob = binned.groupBy("bucket").agg(F.sum("cnt").alias("gcnt"))
+    totals = binned.groupBy("grp").agg(F.sum("cnt").alias("n_grp"))
+    n_global = glob.agg(F.sum("gcnt").alias("n_glob"))
+    nb = glob.agg(F.count(F.lit(1)).alias("n_buckets_seen"))
+
+    full = (
+        binned.select("grp").distinct()
+        .crossJoin(F.broadcast(glob.select("bucket", "gcnt")))
+        .join(binned, ["grp", "bucket"], "left_outer")
+        .select("grp", "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"), "gcnt")
+    )
+    q = (F.col("gcnt") + F.lit(0.5)) / (F.col("n_glob") + F.lit(0.5) * F.col("n_buckets_seen"))
+    e = F.col("n_grp") * q
+    term = (F.col("cnt") - e) * (F.col("cnt") - e) / e
+    stats = (
+        full.join(F.broadcast(totals), "grp")
+        .crossJoin(F.broadcast(n_global))
+        .crossJoin(F.broadcast(nb))
+        .select("grp", "bucket", "n_grp", "n_glob", "n_buckets_seen",
+                term.alias("term"))
+        .groupBy("grp", "n_grp", "n_glob", "n_buckets_seen")
+        .agg(F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2"))
+    )
+    per_df = F.col("chi2") / F.greatest(F.col("n_buckets_seen") - 1, F.lit(1))
+    return stats.select(
+        F.col("grp").alias(group_col),
+        F.col("n_grp").alias("n_group"),
+        F.col("n_glob").alias("n_global"),
+        F.round(F.round(per_df, 9), 6).alias("chi2_per_df"),
+        (per_df > threshold).alias("drifted"),
+    )
+
+
+def rank_corr_matrix(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    top_k: int = 2000,
+) -> DataFrame:
+    """(source_a, source_b, n_common, rho) — pairwise Spearman rank
+    correlation between the token frequency RANKINGS of every group
+    pair, over the intersection of each group's top_k tokens.  The
+    rank-space complement of `jsd_matrix`: JSD is dominated by the
+    high-probability head, while rank correlation asks whether two
+    sources ORDER their vocabulary the same way even when absolute
+    frequencies differ (e.g. same language, different register).  Ranks
+    are dense row_numbers by (count DESC, token ASC) — a deterministic
+    total order, so the statistic is exactly reproducible.
+
+    rho = Pearson correlation of the two integer rank columns computed
+    from exact integer sums (n·Σxy − Σx·Σy) / sqrt(...), so no float
+    fold order matters — plain groupBy sums are bit-stable.  Pairs with
+    n_common < 2 or zero rank variance within the intersection yield
+    rho = NULL.
+
+    100 TB shape: unigram counts are one map-side-combined agg (shuffle
+    ≤ |groups|·|vocab|); the rank window partitions by group over the
+    already-aggregated ≤|vocab| count rows; top_k caps the pair join at
+    |groups|·top_k rows a side.  The |groups|² grid never materializes —
+    only intersections join, keyed on token."""
+    counts = (
+        df.select(F.col(group_col).alias("grp"),
+                  F.explode(tokens_col).alias("token"))
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= top_k)
+        .select("grp", "token", F.col("r").cast("long").alias("r"))
+    )
+    a = ranked.select(F.col("grp").alias("source_a"), "token", F.col("r").alias("ra"))
+    b = ranked.select(F.col("grp").alias("source_b"), F.col("token"), F.col("r").alias("rb"))
+    sums = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("ra").alias("sx"), F.sum("rb").alias("sy"),
+            F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+            F.sum(F.col("rb") * F.col("rb")).alias("syy"),
+            F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+        )
+    )
+    n = F.col("n_common")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    rho = F.when((n >= 2) & (vx > 0) & (vy > 0),
+                 cov / F.sqrt(vx.cast("double") * vy.cast("double")))
+    return sums.select(
+        "source_a", "source_b", n.alias("n_common"),
+        F.round(rho, 6).alias("rho"),
+    )

@@ -1,0 +1,92 @@
+"""Round-5 additions: chi-square drift, Spearman rank-correlation source
+matrix, and per-document duplicate-span coverage."""
+
+import math
+
+from json_schema_modern_spark.operators.dedup import duplicate_span_coverage
+from json_schema_modern_spark.operators.drift import chi2_drift, rank_corr_matrix
+
+
+def test_chi2_matches_hand_computation(spark):
+    # g1 dominates the pool (uniform, 80 rows) so the pool tracks it;
+    # g2 (20 rows, bucket-1-heavy) is the drifted minority
+    rows = [("g1", v) for v in [0, 1, 2, 3] * 20] + \
+           [("g2", v) for v in [0] * 16 + [1, 2, 3, 3]]
+    df = spark.createDataFrame(rows, "source string, x int")
+    got = {r.source: r for r in
+           chi2_drift(df, "x", "source", 0.0, 4.0, 4, threshold=3.0).collect()}
+
+    # hand replay: buckets 1..4 (width_bucket), global counts per bucket
+    g1 = {1: 20, 2: 20, 3: 20, 4: 20}
+    g2 = {1: 16, 2: 1, 3: 1, 4: 2}
+    glob = {b: g1[b] + g2[b] for b in g1}
+    n_glob, nb = sum(glob.values()), len(glob)
+    for name, cnts in (("g1", g1), ("g2", g2)):
+        n_grp = sum(cnts.values())
+        chi2 = 0.0
+        for b in sorted(glob):
+            q = (glob[b] + 0.5) / (n_glob + 0.5 * nb)
+            e = n_grp * q
+            chi2 += (cnts[b] - e) ** 2 / e
+        want = round(round(chi2 / (nb - 1), 9), 6)
+        assert math.isclose(got[name].chi2_per_df, want, abs_tol=1e-9)
+        assert got[name].drifted == (chi2 / (nb - 1) > 3.0)
+    assert got["g2"].drifted and not got["g1"].drifted
+
+
+def test_rank_corr_identical_and_reversed(spark):
+    # s1/s2 order tokens identically; s3 reverses the frequency ranking
+    def doc(tok_counts):
+        out = []
+        for tok, cnt in tok_counts:
+            out.extend([tok] * cnt)
+        return out
+
+    df = spark.createDataFrame(
+        [("s1", doc([(10, 9), (11, 6), (12, 3), (13, 1)])),
+         ("s2", doc([(10, 90), (11, 60), (12, 30), (13, 10)])),
+         ("s3", doc([(10, 1), (11, 3), (12, 6), (13, 9)]))],
+        "source string, tokens array<int>")
+    got = {(r.source_a, r.source_b): r for r in
+           rank_corr_matrix(df, "tokens", "source").collect()}
+    assert got[("s1", "s2")].rho == 1.0
+    assert got[("s1", "s3")].rho == -1.0
+    assert got[("s1", "s2")].n_common == 4
+
+
+def test_rank_corr_degenerate_is_null(spark):
+    # single shared token -> n_common = 1 -> zero rank variance -> NULL
+    df = spark.createDataFrame(
+        [("a", [5, 5, 5]), ("b", [5, 5])],
+        "source string, tokens array<int>")
+    row = rank_corr_matrix(df, "tokens", "source").head()
+    assert row.n_common == 1 and row.rho is None
+
+
+def test_span_coverage_dup_unique_short(spark):
+    dup = list(range(10))
+    df = spark.createDataFrame(
+        [(1, dup), (2, dup),                      # exact duplicates
+         (3, [100 + i for i in range(10)]),       # unique content
+         (4, [1, 2, 3])],                         # < n tokens: no shingles
+        "doc_id long, tokens array<int>")
+    got = {r.doc_id: r for r in
+           duplicate_span_coverage(df, ngram_n=5).collect()}
+    assert got[1].shared_frac == 1.0 and got[1].n_shingles == 6
+    assert got[2].shared_frac == 1.0
+    assert got[3].shared_frac == 0.0 and got[3].n_shared == 0
+    assert got[4].n_shingles == 0 and got[4].shared_frac is None
+
+
+def test_span_coverage_partial_overlap(spark):
+    # doc 2 shares doc 1's first 6 tokens -> grams at positions 1,2 of
+    # each (5-grams over 6 shared tokens) are shared; rest unique
+    df = spark.createDataFrame(
+        [(1, list(range(10))),
+         (2, list(range(6)) + [50, 51, 52, 53])],
+        "doc_id long, tokens array<int>")
+    got = {r.doc_id: r for r in
+           duplicate_span_coverage(df, ngram_n=5).collect()}
+    assert got[1].n_shingles == 6 and got[1].n_shared == 2
+    assert got[2].n_shingles == 6 and got[2].n_shared == 2
+    assert got[1].shared_frac == round(2 / 6, 6)
