@@ -352,6 +352,31 @@ def main() -> None:
           partial_then_exchange(zf_plan))
     check("zipf: no cross product", no_cross(zf_plan))
 
+    # 20. round-5 diagnostics keep the bounded-shuffle / no-pair-list shape
+    from json_schema_modern_spark.operators.dedup import duplicate_span_coverage
+    from json_schema_modern_spark.operators.drift import chi2_drift, rank_corr_matrix
+
+    toked = docs.withColumn(
+        "tokens",
+        F.transform(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda w: w != F.lit("")),
+            lambda w: (F.length(w) * 32 + F.pmod(F.ascii(w), F.lit(32))).cast("int")))
+    c2_plan = explain_str(chi2_drift(docs, "n_chars", "source", 0.0, 600.0, 30))
+    check("chi2 drift: map-side combine (HashAgg -> Exchange -> HashAgg)",
+          partial_then_exchange(c2_plan))
+    check("chi2 drift: globals broadcast (no shuffled grid join)",
+          "BroadcastNestedLoopJoin" in c2_plan or "BroadcastExchange" in c2_plan)
+    rc_plan = explain_str(rank_corr_matrix(toked, top_k=100))
+    check("rank corr: pair join is equi on token (no cross product)",
+          no_cross(rc_plan))
+    check("rank corr: map-side combine before rank window",
+          partial_then_exchange(rc_plan))
+    sc_plan = explain_str(duplicate_span_coverage(toked, ngram_n=5))
+    check("span coverage: no pair list (no cross product)", no_cross(sc_plan))
+    check("span coverage: gram doc-frequency partial-combines",
+          partial_then_exchange(sc_plan))
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
