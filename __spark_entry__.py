@@ -772,6 +772,33 @@ def _q_dedup_span_coverage(spark, sf_dir):
                                    "tokens", "doc_id", ngram_n=5)
 
 
+def _q_contamination_embedding(spark, sf_dir):
+    """Embedding-space decontamination: max cosine of each training
+    vector to any benchmark vector (benchmark = vec_id % 10 == 0,
+    broadcast), flagged at 0.8 — the paraphrase-leakage complement of
+    the n-gram collision check.  Training side never shuffles."""
+    from json_schema_modern_spark.operators.contamination import (
+        embedding_contamination,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 10 == 0)
+    train = emb.where(F.col("vec_id") % 10 != 0)
+    return embedding_contamination(train, bench, threshold=0.8)
+
+
+def _q_mix_temperature(spark, sf_dir):
+    """Temperature-based mixture reweighting (α=0.5 multilingual-
+    sampling rule): per-source natural share, (share^α)-normalized
+    target share, and the repetition weight a sampler applies; one
+    |sources|-row agg, denominator folded in deterministic order."""
+    from json_schema_modern_spark.operators.mixing import temperature_weights
+
+    docs = _doc_tokens(_read(spark, sf_dir, "documents")) \
+        .withColumn("n_tok", F.coalesce(F.size("tokens"), F.lit(0)))
+    return temperature_weights(docs, "source", "n_tok", alpha=0.5)
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1412,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2": _q_drift_chi2,
         "source_rank_corr": _q_source_rank_corr,
         "dedup_span_coverage": _q_dedup_span_coverage,
+        "contamination_embedding": _q_contamination_embedding,
+        "mix_temperature": _q_mix_temperature,
         "stats_by_source": _q_stats_by_source,
         "unique_doc_ids": _q_unique,
         "drift_psi": _q_drift_psi,
@@ -2278,6 +2307,25 @@ SELECT source_a, source_b, n_common,
                   ELSE NULL END, 6) AS DOUBLE) AS rho
 FROM s
 """
+    # embedding decontamination: brute-force max cosine vs the
+    # vec_id%10 benchmark split; per-pair dot folds left-to-right on
+    # both engines, round-6 absorbs the final-division ULP
+    _cos_ab = (
+        "list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), x -> x[1]*x[2])) "
+        "/ (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x*x))) "
+        "* sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x*x))))"
+    )
+    o["contamination_embedding"] = f"""
+WITH s AS (
+  SELECT a.vec_id, max({_cos_ab}) AS max_sim
+  FROM (SELECT * FROM embeddings WHERE vec_id % 10 <> 0) a,
+       (SELECT * FROM embeddings WHERE vec_id % 10 = 0) b
+  GROUP BY 1)
+SELECT vec_id, CAST(round(max_sim, 6) AS DOUBLE) AS max_sim,
+       max_sim >= 0.8 AS contaminated
+FROM s
+"""
     # duplicate-span coverage: distinct token 5-gram shingles per doc,
     # gram document frequency, per-doc shared fraction
     _gram5 = " || '-' || ".join(f"CAST(toks[i + {j}] AS VARCHAR)" for j in range(5))
@@ -2315,6 +2363,27 @@ FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
     o["pack_salted"] = pack_next_fit_oracle_sql(_ntok_docs, capacity=256, n_salts=4)
     o["mix_weights"] = mixture_thresholds_oracle_sql(
         _ntok_docs, "n_tok")
+    # temperature mixture weights: α=0.5 over the derived-token table;
+    # the normalizer replays the engine's source-order fold via the
+    # cumulative-window trick
+    o["mix_temperature"] = f"""
+WITH d AS (SELECT * FROM {_ntok_docs}),
+per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM d GROUP BY 1 HAVING sum(n_tok) > 0),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n FROM per),
+s AS (SELECT source, n_tokens, n_tokens / t.n AS share,
+             pow(n_tokens / t.n, 0.5) AS ps
+      FROM per CROSS JOIN tot t),
+c AS (SELECT source, n_tokens, share, ps,
+             sum(ps) OVER (ORDER BY source) AS cden
+      FROM s),
+den AS (SELECT arg_max(cden, source) AS denom FROM c)
+SELECT source, n_tokens,
+       CAST(round(share, 6) AS DOUBLE) AS share,
+       CAST(round(ps / denom, 6) AS DOUBLE) AS target_share,
+       CAST(round((ps / denom) / share, 6) AS DOUBLE) AS weight
+FROM c CROSS JOIN den
+"""
     _bucket = ("CAST(concat('0x', substr(md5('mix-v1' || "
                "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000")
     o["sample_stratified"] = (

@@ -93,3 +93,43 @@ def ngram_contamination(
             ).alias("contamination_rate"),
         )
     )
+
+
+def embedding_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, max_sim, contaminated) — semantic decontamination: each
+    training vector's maximum cosine similarity to ANY benchmark vector,
+    flagged at `threshold`.  Catches the paraphrase/near-translation
+    leakage the n-gram collision check misses (the reason modern data
+    cards run both lexical and embedding decontamination).
+
+    100 TB shape: same asymmetry as `ngram_contamination` — the
+    benchmark side is small (eval suites are thousands of rows, not
+    billions) and broadcasts; the training side NEVER shuffles.  Each
+    train partition scans the broadcast benchmark rows with a JVM-side
+    zip_with/aggregate dot product (no Python in the row loop), and the
+    per-vector max folds before any exchange — the only wide traffic is
+    (vec_id, max_sim).  Benchmark too big to broadcast → pre-reduce it
+    with `semantic_dedup`/IVF bucketing first; this operator's contract
+    is the broadcast regime."""
+    from .similarity import cosine_cols
+
+    b = benchmark.select(F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec"))
+    sims = (
+        train.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(b))
+        .select(F.col(id_col),
+                cosine_cols(F.col(vec_col), F.col("_bvec")).alias("_sim"))
+        .groupBy(id_col)
+        .agg(F.max("_sim").alias("max_sim"))
+    )
+    return sims.select(
+        F.col(id_col),
+        F.round("max_sim", 6).alias("max_sim"),
+        (F.col("max_sim") >= threshold).alias("contaminated"),
+    )

@@ -108,3 +108,46 @@ SELECT {source_col}, n_docs, n_tokens,
            // {buckets} AS expected_tokens
 FROM per
 """
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    size_col: str = "n_tok",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(source, n_tokens, share, target_share, weight) — temperature-
+    based mixture reweighting (the multilingual-sampling rule of
+    mBERT/XLM-R/mT5): target share p_i ∝ (n_i/N)^α, so α=1 keeps natural
+    proportions, α→0 approaches uniform, and 0<α<1 up-samples the tail
+    without letting any head source dominate.  `weight` = target_share /
+    natural_share is the per-source repetition factor a sampler applies.
+
+    The smooth sibling of `mixture_thresholds` (hard uniform target):
+    temperature keeps ORDER between sources while compressing the range.
+
+    100 TB shape: one map-side-combined |sources|-row aggregate; the
+    normalizing constant Σ share^α folds over the |sources| rows in
+    deterministic source order (array_sort + aggregate — same bit-
+    stability pattern as psi_drift) and broadcasts back.  Zero-token
+    sources are dropped for the same divide-by-zero reason documented in
+    `mixture_thresholds`."""
+    per = (df.groupBy(source_col)
+             .agg(F.sum(F.col(size_col).cast("long")).alias("n_tokens"))
+             .where(F.col("n_tokens") > 0))
+    tot = per.agg(F.sum("n_tokens").alias("_n"))
+    shared = (per.crossJoin(F.broadcast(tot))
+                 .withColumn("share", F.col("n_tokens") / F.col("_n"))
+                 .withColumn("ps", F.pow("share", F.lit(float(alpha)))))
+    denom = shared.agg(F.aggregate(
+        F.array_sort(F.collect_list(F.struct(source_col, "ps"))),
+        F.lit(0.0), lambda acc, x: acc + x["ps"]).alias("_denom"))
+    out = shared.crossJoin(F.broadcast(denom))
+    target = F.col("ps") / F.col("_denom")
+    return out.select(
+        source_col,
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / F.col("share"), 6).alias("weight"),
+    )

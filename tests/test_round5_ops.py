@@ -90,3 +90,48 @@ def test_span_coverage_partial_overlap(spark):
     assert got[1].n_shingles == 6 and got[1].n_shared == 2
     assert got[2].n_shingles == 6 and got[2].n_shared == 2
     assert got[1].shared_frac == round(2 / 6, 6)
+
+
+def test_embedding_contamination_flags_exact_match(spark):
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    train = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0]),    # parallel to bench 100 -> cos 1.0
+         (2, [0.0, 0.0, 5.0]),    # orthogonal to both -> cos 0.0
+         (3, [1.0, 1.0, 0.0])],   # 45 deg to both -> cos ~0.7071
+        "vec_id long, embedding array<float>")
+    from json_schema_modern_spark.operators.contamination import (
+        embedding_contamination,
+    )
+    got = {r.vec_id: r for r in
+           embedding_contamination(train, bench, threshold=0.8).collect()}
+    assert got[1].max_sim == 1.0 and got[1].contaminated
+    assert got[2].max_sim == 0.0 and not got[2].contaminated
+    assert abs(got[3].max_sim - 0.707107) < 1e-6 and not got[3].contaminated
+
+
+def test_temperature_weights_alpha_half_and_one(spark):
+    from json_schema_modern_spark.operators.mixing import temperature_weights
+
+    df = spark.createDataFrame(
+        [("big", 90), ("small", 10)], "source string, n_tok int")
+    # alpha=0.5 on a 90/10 split: sqrt(0.9)/(sqrt(0.9)+sqrt(0.1)) = 3/4
+    got = {r.source: r for r in temperature_weights(df, alpha=0.5).collect()}
+    assert got["big"].share == 0.9 and got["small"].share == 0.1
+    assert got["big"].target_share == 0.75 and got["small"].target_share == 0.25
+    assert abs(got["big"].weight - 0.833333) < 1e-6
+    assert got["small"].weight == 2.5
+    # alpha=1 keeps natural proportions: every weight is 1
+    nat = temperature_weights(df, alpha=1.0).collect()
+    assert all(r.weight == 1.0 for r in nat)
+
+
+def test_temperature_weights_drops_zero_token_source(spark):
+    from json_schema_modern_spark.operators.mixing import temperature_weights
+
+    df = spark.createDataFrame(
+        [("a", 50), ("empty", 0)], "source string, n_tok int")
+    rows = temperature_weights(df, alpha=0.5).collect()
+    assert [r.source for r in rows] == ["a"]
+    assert rows[0].weight == 1.0
