@@ -799,6 +799,20 @@ def _q_mix_temperature(spark, sf_dir):
     return temperature_weights(docs, "source", "n_tok", alpha=0.5)
 
 
+def _q_quality_top_fraction(spark, sf_dir):
+    """Keep the top 3/10 of each source by quality score, score-cutoff
+    semantics (boundary ties all keep) — exact integer target, no float
+    threshold, no per-source sort of raw rows (cumulative scan runs over
+    the aggregated (source, score) counts only)."""
+    from json_schema_modern_spark.operators.funnel import top_fraction_filter
+    from json_schema_modern_spark.operators.text import quality_features
+
+    qf = quality_features(_read(spark, sf_dir, "documents"),
+                          keep_cols=["source"])
+    return top_fraction_filter(qf, 3, 10, score_col="quality_score",
+                               group_col="source", id_col="doc_id")
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1441,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_coverage": _q_dedup_span_coverage,
         "contamination_embedding": _q_contamination_embedding,
         "mix_temperature": _q_mix_temperature,
+        "quality_top_fraction": _q_quality_top_fraction,
         "stats_by_source": _q_stats_by_source,
         "unique_doc_ids": _q_unique,
         "drift_psi": _q_drift_psi,
@@ -2243,6 +2258,40 @@ SELECT grid.sa AS source_a, grid.sb AS source_b,
        grid.na AS n_tokens_a, grid.nb AS n_tokens_b,
        CAST(round(coalesce(tsum, 0) + 0.5*ln(2)*(2 - coalesce(pasum, 0) - coalesce(pbsum, 0)), 6) AS DOUBLE) AS jsd
 FROM grid LEFT JOIN inter ON grid.sa = inter.sa AND grid.sb = inter.sb
+"""
+    # top-fraction quality filter: replay the rounded quality score,
+    # aggregate per (source, score), cumulative-desc cutoff pick with
+    # the exact integer target, broadcast-equivalent left join back
+    o["quality_top_fraction"] = """
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(round(CASE WHEN len(words) < 5 THEN 0.0 ELSE
+           least(len(words)/100.0, 1.0)*0.4 + (1.0 - least(pr*5, 1.0))*0.3
+           + least(sr*4, 1.0)*0.3 END, 6) AS DOUBLE) AS quality_score
+  FROM (
+    SELECT doc_id, source, words,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))*1.0
+             / greatest(length(text), 1) AS pr,
+           len(list_filter(words, w -> list_contains(
+             ['the','a','and','of','to','in','is','that','it','for'], w)))*1.0
+             / greatest(len(words), 1) AS sr
+    FROM (SELECT doc_id, source, text,
+                 string_split_regex(trim(lower(text)), '\\s+') AS words
+          FROM documents))),
+c AS (SELECT source, quality_score, count(*) AS cnt FROM q
+      WHERE quality_score IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+r AS (SELECT c.source, c.quality_score,
+             sum(cnt) OVER (PARTITION BY c.source
+                            ORDER BY quality_score DESC) AS cum,
+             least((t.n * 3) // 10, t.n) AS target
+      FROM c JOIN t ON c.source = t.source),
+cut AS (SELECT source, max(quality_score) AS cutoff
+        FROM r WHERE cum >= target AND target > 0 GROUP BY 1)
+SELECT q.doc_id, q.source, q.quality_score,
+       coalesce(cut.cutoff IS NOT NULL
+                AND q.quality_score >= cut.cutoff, FALSE) AS keep
+FROM q LEFT JOIN cut ON q.source = cut.source
 """
     # chi-square drift: same binning/smoothing as PSI, squared-residual
     # term; the cumulative-window trick replays the engine's bucket-order

@@ -120,3 +120,66 @@ LEFT JOIN (SELECT source, count(*) AS n FROM q GROUP BY 1) qc USING (source)
 LEFT JOIN (SELECT source, count(*) AS n FROM u GROUP BY 1) uc USING (source)
 LEFT JOIN (SELECT source, count(*) AS n FROM t GROUP BY 1) tc USING (source)
 """
+
+
+def top_fraction_filter(
+    df: DataFrame,
+    num: int,
+    denom: int,
+    score_col: str = "quality_score",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, group, score, keep) — keep the top `num/denom` fraction of
+    rows per group by score, with score-cutoff semantics: the cutoff is
+    the highest score at which the descending cumulative count first
+    reaches target = floor(n_group · num / denom), and every row with
+    score ≥ cutoff keeps (boundary ties all keep, so n_kept ≥ target —
+    the deterministic, re-ingestion-stable reading of "top 30% quality
+    per source").  The fraction is a rational num/denom so target is
+    exact integer arithmetic on both engines — no float threshold can
+    flip a row.  A target of 0 keeps nothing.
+
+    100 TB shape: NO per-source global sort of the data.  Counts
+    aggregate per (group, score) — shuffle O(|distinct scores| per
+    group, bounded for any rounded/bucketed score — then the cumulative
+    scan and cutoff pick run in a window over those aggregated rows
+    only, and the |groups|-row cutoff table broadcasts back onto the
+    scan.  A window partitioned by group over RAW rows would serialize
+    each source onto one task; this never touches raw rows after the
+    count agg."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(score_col).isNotNull())   # NULL score never keeps
+        .groupBy(group_col, score_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("_cnt").alias("_n"))
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.desc(score_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (
+        counts.join(F.broadcast(totals), group_col)
+        .withColumn("_cum", F.sum("_cnt").over(w))
+        # exact integer target, clamped to n so num/denom > 1 keeps all
+        .withColumn("_target",
+                    F.least(F.expr(f"(_n * {int(num)}) div {int(denom)}"),
+                            F.col("_n")))
+    )
+    cutoff = (
+        ranked.where((F.col("_cum") >= F.col("_target")) & (F.col("_target") > 0))
+        .groupBy(group_col)
+        .agg(F.max(score_col).alias("_cutoff"))
+    )
+    return (
+        df.select(F.col(id_col), F.col(group_col), F.col(score_col))
+        .join(F.broadcast(cutoff), group_col, "left_outer")
+        .select(
+            id_col, group_col, score_col,
+            F.coalesce(
+                F.col("_cutoff").isNotNull()
+                & (F.col(score_col) >= F.col("_cutoff")),
+                F.lit(False)).alias("keep"),
+        )
+    )

@@ -135,3 +135,44 @@ def test_temperature_weights_drops_zero_token_source(spark):
     rows = temperature_weights(df, alpha=0.5).collect()
     assert [r.source for r in rows] == ["a"]
     assert rows[0].weight == 1.0
+
+
+def test_top_fraction_cutoff_and_ties(spark):
+    from json_schema_modern_spark.operators.funnel import top_fraction_filter
+
+    # scores: 9,8,7,7,7,1 -> n=6, target 3/10 -> floor(18/10)=1... use
+    # 5/10: target 3; cumulative desc 9(1) 8(2) 7(5): cutoff=7, ties keep
+    rows = [(i, "s", float(sc)) for i, sc in
+            enumerate([9, 8, 7, 7, 7, 1])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {r.doc_id: r.keep for r in
+           top_fraction_filter(df, 5, 10, score_col="score").collect()}
+    assert got == {0: True, 1: True, 2: True, 3: True, 4: True, 5: False}
+
+
+def test_top_fraction_zero_target_and_overfull(spark):
+    from json_schema_modern_spark.operators.funnel import top_fraction_filter
+
+    df = spark.createDataFrame(
+        [(1, "tiny", 5.0), (2, "tiny", 3.0)],
+        "doc_id long, source string, score double")
+    # 1/10 of 2 rows floors to target 0: nothing keeps
+    got = {r.doc_id: r.keep for r in
+           top_fraction_filter(df, 1, 10, score_col="score").collect()}
+    assert got == {1: False, 2: False}
+    # fraction > 1 clamps to n: everything keeps
+    got = {r.doc_id: r.keep for r in
+           top_fraction_filter(df, 15, 10, score_col="score").collect()}
+    assert got == {1: True, 2: True}
+
+
+def test_top_fraction_null_scores_never_keep(spark):
+    from json_schema_modern_spark.operators.funnel import top_fraction_filter
+
+    df = spark.createDataFrame(
+        [(1, "s", 5.0), (2, "s", None), (3, "s", 1.0), (4, "s", 4.0)],
+        "doc_id long, source string, score double")
+    # 3 non-null scores, 2/3 -> target 2 -> cutoff 4.0
+    got = {r.doc_id: r.keep for r in
+           top_fraction_filter(df, 2, 3, score_col="score").collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}
