@@ -813,6 +813,71 @@ def _q_quality_top_fraction(spark, sf_dir):
                                group_col="source", id_col="doc_id")
 
 
+def _q_token_budget(spark, sf_dir):
+    """Per-source TOKEN-budget selection (600 derived tokens per source):
+    keep score levels best-first until the budget is crossed
+    (first-crossing-keeps, ties all keep) — the epoch-budget dual of the
+    fraction filter.  Cumulative scan runs over aggregated (source,
+    score) token sums only; no per-source sort of raw rows."""
+    from json_schema_modern_spark.operators.funnel import token_budget_filter
+    from json_schema_modern_spark.operators.text import quality_features
+
+    qf = quality_features(_read(spark, sf_dir, "documents"),
+                          keep_cols=["source", "text"])
+    scored = _doc_tokens(qf).withColumn(
+        "n_tok", F.coalesce(F.size("tokens"), F.lit(0)).cast("bigint"))
+    return token_budget_filter(scored, budget=600,
+                               score_col="quality_score",
+                               weight_col="n_tok",
+                               group_col="source", id_col="doc_id")
+
+
+def _q_domain_cap(spark, sf_dir):
+    """Per-(source, lang) frequency cap at 10 documents — keepers are the
+    cap smallest md5('cap-v1'||id) draws (deterministic, re-ingestion-
+    stable).  Under-cap groups never enter the rank window (codegen'd
+    pass-through); only the over-cap slice pays a per-group sort."""
+    from json_schema_modern_spark.operators.funnel import group_cap_filter
+
+    return group_cap_filter(_read(spark, sf_dir, "documents"), cap=10,
+                            group_cols=["source", "lang"])
+
+
+def _q_split_leakage(spark, sf_dir):
+    """Eval-leakage audit: exact text fingerprints straddling splits.
+    Deterministic re-keyed replicas (every 11th doc, id+10^9) guarantee
+    cross-split duplicate texts exist; 50/25/25 weights make straddling
+    likely at this SF.  One hash-shuffle on md5(text), same count as
+    exact dedup; `splits` is a sorted comma-joined string so the output
+    hashes identically on any engine."""
+    from json_schema_modern_spark.operators.splits import split_leakage
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text")
+    return split_leakage(d.unionAll(dup),
+                         weights={"train": 0.5, "valid": 0.25, "test": 0.25})
+
+
+def _q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth over 8 deterministic shards (id mod
+    8): word-TRIGRAM types appearing for the first time per shard +
+    running vocabulary.  Trigrams, not words or derived token ids — the
+    synthetic corpus draws from a fixed ~31-word lexicon, so those type
+    spaces saturate inside one shard and the curve degenerates; the
+    trigram space (~31^3) keeps the curve informative, exactly why
+    Heaps-law audits run on n-grams in practice.  Shuffle is O(|gram
+    vocab|) — explode → map-side-combined min(shard); the curve is an
+    8-row window."""
+    from json_schema_modern_spark.operators.diversity import (
+        _grams, vocab_growth,
+    )
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "grams", _grams(F.col("text"), 3))
+    return vocab_growth(d, tokens_col="grams", n_shards=8)
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1456,6 +1521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_embedding": _q_contamination_embedding,
         "mix_temperature": _q_mix_temperature,
         "quality_top_fraction": _q_quality_top_fraction,
+        "quality_token_budget": _q_token_budget,
+        "domain_cap": _q_domain_cap,
+        "split_leakage": _q_split_leakage,
+        "vocab_growth": _q_vocab_growth,
         "stats_by_source": _q_stats_by_source,
         "unique_doc_ids": _q_unique,
         "drift_psi": _q_drift_psi,
@@ -2292,6 +2361,92 @@ SELECT q.doc_id, q.source, q.quality_score,
        coalesce(cut.cutoff IS NOT NULL
                 AND q.quality_score >= cut.cutoff, FALSE) AS keep
 FROM q LEFT JOIN cut ON q.source = cut.source
+"""
+    # token-budget selection: same quality replay, token sums aggregate
+    # per (source, score) level, first-crossing-keeps cutoff (cum BEFORE
+    # the level < budget), broadcast-equivalent left join back
+    o["quality_token_budget"] = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(round(CASE WHEN len(words) < 5 THEN 0.0 ELSE
+           least(len(words)/100.0, 1.0)*0.4 + (1.0 - least(pr*5, 1.0))*0.3
+           + least(sr*4, 1.0)*0.3 END, 6) AS DOUBLE) AS quality_score,
+         COALESCE(CAST(length({_tok_expr}) AS BIGINT), 0) AS n_tok
+  FROM (
+    SELECT doc_id, source, text, words,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))*1.0
+             / greatest(length(text), 1) AS pr,
+           len(list_filter(words, w -> list_contains(
+             ['the','a','and','of','to','in','is','that','it','for'], w)))*1.0
+             / greatest(len(words), 1) AS sr
+    FROM (SELECT doc_id, source, text,
+                 string_split_regex(trim(lower(text)), '\\s+') AS words
+          FROM documents))),
+lv AS (SELECT source, quality_score, CAST(sum(n_tok) AS BIGINT) AS tok
+       FROM q WHERE quality_score IS NOT NULL AND n_tok >= 0 GROUP BY 1, 2),
+c AS (SELECT source, quality_score, tok,
+             sum(tok) OVER (PARTITION BY source
+                            ORDER BY quality_score DESC) AS cum
+      FROM lv),
+cut AS (SELECT source, min(quality_score) AS cutoff FROM c
+        WHERE cum - tok < 600 GROUP BY 1)
+SELECT q.doc_id, q.source, q.quality_score, q.n_tok,
+       coalesce(cut.cutoff IS NOT NULL
+                AND q.quality_score >= cut.cutoff, FALSE) AS keep
+FROM q LEFT JOIN cut ON q.source = cut.source
+"""
+    # domain frequency cap: null-safe group join, keepers = the 10
+    # smallest md5('cap-v1'||id) per (source, lang); under-cap groups
+    # keep everything
+    o["domain_cap"] = """
+WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+r AS (SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY md5('cap-v1' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS rk
+      FROM documents)
+SELECT r.doc_id, r.source, r.lang,
+       CASE WHEN c.n <= 10 THEN TRUE ELSE r.rk <= 10 END AS keep
+FROM r JOIN c ON r.source IS NOT DISTINCT FROM c.source
+             AND r.lang IS NOT DISTINCT FROM c.lang
+"""
+    # split leakage: replay the md5-bucket split (50/25/25) over the
+    # replicated corpus, group by text fingerprint, keep straddlers
+    o["split_leakage"] = """
+WITH d AS (SELECT doc_id, text FROM documents UNION ALL
+           SELECT doc_id + 1000000000 AS doc_id, text FROM documents
+           WHERE doc_id % 11 = 0),
+s AS (SELECT md5(text) AS fingerprint,
+             CASE WHEN b < 5000 THEN 'train'
+                  WHEN b < 7500 THEN 'valid' ELSE 'test' END AS split
+      FROM (SELECT text,
+                   CAST(concat('0x', substr(md5('split-v1' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+            FROM d WHERE text IS NOT NULL)),
+g AS (SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+             list_sort(list_distinct(list(split))) AS sp
+      FROM s GROUP BY 1)
+SELECT fingerprint, n_docs, CAST(len(sp) AS INT) AS n_splits,
+       array_to_string(sp, ',') AS splits
+FROM g WHERE len(sp) > 1
+"""
+    # vocabulary growth: first-shard per token type (one |vocab|-wide
+    # min-agg), 8-row cumulative curve
+    o["vocab_growth"] = """
+WITH w AS (SELECT doc_id % 8 AS shard,
+                  list_transform(list_filter(string_split_regex(text,
+                    '[^A-Za-z0-9]+'), x -> x <> ''), x -> lower(x)) AS ws
+           FROM documents),
+t AS (SELECT shard,
+             unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS tok
+      FROM w),
+f AS (SELECT tok, min(shard) AS shard FROM t GROUP BY 1),
+g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_new_tokens
+      FROM f GROUP BY 1)
+SELECT CAST(shard AS BIGINT) AS shard, n_new_tokens,
+       CAST(sum(n_new_tokens) OVER (ORDER BY shard) AS BIGINT) AS cum_vocab
+FROM g
 """
     # chi-square drift: same binning/smoothing as PSI, squared-residual
     # term; the cumulative-window trick replays the engine's bucket-order

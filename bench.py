@@ -262,13 +262,23 @@ def run_ops_only(op_names: list[str]) -> None:
     qs = entrymod.queries()
     reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
     timings = {}
+
+    # noop sink, not .count(): count() lets Catalyst PRUNE the expensive
+    # branch of some ops (e.g. span coverage's gram-frequency join is a
+    # left join on a unique key — join elimination + column pruning turn
+    # the "measurement" into a row count; measured 1.0 s at local[1] on
+    # a 1.28M-doc input that takes minutes for real).  The noop sink
+    # computes every output column and discards rows executor-side.
+    def run(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
     for name in op_names:
         fn = qs[name]
-        fn(spark, sf_dir).count()  # warm: JIT + parquet cache, unmeasured
+        run(fn(spark, sf_dir))  # warm: JIT + parquet cache, unmeasured
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            run(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
@@ -276,7 +286,13 @@ def run_ops_only(op_names: list[str]) -> None:
                       "repl": OPS_REPL, "emb_repl": EMB_REPL, "ops": timings}))
 
 
-SCALING_OPS = ("dedup_minhash_lsh", "dedup_simhash", "semdedup")
+SCALING_OPS = tuple(os.environ.get(
+    "SPARK_GRAFT_SCALING_OPS",
+    "dedup_minhash_lsh,dedup_simhash,semdedup").split(","))
+# per-leg subprocess cap; token-space ops (3-gram shingles per token, not
+# per word) carry ~4x the per-doc work of the hash-space dedup ops, so
+# legs that measure them need either a longer cap or a smaller OPS_REPL
+SCALING_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", "3000"))
 
 
 def run_scaling_ops() -> None:
@@ -291,7 +307,7 @@ def run_scaling_ops() -> None:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--ops-only",
              *SCALING_OPS],
-            env=env, capture_output=True, text=True, timeout=3000,
+            env=env, capture_output=True, text=True, timeout=SCALING_TIMEOUT,
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
@@ -386,7 +402,7 @@ def run_scaling() -> None:
                    SPARK_GRAFT_WARMUP_ROWS="200000")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--token-only"],
-            env=env, capture_output=True, text=True, timeout=3000,
+            env=env, capture_output=True, text=True, timeout=SCALING_TIMEOUT,
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)

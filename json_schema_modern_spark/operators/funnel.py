@@ -183,3 +183,107 @@ def top_fraction_filter(
                 F.lit(False)).alias("keep"),
         )
     )
+
+
+def token_budget_filter(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "quality_score",
+    weight_col: str = "n_tok",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, group, score, weight, keep) — per-group TOKEN-budget
+    selection: walk score levels best-first and keep every level whose
+    cumulative token count BEFORE the level is still under `budget`
+    (first-crossing-keeps).  The kept set is therefore the smallest
+    score-prefix holding ≥ budget tokens (or everything, if the group
+    is smaller than the budget); within a score level all rows keep, so
+    the answer is re-ingestion-stable — no float threshold and no
+    row-order dependence can flip a row.  NULL score or NULL/negative
+    weight never keeps (same fail-closed reading as top_fraction_filter
+    / pack_next_fit's explicit-coalesce call sites).
+
+    100 TB shape (same skeleton as top_fraction_filter): tokens
+    aggregate per (group, score) — shuffle O(|distinct score levels|),
+    bounded for any rounded score — the cumulative scan runs over those
+    aggregated rows only, and the |groups|-row cutoff broadcasts back
+    onto the scan.  No per-group sort of raw rows ever happens."""
+    from pyspark.sql import Window
+
+    valid = df.where(
+        F.col(score_col).isNotNull()
+        & F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0))
+    levels = (valid.groupBy(group_col, score_col)
+              .agg(F.sum(weight_col).alias("_tok")))
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.desc(score_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cut = (levels.withColumn("_cum", F.sum("_tok").over(w))
+           # keep the level iff the cumulative count BEFORE it is < budget
+           .where((F.col("_cum") - F.col("_tok")) < F.lit(int(budget)))
+           .groupBy(group_col)
+           .agg(F.min(score_col).alias("_cutoff")))
+    return (
+        df.select(F.col(id_col), F.col(group_col),
+                  F.col(score_col), F.col(weight_col))
+        .join(F.broadcast(cut), group_col, "left_outer")
+        .select(
+            id_col, group_col, score_col, weight_col,
+            F.coalesce(
+                F.col("_cutoff").isNotNull()
+                & F.col(score_col).isNotNull()
+                & F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0)
+                & (F.col(score_col) >= F.col("_cutoff")),
+                F.lit(False)).alias("keep"),
+        )
+    )
+
+
+def group_cap_filter(
+    df: DataFrame,
+    cap: int,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "cap-v1",
+) -> DataFrame:
+    """(id, *groups, keep) — frequency cap: at most `cap` rows per group
+    (the per-domain cap every web pipeline applies so one crawler-friendly
+    host can't dominate an epoch).  Keepers are the `cap` smallest
+    md5(seed || id) values — a deterministic pseudo-random draw, stable
+    across re-ingestions and engines (hex strings compare identically
+    everywhere; ties broken by id).
+
+    100 TB shape: the rank window runs ONLY over groups that exceed the
+    cap.  Per-group counts aggregate first (one |groups|-row table,
+    broadcast back); under-cap groups — the overwhelming bulk of a
+    domain-keyed corpus — pass through as a codegen'd map with NO window
+    and no second shuffle.  Only the over-cap slice (bounded by
+    |big groups| × group size) pays the partitioned sort, and that sort
+    is per-group parallel."""
+    from pyspark.sql import Window
+
+    groups = group_cols or ["source", "lang"]
+    counts = (df.groupBy(*groups)
+              .agg(F.count(F.lit(1)).alias("_n")))
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    # null-safe group join: a NULL domain is still a group (groupBy put
+    # it in counts) — a plain equi-join would silently DROP those rows
+    base = df.select(F.col(id_col), *[F.col(g) for g in groups])
+    cnt = counts
+    for g in groups:
+        cnt = cnt.withColumnRenamed(g, f"_g_{g}")
+    cond = None
+    for g in groups:
+        c = base[g].eqNullSafe(cnt[f"_g_{g}"])
+        cond = c if cond is None else (cond & c)
+    tagged = base.join(F.broadcast(cnt), cond).drop(
+        *[f"_g_{g}" for g in groups])
+    small = tagged.where(F.col("_n") <= cap) \
+                  .select(id_col, *groups, F.lit(True).alias("keep"))
+    w = Window.partitionBy(*groups).orderBy(key.asc(), F.col(id_col).asc())
+    big = (tagged.where(F.col("_n") > cap)
+           .withColumn("_rk", F.row_number().over(w))
+           .select(id_col, *groups,
+                   (F.col("_rk") <= F.lit(int(cap))).alias("keep")))
+    return small.unionAll(big)

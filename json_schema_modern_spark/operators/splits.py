@@ -64,3 +64,35 @@ def split_summary(
         .groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split")
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "split-v1",
+    buckets: int = 10000,
+) -> DataFrame:
+    """(fingerprint, n_docs, n_splits, splits) for every exact text
+    fingerprint that lands in MORE THAN ONE split — the eval-leakage
+    audit every split assignment must pass before training.  The id
+    hash guarantees a *document* never moves between splits, but exact
+    duplicate *texts* with different ids can straddle the boundary;
+    this is the table of those stragglers (empty = clean).
+
+    100 TB shape: the split label is a per-row map fused into the scan;
+    leakage detection is ONE hash-shuffle on md5(text) (uniform by
+    construction) with a map-side-combined distinct on (fp, split) —
+    the same single-shuffle count as exact dedup.  `splits` is a
+    sorted, comma-joined string so the output hashes identically on
+    any engine."""
+    tagged = assign_split(df, id_col=id_col, weights=weights, seed=seed,
+                          buckets=buckets).where(F.col(text_col).isNotNull())
+    per = (tagged.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sort_array(F.collect_set("split")).alias("_splits")))
+    return (per.where(F.size("_splits") > 1)
+            .select("fingerprint", "n_docs",
+                    F.size("_splits").cast("int").alias("n_splits"),
+                    F.array_join("_splits", ",").alias("splits")))

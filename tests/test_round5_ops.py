@@ -176,3 +176,32 @@ def test_top_fraction_null_scores_never_keep(spark):
     got = {r.doc_id: r.keep for r in
            top_fraction_filter(df, 2, 3, score_col="score").collect()}
     assert got == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_embedding_contamination_matmul_matches_jvm(spark):
+    from json_schema_modern_spark.operators.contamination import (
+        embedding_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0]),
+         (102, [0.0, 0.0, 0.0])],              # zero-norm bench: never wins
+        "vec_id long, embedding array<float>")
+    train = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0]), (2, [0.0, 0.0, 5.0]), (3, [1.0, 1.0, 0.0]),
+         (4, [0.0, 0.0, 0.0])],                # zero-norm train: NULL max_sim
+        "vec_id long, embedding array<float>")
+    mm = {r.vec_id: (r.max_sim, r.contaminated) for r in
+          embedding_contamination(train, bench, 0.8, method="matmul").collect()}
+    assert mm[1] == (1.0, True)
+    assert mm[2] == (0.0, False)
+    assert abs(mm[3][0] - 0.707107) < 1e-6 and mm[3][1] is False
+    assert mm[4] == (None, None)
+    # jvm path agrees on every non-zero-norm row (zero-norm division
+    # semantics are the documented JVM-path edge; matmul pins them)
+    jvm = {r.vec_id: (r.max_sim, r.contaminated) for r in
+           embedding_contamination(
+               train.where("vec_id < 4"),
+               bench.where("vec_id < 102"), 0.8, method="jvm").collect()}
+    for k in (1, 2, 3):
+        assert jvm[k] == mm[k]

@@ -48,3 +48,22 @@ def test_boilerplate_min_docs_filters_singletons(spark):
         [("s1", "alpha beta gamma delta"), ("s1", "epsilon zeta eta theta")],
         "source string, text string")
     assert boilerplate_ngrams(docs, n=3, min_docs=2).count() == 0
+
+
+def test_vocab_growth_curve(spark):
+    from pyspark.sql import functions as F
+
+    from json_schema_modern_spark.operators.diversity import vocab_growth
+
+    # shard = id % 2; shard 0 sees {a,b}, shard 1 adds {c} only
+    rows = [(0, ["a", "b"]), (2, ["a"]), (1, ["b", "c"]), (3, ["c", "a"])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = {r.shard: (r.n_new_tokens, r.cum_vocab)
+           for r in vocab_growth(df, n_shards=2).collect()}
+    assert out == {0: (2, 2), 1: (1, 3)}
+    # empty/null token arrays contribute nothing
+    df2 = df.unionAll(spark.createDataFrame(
+        [(4, []), (5, None)], "doc_id long, tokens array<string>"))
+    out2 = {r.shard: (r.n_new_tokens, r.cum_vocab)
+            for r in vocab_growth(df2, n_shards=2).collect()}
+    assert out2 == out

@@ -64,3 +64,40 @@ def test_segment_duplicates(spark):
 def test_segment_duplicates_empty_text(spark):
     df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id int, text string")
     assert segment_duplicates(df).count() == 0
+
+
+def test_split_leakage_detects_cross_split_dupes(spark):
+    from json_schema_modern_spark.operators.splits import (
+        assign_split, split_leakage,
+    )
+
+    # 200 ids sharing 100 texts; two ids with the same text land in
+    # independent buckets, so with 50/25/25 some pair must straddle
+    rows = [(i, f"text {i % 100}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    weights = {"train": 0.5, "valid": 0.25, "test": 0.25}
+    out = split_leakage(df, weights=weights).collect()
+    assert out
+    tagged = {(r.doc_id, r.split): r
+              for r in assign_split(df, weights=weights).collect()}
+    # every reported fingerprint really does straddle splits
+    import hashlib
+    by_fp = {}
+    for (doc_id, split) in tagged:
+        fp = hashlib.md5(f"text {doc_id % 100}".encode()).hexdigest()
+        by_fp.setdefault(fp, set()).add(split)
+    for r in out:
+        assert r.n_splits > 1
+        assert set(r.splits.split(",")) == by_fp[r.fingerprint]
+        assert r.splits == ",".join(sorted(r.splits.split(",")))
+    # and nothing that straddles is missed
+    want = {fp for fp, s in by_fp.items() if len(s) > 1}
+    assert {r.fingerprint for r in out} == want
+
+
+def test_split_leakage_null_text_ignored(spark):
+    from json_schema_modern_spark.operators.splits import split_leakage
+
+    df = spark.createDataFrame([(1, None), (2, None), (3, "x")],
+                               "doc_id long, text string")
+    assert split_leakage(df).collect() == []

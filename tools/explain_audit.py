@@ -377,6 +377,34 @@ def main() -> None:
     check("span coverage: gram doc-frequency partial-combines",
           partial_then_exchange(sc_plan))
 
+    # 21. round-5 curation ops: no raw-row windows, broadcast joins back
+    from json_schema_modern_spark.operators.diversity import vocab_growth
+    from json_schema_modern_spark.operators.funnel import (
+        group_cap_filter, token_budget_filter,
+    )
+
+    scored = docs.select(
+        "doc_id", "source", "lang",
+        (F.col("n_chars") % 100 / 100.0).alias("quality_score"),
+        F.col("n_chars").alias("n_tok"))
+    tb_plan = explain_str(token_budget_filter(scored, 600))
+    check("token budget: levels partial-combine before the window",
+          partial_then_exchange(tb_plan))
+    check("token budget: cutoff broadcast back (no second data shuffle)",
+          "BroadcastExchange" in tb_plan)
+    check("token budget: no cross product", no_cross(tb_plan))
+    gc_plan = explain_str(group_cap_filter(docs, cap=10))
+    n_windows = sum(1 for ln in gc_plan.splitlines()
+                    if ln.strip().startswith(("+-", ":", "*("))
+                    and "Window" in ln)
+    check("domain cap: rank window only on the over-cap branch",
+          n_windows == 1, f"windows={n_windows}")
+    check("domain cap: group counts broadcast", "BroadcastExchange" in gc_plan)
+    vg_plan = explain_str(vocab_growth(toked))
+    check("vocab growth: first-shard min partial-combines",
+          partial_then_exchange(vg_plan))
+    check("vocab growth: no cross product", no_cross(vg_plan))
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
