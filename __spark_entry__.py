@@ -1144,6 +1144,31 @@ def _q_token_entropy(spark, sf_dir):
     return token_entropy(_doc_tokens(_read(spark, sf_dir, "documents")))
 
 
+def _q_token_run_stats(spark, sf_dir):
+    """Per-source longest consecutive identical-token run — the
+    tokenizer-loop / degenerate-generation detector.  One codegen'd
+    higher-order fold per row, no explode; oracle replays the runs via
+    lag()/sum() run-groups over zipped unnests."""
+    from json_schema_modern_spark.operators.tokens import token_run_stats
+
+    return token_run_stats(_doc_tokens(_read(spark, sf_dir, "documents")))
+
+
+def _q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing: per-source score
+    terciles over the unigram LM scores, threshold-join plan (exact
+    percentile for the oracle gate; approx_percentile is the same-shape
+    web-scale path)."""
+    from json_schema_modern_spark.operators.lm_score import (
+        perplexity_buckets, unigram_logprob_scores,
+    )
+
+    d = _doc_tokens(_read(spark, sf_dir, "documents"))
+    scored = unigram_logprob_scores(d, _TOKEN_VOCAB).join(
+        d.select("doc_id", "source"), "doc_id")
+    return perplexity_buckets(scored)
+
+
 def _q_token_oov(spark, sf_dir):
     from json_schema_modern_spark.operators.tokens import oov_stats
 
@@ -1493,6 +1518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_lm_score": _q_token_lm_score,
         "token_bigram_score": _q_token_bigram_score,
         "token_entropy": _q_token_entropy,
+        "token_run_stats": _q_token_run_stats,
+        "ppl_buckets": _q_ppl_buckets,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_lsh_buckets": _q_ann_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -2282,6 +2309,59 @@ FROM t LEFT JOIN n USING (doc_id) LEFT JOIN h USING (doc_id)
         "CAST(round(count(DISTINCT token) / 200.0, 6) AS DOUBLE) AS coverage "
         "FROM u WHERE token >= 0 AND token < 200"
     )
+    # run-groups: brk=1 at every token that differs from its predecessor,
+    # cumulative sum of brk numbers the runs, count per run = run length
+    o["token_run_stats"] = f"""
+WITH t AS (SELECT doc_id, source, {_tok_expr} AS toks FROM documents),
+f AS (SELECT doc_id, source, toks FROM t
+      WHERE toks IS NOT NULL AND len(toks) >= 1),
+u AS (SELECT doc_id, source, unnest(toks) AS tok,
+             unnest(range(1, len(toks) + 1)) AS ord FROM f),
+m AS (SELECT doc_id, source, tok, ord,
+             CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY ord) = tok
+                  THEN 0 ELSE 1 END AS brk FROM u),
+g AS (SELECT doc_id, source,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY ord) AS grp FROM m),
+r AS (SELECT doc_id, source, grp, count(*) AS runlen
+      FROM g GROUP BY 1, 2, 3),
+d AS (SELECT doc_id, source, max(runlen) AS mr FROM r GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(mr) AS INT) AS max_run,
+       CAST(round(avg(mr), 6) AS DOUBLE) AS avg_max_run,
+       CAST(sum(CASE WHEN mr >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_loopy,
+       CAST(round(sum(CASE WHEN mr >= 3 THEN 1 ELSE 0 END) * 1.0 / count(*),
+                  6) AS DOUBLE) AS loopy_frac
+FROM d GROUP BY source ORDER BY source
+"""
+    # same unigram-LM derivation as token_lm_score, then per-source
+    # tercile thresholds (quantile_cont over the round-6 scores — the
+    # same interpolating quantile Spark's exact percentile computes)
+    o["ppl_buckets"] = f"""
+WITH t AS (SELECT doc_id, source, {_tok_expr} AS toks FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS token FROM t),
+c AS (SELECT token, count(*) AS n FROM u
+      WHERE token >= 0 AND token < 200 GROUP BY 1),
+tot AS (SELECT coalesce(sum(n), 0) + 200 AS denom FROM c),
+s AS (SELECT u.doc_id,
+             -avg(ln((coalesce(c.n, 0) + 1) / (SELECT denom FROM tot))) AS sc
+      FROM u LEFT JOIN c ON u.token = c.token
+         AND u.token >= 0 AND u.token < 200
+      GROUP BY u.doc_id),
+sc AS (SELECT t.source, CAST(round(s.sc, 6) AS DOUBLE) AS lm_score
+       FROM t JOIN s ON t.doc_id = s.doc_id WHERE s.sc IS NOT NULL),
+th AS (SELECT source, quantile_cont(lm_score, [1.0/3, 2.0/3]) AS t
+       FROM sc GROUP BY source),
+b AS (SELECT sc.source,
+             CASE WHEN lm_score <= t[1] THEN 'head'
+                  WHEN lm_score <= t[2] THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             lm_score
+      FROM sc JOIN th ON sc.source = th.source)
+SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(sum(CAST(round(lm_score * 1000000) AS BIGINT))
+                  * 1.0 / count(*)) AS BIGINT) / 1000000.0 AS avg_score
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
     o["dedup_tokens_minhash"] = _tokens_minhash_pairs_oracle(_tok_expr)
     o["source_overlap_sketch"] = _source_overlap_oracle(_tok_expr)
     from json_schema_modern_spark.operators.diversity import (

@@ -150,3 +150,65 @@ def bigram_logprob_scores(
             F.round("sc", 6).alias("bigram_score"),
         )
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str = "source",
+    score_col: str = "lm_score",
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. §4.3:
+    split each language's documents into three equal-mass perplexity
+    bands and keep the head/middle): per group, bucket documents by
+    score terciles and report (group, bucket, n_docs, avg_score).
+
+    ``scored`` is any DataFrame carrying ``group_col`` and ``score_col``
+    (e.g. unigram_logprob_scores joined back to source).  NULL scores
+    (empty documents) are excluded — documented contract.
+
+    100 TB shape: a two-pass threshold plan, NOT a per-group window —
+    ntile() would sort every document of a source on one task (a 10 TB
+    source = one executor).  Pass 1 reduces to a |groups|-row threshold
+    table (exact=True uses `percentile`, the interpolating exact
+    aggregate that matches DuckDB quantile_cont bit-for-bit for the
+    oracle gate; at web scale flip exact=False for `approx_percentile`,
+    the sketch-mergeable KLL path with the identical plan shape).
+    Pass 2 broadcast-joins the thresholds back and buckets with two
+    comparisons — zero data shuffle beyond the final |groups x 3|-row
+    aggregate."""
+    s = F.col(score_col)
+    pct = (F.percentile(s, F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)))
+           if exact else
+           F.approx_percentile(s, F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)),
+                               F.lit(10000)))
+    thresholds = (
+        scored.where(s.isNotNull())
+        .groupBy(group_col)
+        .agg(pct.alias("_t"))
+        .select(group_col, F.col("_t")[0].alias("_t1"), F.col("_t")[1].alias("_t2"))
+    )
+    bucket = (
+        F.when(s <= F.col("_t1"), F.lit("head"))
+        .when(s <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    # avg_score sums the round-6 scores in exact 1e-6 integer units so the
+    # mean is independent of float summation order, and ROUNDS IN MICRO
+    # SPACE: round(x, 6) on a double like 4.1267675 is engine-dependent
+    # (Spark rounds the shortest-decimal repr HALF_UP, C++ engines round
+    # the binary value), while micro-unit ties (…7.5) are exactly
+    # representable and round identically everywhere.
+    micro = F.round(s * F.lit(1e6)).cast("long")
+    return (
+        scored.where(s.isNotNull())
+        .join(F.broadcast(thresholds), group_col)
+        .select(F.col(group_col), bucket.alias("bucket"), micro.alias("_m"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_m").alias("_sm"))
+        .select(
+            F.col(group_col), "bucket", "n_docs",
+            (F.round(F.col("_sm") * F.lit(1.0) / F.col("n_docs"))
+             .cast("long") / F.lit(1e6)).alias("avg_score"))
+        .orderBy(group_col, "bucket")
+    )

@@ -134,3 +134,64 @@ def token_entropy(
             F.round("ent", 6).alias("entropy"),
         )
     )
+
+
+def token_run_stats(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    loop_threshold: int = 3,
+) -> DataFrame:
+    """Per-group consecutive-repetition statistics: (group, n_docs,
+    max_run, avg_max_run, n_loopy, loopy_frac) where a document's
+    ``max_run`` is the length of its longest run of consecutive IDENTICAL
+    token ids and "loopy" means max_run >= loop_threshold — the
+    tokenizer-loop / degenerate-generation detector (a model emitting
+    "the the the ..." or a tokenizer stuck on a byte produces long
+    uniform runs that per-doc entropy alone can miss when the run is a
+    small fraction of a long document).
+
+    100 TB shape: the entire per-document run computation is ONE
+    codegen'd higher-order `aggregate` fold over the token array — no
+    explode, no window, zero extra rows; the only shuffle is the final
+    per-source partial+final aggregate, O(|sources| x partitions).
+    Documents with NULL/empty token arrays are excluded (documented
+    contract, mirrored in the oracle's ``len(toks) >= 1`` filter).
+    """
+    toks = F.col(tokens_col)
+    # fold state: (prev token, current run length, best run length);
+    # prev starts NULL so the first comparison is NULL -> otherwise(1).
+    init = F.struct(
+        F.lit(None).cast("int").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"))
+
+    max_run = F.aggregate(toks, init, step, lambda acc: acc["best"])
+    return (
+        df.where(toks.isNotNull() & (F.size(toks) >= 1))
+        .select(F.col(group_col).alias("grp"), max_run.alias("_mr"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("_mr").alias("max_run"),
+            F.round(F.avg("_mr"), 6).alias("avg_max_run"),
+            F.sum(F.when(F.col("_mr") >= loop_threshold, 1)
+                  .otherwise(0)).alias("n_loopy"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.col("max_run").cast("int").alias("max_run"),
+            "avg_max_run",
+            F.col("n_loopy").cast("long").alias("n_loopy"),
+            F.round(F.col("n_loopy") / F.col("n_docs"), 6).alias("loopy_frac"),
+        )
+        .orderBy(group_col)
+    )

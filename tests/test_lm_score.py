@@ -86,3 +86,37 @@ def test_bigram_orders_repetition_below_novelty(spark):
     got = {r.doc_id: r.bigram_score
            for r in bigram_logprob_scores(df, 100).collect()}
     assert got[1] < got[2]   # repetitive stream is more predictable
+
+
+def test_perplexity_buckets(spark):
+    from json_schema_modern_spark.operators.lm_score import (
+        perplexity_buckets,
+    )
+
+    # six docs per source with distinct scores -> terciles of 2 docs each
+    rows = [(i, "a", float(i)) for i in range(1, 7)] + \
+           [(10 + i, "b", 10.0 + i) for i in range(1, 7)] + \
+           [(99, "a", None)]   # NULL score excluded
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lm_score double")
+    got = {(r.source, r.bucket): (r.n_docs, r.avg_score)
+           for r in perplexity_buckets(df).collect()}
+    # thresholds for 1..6 at q=1/3, 2/3 -> 2.666.., 4.333..
+    assert got[("a", "head")] == (2, 1.5)
+    assert got[("a", "middle")] == (2, 3.5)
+    assert got[("a", "tail")] == (2, 5.5)
+    assert got[("b", "head")] == (2, 11.5)
+    assert len(got) == 6
+
+
+def test_perplexity_buckets_approx_path(spark):
+    from json_schema_modern_spark.operators.lm_score import (
+        perplexity_buckets,
+    )
+
+    rows = [(i, "a", float(i % 10)) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lm_score double")
+    got = perplexity_buckets(df, exact=False).collect()
+    assert sum(r.n_docs for r in got) == 200
+    assert {r.bucket for r in got} <= {"head", "middle", "tail"}

@@ -54,3 +54,33 @@ def test_token_entropy(spark):
     assert got[3] == (1, 1, 0.0)
     assert got[4] == (0, 0, None)
     assert got[5] == (0, 0, None)
+
+
+def test_token_run_stats(spark):
+    from json_schema_modern_spark.operators.tokens import token_run_stats
+
+    rows = [
+        (1, "a", [1, 1, 1, 2, 2]),      # max run 3 -> loopy
+        (2, "a", [1, 2, 3, 4]),         # max run 1
+        (3, "b", [7, 7, 7, 7, 7, 7]),   # max run 6 -> loopy
+        (4, "b", [5]),                  # single token: run 1
+        (5, "b", []),                   # excluded
+        (6, "b", None),                 # excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, tokens array<int>")
+    got = {r.source: r for r in token_run_stats(df).collect()}
+    assert (got["a"].n_docs, got["a"].max_run, got["a"].avg_max_run,
+            got["a"].n_loopy, got["a"].loopy_frac) == (2, 3, 2.0, 1, 0.5)
+    assert (got["b"].n_docs, got["b"].max_run, got["b"].avg_max_run,
+            got["b"].n_loopy, got["b"].loopy_frac) == (2, 6, 3.5, 1, 0.5)
+
+
+def test_token_run_stats_threshold(spark):
+    from json_schema_modern_spark.operators.tokens import token_run_stats
+
+    rows = [(1, "a", [1, 1, 2]), (2, "a", [3, 3, 3, 3])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, tokens array<int>")
+    r = token_run_stats(df, loop_threshold=4).collect()[0]
+    assert (r.n_loopy, r.loopy_frac) == (1, 0.5)   # only the run of 4

@@ -405,6 +405,28 @@ def main() -> None:
           partial_then_exchange(vg_plan))
     check("vocab growth: no cross product", no_cross(vg_plan))
 
+    # 21. token-run stats: the per-doc fold must stay a row-local
+    #     expression — no Generate (explode) and no Window anywhere
+    from json_schema_modern_spark.operators.tokens import token_run_stats
+
+    tr_plan = explain_str(token_run_stats(toked))
+    check("token runs: no explode, no window (row-local fold)",
+          "Generate" not in tr_plan and "Window" not in tr_plan)
+    check("token runs: partial agg before shuffle",
+          partial_then_exchange(tr_plan))
+
+    # 22. perplexity buckets: thresholds must come back via a broadcast
+    #     join (per-group ntile would sort a whole source on one task)
+    from json_schema_modern_spark.operators.lm_score import perplexity_buckets
+
+    sc_df = docs.select(
+        "doc_id", "source", (F.col("n_chars") / 100.0).alias("lm_score"))
+    pb_plan = explain_str(perplexity_buckets(sc_df))
+    check("ppl buckets: thresholds broadcast back",
+          "BroadcastExchange" in pb_plan)
+    check("ppl buckets: no per-group sort window", "Window" not in pb_plan)
+    check("ppl buckets: no cross product", no_cross(pb_plan))
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
