@@ -1222,6 +1222,22 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, query_vector(64, seed=42), cents, k=10, nprobe=2)
 
 
+_ANN_RECALL_SEEDS = list(range(42, 50))   # 8 query vectors
+
+
+def _q_ann_recall(spark, sf_dir):
+    """Recall@10 of the Hamming-1 multiprobe LSH path vs exact brute
+    force, over 8 deterministic query vectors — the ANN quality harness;
+    oracle replays both sides per query in SQL and intersects."""
+    from json_schema_modern_spark.operators.similarity import (
+        ann_recall, query_vector,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = [query_vector(64, seed=s) for s in _ANN_RECALL_SEEDS]
+    return ann_recall(emb, qs, k=10, n_planes=6, multiprobe=1)
+
+
 def _q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN over TRAINED centroids: deterministic bounded-sample Lloyd
     k-means (ivf_centroids — quantized per iteration so another engine's
@@ -1525,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_trained": _q_ann_ivf_trained,
+        "ann_recall_eval": _q_ann_recall,
         "neardup_cosine": _q_neardup_cosine,
         "neardup_cosine_lsh": _q_neardup_cosine_lsh,
         "streaming_validation": _q_streaming_validation,
@@ -2712,6 +2729,7 @@ FROM c CROSS JOIN den
     o["ann_lsh_topk"] = _ann_lsh_topk_oracle()
     o["ann_ivf_topk"] = _ann_ivf_oracle()
     o["ann_ivf_trained"] = _ann_ivf_trained_oracle()
+    o["ann_recall_eval"] = _ann_recall_oracle(_ANN_RECALL_SEEDS)
     o["neardup_cosine"] = (
         "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "CAST(round(list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1]*x[2])) "
@@ -3216,6 +3234,39 @@ SELECT vec_id, sim FROM (
   WHERE {_lsh_bucket_sql_expr('embedding')} IN ({probe_list}))
 ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
+
+
+def _ann_recall_oracle(seeds, k: int = 10, n_planes: int = 6) -> str:
+    """Per query seed: exact top-k and LSH-probed top-k as in the
+    ann_bruteforce/ann_lsh_topk oracles, intersected for recall@k."""
+    import math
+
+    from json_schema_modern_spark.operators.similarity import (
+        hyperplanes, query_vector,
+    )
+
+    planes = hyperplanes(64, n_planes, seed=42)
+    arms = []
+    for qid, s in enumerate(seeds):
+        q = query_vector(64, seed=s)
+        qlit = "[" + ",".join(repr(x) for x in q) + "]::DOUBLE[]"
+        qn = repr(math.sqrt(sum(x * x for x in q)))
+        qb = sum((1 << i) for i, p in enumerate(planes)
+                 if sum(a * b for a, b in zip(q, p)) >= 0)
+        probe = sorted({qb} | {qb ^ (1 << i) for i in range(n_planes)})
+        probe_list = ", ".join(str(b) for b in probe)
+        sim = (f"CAST(round(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), {qlit}), x -> x[1]*x[2]))"
+               f" / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) * {qn}), 6) AS DOUBLE)")
+        brute = (f"SELECT vec_id FROM (SELECT vec_id, {sim} AS sim FROM embeddings) "
+                 f"ORDER BY sim DESC, vec_id ASC LIMIT {k}")
+        lsh = (f"SELECT vec_id FROM (SELECT vec_id, {sim} AS sim FROM embeddings "
+               f"WHERE {_lsh_bucket_sql_expr('embedding', n_planes)} IN ({probe_list})) "
+               f"ORDER BY sim DESC, vec_id ASC LIMIT {k}")
+        arms.append(
+            f"SELECT {qid} AS query_id, {k} AS k, CAST(count(*) AS BIGINT) AS n_hits, "
+            f"CAST(round(count(*) / {float(k)!r}, 6) AS DOUBLE) AS recall "
+            f"FROM ({brute}) b JOIN ({lsh}) l USING (vec_id)")
+    return " UNION ALL ".join(arms)
 
 
 def _ann_ivf_oracle() -> str:

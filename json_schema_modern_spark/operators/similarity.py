@@ -489,3 +489,43 @@ def semantic_dedup(
              | (sim < F.lit(threshold))).alias("keep"),
         )
     )
+
+
+def ann_recall(
+    df: DataFrame,
+    queries: list[list[float]],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, k, n_hits, recall) — recall@k of the bucket-pruned LSH
+    path against the exact brute-force top-k, per query vector: the
+    standard ANN quality harness (does the n_planes/multiprobe setting
+    actually find the true neighbors?).  Run this before trusting an LSH
+    configuration at scale, the way FAISS reports recall@k per index.
+
+    100 TB shape: a fixed-M diagnostic, not a data-plane operator — each
+    query is one TakeOrderedAndProject scan (the LSH side bucket-pruned),
+    and the M per-query count rows union driver-side; both sides use the
+    same deterministic (sim desc, id asc) tie-break so recall is
+    well-defined.  For very large corpora run it over a sampled slice —
+    recall estimates converge long before the full scan matters."""
+    parts = []
+    for qid, q in enumerate(queries):
+        exact = cosine_topk(df, q, k, vec_col, id_col).select(F.col(id_col))
+        approx = lsh_topk(df, q, k, n_planes, seed, vec_col, id_col,
+                          multiprobe).select(F.col(id_col).alias("_aid"))
+        parts.append(
+            exact.join(approx, exact[id_col] == approx["_aid"], "inner")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(qid).alias("query_id"), F.lit(k).alias("k"),
+                    F.col("n_hits").cast("long").alias("n_hits"),
+                    F.round(F.col("n_hits") / F.lit(float(k)), 6)
+                    .alias("recall")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("query_id")

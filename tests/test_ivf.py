@@ -67,3 +67,25 @@ def test_centroid_sample_cap_fails_fast(spark):
         ivf_centroids(df, n_centroids=3, sample_mod=2, max_sample=10)
     # and the suggested shape passes
     assert len(ivf_centroids(df, n_centroids=3, sample_mod=11, max_sample=10)) == 3
+
+
+def test_ann_recall_perfect_when_multiprobe_covers(spark):
+    from json_schema_modern_spark.operators.similarity import ann_recall
+
+    df = _clustered_df(spark)
+    # with enough probes the LSH path degenerates to exact -> recall 1.0
+    qs = [[1.0, 0.0, 0.0, 0.05], [0.0, 1.0, 0.0, -0.03]]
+    got = ann_recall(df, qs, k=5, n_planes=2, multiprobe=2).collect()
+    assert [r.query_id for r in got] == [0, 1]
+    assert all(r.k == 5 and r.n_hits == 5 and r.recall == 1.0 for r in got)
+
+
+def test_ann_recall_partial_under_pruning(spark):
+    from json_schema_modern_spark.operators.similarity import ann_recall
+
+    df = _clustered_df(spark)
+    qs = [[1.0, 0.0, 0.0, 0.0]]
+    got = ann_recall(df, qs, k=5, n_planes=8, multiprobe=0).collect()[0]
+    # pruned probe set can only lose neighbors, never invent them
+    assert 0 <= got.n_hits <= 5
+    assert got.recall == round(got.n_hits / 5.0, 6)
