@@ -772,6 +772,18 @@ def _q_dedup_span_coverage(spark, sf_dir):
                                    "tokens", "doc_id", ngram_n=5)
 
 
+def _q_dedup_span_positions(spark, sf_dir):
+    """Positional exact-substring coverage (Lee et al. arXiv:2107.06499
+    §4.1 as a per-doc score): fraction of token POSITIONS inside a
+    5-token window shared verbatim with another document, overlapping
+    windows merged into maximal spans via one aggregate() fold — the
+    fraction a substring-dedup pass would delete."""
+    from json_schema_modern_spark.operators.dedup import span_position_coverage
+
+    return span_position_coverage(_doc_tokens(_read(spark, sf_dir, "documents")),
+                                  "tokens", "doc_id", ngram_n=5)
+
+
 def _q_contamination_embedding(spark, sf_dir):
     """Embedding-space decontamination: max cosine of each training
     vector to any benchmark vector (benchmark = vec_id % 10 == 0,
@@ -1562,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2": _q_drift_chi2,
         "source_rank_corr": _q_source_rank_corr,
         "dedup_span_coverage": _q_dedup_span_coverage,
+        "dedup_span_positions": _q_dedup_span_positions,
         "contamination_embedding": _q_contamination_embedding,
         "mix_temperature": _q_mix_temperature,
         "quality_top_fraction": _q_quality_top_fraction,
@@ -2647,6 +2660,33 @@ SELECT d.doc_id,
             THEN CAST(round(p.n_shared / p.n_shingles, 6) AS DOUBLE)
             ELSE NULL END AS shared_frac
 FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+"""
+    # positional exact-substring coverage: same 5-gram windows WITH their
+    # start offsets; the interval union the engine folds in one
+    # aggregate() is replayed here with the classic prev-max-end window
+    o["dedup_span_positions"] = f"""
+WITH t AS (SELECT doc_id, {_tok_expr} AS toks FROM documents),
+w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, {_gram5} AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+            FROM t)),
+sg AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM w)
+       GROUP BY gram HAVING count(*) >= 2),
+h AS (SELECT w.doc_id, w.pos FROM w JOIN sg USING (gram)),
+m AS (SELECT doc_id, pos,
+             max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM h),
+cov AS (SELECT doc_id,
+               CAST(sum(greatest(0, pos + 5 - greatest(pos, coalesce(prev_end, pos)))) AS BIGINT) AS covered
+        FROM m GROUP BY 1)
+SELECT t.doc_id,
+       CAST(coalesce(len(t.toks), 0) AS BIGINT) AS n_tok,
+       coalesce(cov.covered, 0) AS covered,
+       CASE WHEN coalesce(len(t.toks), 0) > 0
+            THEN CAST(round(coalesce(cov.covered, 0) / len(t.toks), 6) AS DOUBLE)
+            ELSE NULL END AS coverage
+FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
 """
     # next-fit packing: recursive-CTE replay of the sequential
     # running-sum-with-reset (not expressible with plain windows)

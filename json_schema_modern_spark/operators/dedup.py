@@ -860,3 +860,87 @@ def duplicate_span_coverage(
             .alias("shared_frac"),
         )
     )
+
+
+def span_position_coverage(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    ngram_n: int = 5,
+) -> DataFrame:
+    """(doc_id, n_tok, covered, coverage) — per-document fraction of token
+    POSITIONS lying inside a length-`ngram_n` window whose exact token
+    subsequence also occurs in at least one OTHER document, with
+    overlapping hit windows merged into maximal spans (interval union).
+
+    This is the positional form of Lee et al.'s exact-substring
+    deduplication signal (arXiv:2107.06499 §4.1: remove any substring of
+    >=N tokens shared verbatim across documents): `coverage` is exactly
+    the fraction of the document a substring-dedup pass would delete.
+    `duplicate_span_coverage` (above) counts distinct shared shingles;
+    this one measures how much of the *sequence* the shared material
+    spans, which is the quantity the 100 TB curation decision keys on.
+
+    100 TB shape: positional windows explode once (O(total tokens) rows);
+    gram document-frequency is a two-level agg (distinct doc per gram is
+    map-side combined, shuffle O(|distinct grams|)); the hit join is on
+    gram; the per-doc interval union folds inside ONE `aggregate()` over
+    the sorted hit starts — no window function, no second shuffle, no
+    per-row Python.  Pair lists never materialize.
+    """
+    n = int(ngram_n)
+    toks = F.col(tokens_col)
+    m = F.size(toks) - F.lit(n - 1)
+    wins = F.when(m >= 1, F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.struct(
+            (i - 1).cast("long").alias("pos"),
+            F.concat_ws("-", F.transform(
+                F.slice(toks, i, n), lambda t: t.cast("string"))).alias("gram"),
+        ),
+    )).otherwise(F.array().cast("array<struct<pos:bigint,gram:string>>"))
+    pairs = (
+        df.select(F.col(id_col).alias("_id"), F.explode(wins).alias("w"))
+        .select("_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+    )
+    # grams occurring in >=2 distinct docs; distinct-before-count keeps the
+    # shuffle at O(|distinct (gram, doc)|) with map-side combine
+    shared_grams = (
+        pairs.select("gram", "_id").distinct()
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("gram")
+    )
+    hits = pairs.join(shared_grams, "gram").select("_id", "pos")
+    acc0 = F.struct(F.lit(0).cast("long").alias("cov"),
+                    F.lit(-1).cast("long").alias("end"))
+    per_doc = (
+        hits.groupBy("_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
+        .select(
+            "_id",
+            F.aggregate(
+                "starts", acc0,
+                lambda a, s: F.struct(
+                    (a["cov"] + F.greatest(
+                        F.lit(0).cast("long"),
+                        s + F.lit(n) - F.greatest(s, a["end"]))).alias("cov"),
+                    F.greatest(a["end"], s + F.lit(n)).alias("end"),
+                ),
+            )["cov"].alias("covered"),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tok"))
+    return (
+        base.join(per_doc, base[id_col] == per_doc["_id"], "left_outer")
+        .select(
+            F.col(id_col),
+            F.col("n_tok"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered"),
+            F.when(F.col("n_tok") > 0,
+                   F.round(F.coalesce("covered", F.lit(0)) / F.col("n_tok"), 6))
+            .alias("coverage"),
+        )
+    )

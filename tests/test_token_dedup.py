@@ -102,3 +102,40 @@ def test_jsd_matches_dense_reference(spark):
     got = jsd_matrix(df).head()
     assert (got.source_a, got.source_b) == ("a", "b")
     assert got.jsd == pytest.approx(want, abs=1e-6)
+
+
+def test_span_position_coverage_interval_merge(spark):
+    from json_schema_modern_spark.operators.dedup import span_position_coverage
+
+    # a and b share tokens[0:8] (positions 0..7): windows at starts 0..3
+    # all hit -> merged span covers 8 positions, not 4*5=20
+    shared = [1, 2, 3, 4, 5, 6, 7, 8]
+    df = _toks(spark, [
+        ("a", shared + [100, 101, 102, 103]),   # 12 toks, 8 covered
+        ("b", shared + [200, 201, 202, 203]),   # 12 toks, 8 covered
+        ("c", [50, 51, 52, 53, 54, 55]),        # unique -> 0 covered
+        ("d", [1, 2, 3]),                        # < n tokens -> no windows
+        ("e", []),                               # empty -> NULL coverage
+    ])
+    got = {r.doc_id: r for r in span_position_coverage(df, ngram_n=5).collect()}
+    assert (got["a"].n_tok, got["a"].covered) == (12, 8)
+    assert got["a"].coverage == pytest.approx(8 / 12, abs=1e-6)
+    assert (got["b"].n_tok, got["b"].covered) == (12, 8)
+    assert (got["c"].covered, got["c"].coverage) == (0, 0.0)
+    assert (got["d"].covered, got["d"].coverage) == (0, 0.0)
+    assert got["e"].n_tok == 0 and got["e"].covered == 0
+    assert got["e"].coverage is None
+
+
+def test_span_position_coverage_disjoint_spans(spark):
+    from json_schema_modern_spark.operators.dedup import span_position_coverage
+
+    # two disjoint shared 5-spans inside a 20-token doc -> covered = 10
+    s1, s2 = [1, 2, 3, 4, 5], [6, 7, 8, 9, 10]
+    df = _toks(spark, [
+        ("x", s1 + [91, 92, 93, 94, 95] + s2 + [96, 97, 98, 99, 90]),
+        ("y", s1 + [81, 82, 83, 84, 85, 86, 87] + s2 + [88, 89, 80]),
+    ])
+    got = {r.doc_id: r for r in span_position_coverage(df, ngram_n=5).collect()}
+    assert got["x"].covered == 10 and got["x"].n_tok == 20
+    assert got["y"].covered == 10
