@@ -1123,6 +1123,25 @@ def _q_token_top_ids(spark, sf_dir):
     return token_frequencies(_doc_tokens(_read(spark, sf_dir, "documents")), top_k=20)
 
 
+def _q_token_fertility(spark, sf_dir):
+    """Per-source tokenizer fertility (tokens/char, chars/token): the
+    domain-level compression diagnostic — one partial+final agg, shuffle
+    O(|sources|), no explode."""
+    from json_schema_modern_spark.operators.tokens import tokenizer_fertility
+
+    return tokenizer_fertility(_doc_tokens(_read(spark, sf_dir, "documents")))
+
+
+def _q_token_coverage_curve(spark, sf_dir):
+    """Head-mass curve: fraction of all token occurrences covered by the
+    top-k ids for k in {1,10,50,100,500} — the vocabulary-sizing signal;
+    ranking runs over the |vocab|-bounded frequency table only."""
+    from json_schema_modern_spark.operators.tokens import coverage_topk_curve
+
+    return coverage_topk_curve(_doc_tokens(_read(spark, sf_dir, "documents")),
+                               ks=[1, 10, 50, 100, 500])
+
+
 def _q_token_lm_score(spark, sf_dir):
     """Unigram LM scoring (CCNet-style perplexity-proxy filter): corpus-
     trained add-one-smoothed unigram cross-entropy per document, one
@@ -1541,6 +1560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_token_counts,
         "text_repetition": _q_text_repetition,
         "token_top_ids": _q_token_top_ids,
+        "token_fertility": _q_token_fertility,
+        "token_coverage_curve": _q_token_coverage_curve,
         "token_oov_stats": _q_token_oov,
         "token_vocab_coverage": _q_token_vocab_coverage,
         "token_lm_score": _q_token_lm_score,
@@ -2277,6 +2298,35 @@ FROM cum GROUP BY 1, 2, 3
         "SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences FROM u "
         "GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 20"
     )
+    o["token_fertility"] = f"""
+WITH t AS (SELECT source, coalesce(len({_tok_expr}), 0) AS nt,
+                  coalesce(length(text), 0) AS nc
+           FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       CASE WHEN sum(nc) > 0
+            THEN CAST(round(sum(nt) / sum(nc), 6) AS DOUBLE) END AS tokens_per_char,
+       CASE WHEN sum(nt) > 0
+            THEN CAST(round(sum(nc) / sum(nt), 6) AS DOUBLE) END AS chars_per_token
+FROM t GROUP BY 1
+"""
+    o["token_coverage_curve"] = f"""
+WITH t AS (SELECT {_tok_expr} AS toks FROM documents),
+u AS (SELECT unnest(toks) AS token FROM t),
+f AS (SELECT token, count(*) AS cnt FROM u GROUP BY 1),
+r AS (SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk
+      FROM f),
+ks AS (SELECT unnest([1, 10, 50, 100, 500]) AS k)
+SELECT k,
+       CAST(sum(CASE WHEN rk <= k THEN cnt ELSE 0 END) AS BIGINT) AS covered,
+       CAST(sum(cnt) AS BIGINT) AS total,
+       CASE WHEN sum(cnt) > 0
+            THEN CAST(round(sum(CASE WHEN rk <= k THEN cnt ELSE 0 END)
+                            / sum(cnt), 6) AS DOUBLE) END AS coverage
+FROM r CROSS JOIN ks GROUP BY 1
+"""
     # unigram LM score: identical training corpus, add-one smoothing,
     # OOV ids (outside [0, 200)) score as count 0; -avg(ln p) per doc
     o["token_lm_score"] = (

@@ -195,3 +195,85 @@ def token_run_stats(
         )
         .orderBy(group_col)
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source tokenizer fertility: (source, n_docs, n_tokens, n_chars,
+    tokens_per_char, chars_per_token) — the compression-ratio diagnostic a
+    tokenizer owner watches per domain (code tokenizes denser than prose;
+    a fertility spike on one source flags mojibake or a domain the vocab
+    was never trained on).  Ratios are rounded to 6 decimals (oracle
+    parity convention); sources with zero chars report NULL ratios.
+
+    100 TB shape: pure Column expressions into one partial+final aggregate
+    — shuffle is O(|sources| x partitions), no explode, no UDF."""
+    toks, txt = F.col(tokens_col), F.col(text_col)
+    return (
+        df.select(
+            F.col(group_col).alias("source"),
+            F.when(toks.isNull(), F.lit(0)).otherwise(F.size(toks))
+             .cast("long").alias("_nt"),
+            F.coalesce(F.length(txt), F.lit(0)).cast("long").alias("_nc"),
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("_nt").alias("n_tokens"),
+             F.sum("_nc").alias("n_chars"))
+        .select(
+            "source", "n_docs", "n_tokens", "n_chars",
+            F.when(F.col("n_chars") > 0,
+                   F.round(F.col("n_tokens") / F.col("n_chars"), 6))
+            .alias("tokens_per_char"),
+            F.when(F.col("n_tokens") > 0,
+                   F.round(F.col("n_chars") / F.col("n_tokens"), 6))
+            .alias("chars_per_token"),
+        )
+    )
+
+
+def coverage_topk_curve(
+    df: DataFrame,
+    ks: list[int],
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(k, covered, total, coverage) — fraction of ALL token occurrences
+    accounted for by the k most frequent ids, for each k in `ks`: the
+    head-mass curve that sizes a vocabulary (coverage@32k vs @64k) and
+    exposes Zipf-tail domains.  Rank ties break by token id ascending
+    (deterministic).
+
+    100 TB shape: the explode collapses map-side to <=|vocab| states per
+    partition before the shuffle; ranking then runs over the
+    |vocab|-bounded frequency table — a single-partition window over at
+    most a few million rows, independent of corpus size — and the k
+    thresholds apply as one conditional aggregate."""
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = freq.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("token"))))
+    ks_df = ranked.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(set(ks))], "k int")
+    return (
+        ranked.crossJoin(F.broadcast(ks_df))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("cnt"))
+                  .otherwise(F.lit(0))).cast("long").alias("covered"),
+            F.sum("cnt").cast("long").alias("total"),
+        )
+        .select("k", "covered", "total",
+                F.when(F.col("total") > 0,
+                       F.round(F.col("covered") / F.col("total"), 6))
+                .alias("coverage"))
+        .orderBy("k")
+    )

@@ -84,3 +84,36 @@ def test_token_run_stats_threshold(spark):
         rows, "doc_id long, source string, tokens array<int>")
     r = token_run_stats(df, loop_threshold=4).collect()[0]
     assert (r.n_loopy, r.loopy_frac) == (1, 0.5)   # only the run of 4
+
+
+def test_tokenizer_fertility(spark):
+    from json_schema_modern_spark.operators.tokens import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [("a", "web", [1, 2, 3, 4], "abcdefgh"),       # 4 tok / 8 chars
+         ("b", "web", [5, 6], "xy"),                   # 2 tok / 2 chars
+         ("c", "code", None, None),                    # null-safe
+         ("d", "code", [], "abcd")],
+        "doc_id string, source string, tokens array<int>, text string")
+    got = {r.source: r for r in tokenizer_fertility(df).collect()}
+    web = got["web"]
+    assert (web.n_docs, web.n_tokens, web.n_chars) == (2, 6, 10)
+    assert web.tokens_per_char == pytest.approx(0.6, abs=1e-6)
+    assert web.chars_per_token == pytest.approx(10 / 6, abs=1e-6)
+    code = got["code"]
+    assert (code.n_tokens, code.n_chars) == (0, 4)
+    assert code.tokens_per_char == 0.0 and code.chars_per_token is None
+
+
+def test_coverage_topk_curve(spark):
+    from json_schema_modern_spark.operators.tokens import coverage_topk_curve
+
+    # id 7 x6, id 3 x3, id 9 x1 -> total 10
+    df = spark.createDataFrame(
+        [("a", [7, 7, 7, 3, 3, 9]), ("b", [7, 7, 7, 3])],
+        "doc_id string, tokens array<int>")
+    got = {r.k: r for r in coverage_topk_curve(df, ks=[1, 2, 10]).collect()}
+    assert got[1].covered == 6 and got[1].total == 10
+    assert got[1].coverage == pytest.approx(0.6, abs=1e-6)
+    assert got[2].covered == 9
+    assert got[10].coverage == pytest.approx(1.0, abs=1e-6)
