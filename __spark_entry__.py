@@ -76,6 +76,28 @@ def _q_flagship(spark, sf_dir):
     return _validate(spark, sf_dir, "documents", FLAGSHIP_SPEC, ["doc_id"])
 
 
+def _q_validation_metrics(spark, sf_dir):
+    """Per-source validation metrics rollup over the flagship spec:
+    (source, n_rows, n_valid, n_violations, valid_frac) — the
+    driver-checkable analogue of ValidationResult.partition_results
+    (whose partition ids are scheduler-dependent, so the oracle keys on
+    the deterministic source column instead).  Rides the same two-phase
+    plan as the flagship: `_valid` is pure codegen; `_viols` assembly
+    only executes on failing rows."""
+    from json_schema_modern_spark import Validator
+
+    df = _read(spark, sf_dir, "documents")
+    ann = Validator(FLAGSHIP_SPEC).validate(df, id_cols=["doc_id"]).annotated
+    return (
+        ann.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum(F.col("_valid").cast("int")).cast("long").alias("n_valid"),
+             F.sum(F.size("_viols")).cast("long").alias("n_violations"))
+        .select("source", "n_rows", "n_valid", "n_violations",
+                F.round(F.col("n_valid") / F.col("n_rows"), 6).alias("valid_frac"))
+    )
+
+
 def _q_kw_min_max(spark, sf_dir):
     spec = {"type": "object",
             "properties": {"l_quantity": {"minimum": 5, "maximum": 45}}}
@@ -1552,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- flagship + previously under-verified tail (window) ------------
         "flagship_violations": _q_flagship,
+        "validation_metrics": _q_validation_metrics,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_langid_ngram": _q_text_langid_ngram,
@@ -1795,6 +1818,28 @@ def oracle_sql() -> dict[str, str]:
     o = _simple_range_oracle()
     o["flagship_violations"] = _FLAGSHIP_ORACLE_ABS
     o["streaming_validation"] = _FLAGSHIP_ORACLE
+    # per-source metrics rollup: per-doc violation count re-derived as a
+    # sum of the same seven per-keyword conditions the flagship oracle
+    # UNIONs (can't join the violation rows back — required-violations
+    # carry NULL doc_id)
+    o["validation_metrics"] = """
+WITH per AS (SELECT source,
+    (CASE WHEN doc_id IS NOT NULL AND doc_id < 0 THEN 1 ELSE 0 END
+   + CASE WHEN text IS NOT NULL AND length(text) < 60 THEN 1 ELSE 0 END
+   + CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','es','fr','de','zh') THEN 1 ELSE 0 END
+   + CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+') THEN 1 ELSE 0 END
+   + CASE WHEN n_chars IS NOT NULL AND n_chars < 1 THEN 1 ELSE 0 END
+   + CASE WHEN n_chars IS NOT NULL AND n_chars > 600 THEN 1 ELSE 0 END
+   + CASE WHEN doc_id IS NULL OR text IS NULL OR lang IS NULL
+              OR source IS NULL OR n_chars IS NULL THEN 1 ELSE 0 END) AS nv
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN nv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(nv) AS BIGINT) AS n_violations,
+       CAST(round(sum(CASE WHEN nv = 0 THEN 1 ELSE 0 END) / count(*), 6)
+            AS DOUBLE) AS valid_frac
+FROM per GROUP BY 1
+"""
 
     # distributed python tier: validity re-derived with INDEPENDENT SQL
     # logic (case residues mirror the payload synthesis; the >int64 case

@@ -109,3 +109,22 @@ def test_flag_mode_agrees_with_full_mode(spark):
         df = sequences_df(spark, 1000, seed=7, corrupt=corrupt)
         res = Validator(FLAGSHIP).validate(df, id_cols=["doc_id"])
         assert res.flag() == (res.violations.count() == 0)
+
+
+def test_metrics_rollup_consistency(spark):
+    """Per-group metrics rollup over annotated: n_valid counts rows with
+    zero violation nodes, n_violations sums node counts, and both are
+    consistent with the violations DataFrame."""
+    df = sequences_df(spark, 1000, seed=11, corrupt=True)
+    n = df.count()   # corrupt=True injects an extra duplicate row
+    res = Validator(FLAGSHIP).validate(df, id_cols=["doc_id"])
+    ann = res.annotated
+    agg = ann.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_valid").cast("int")).alias("n_valid"),
+        F.sum(F.size("_viols")).alias("n_violations")).head()
+    assert agg.n_rows == n
+    assert agg.n_valid < n                        # corruption injected
+    assert agg.n_violations == res.violations.count()
+    n_invalid_rows = ann.filter(~F.col("_valid")).count()
+    assert agg.n_valid + n_invalid_rows == n
