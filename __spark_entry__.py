@@ -912,6 +912,15 @@ def _q_vocab_growth(spark, sf_dir):
     return vocab_growth(d, tokens_col="grams", n_shards=8)
 
 
+def _q_text_encoding(spark, sf_dir):
+    """Encoding-health screen: U+FFFD / control-char / mojibake-digraph /
+    non-ASCII counts per doc with the funnel gate boolean — four
+    codegen'd regexp_count Columns, no UDF, fuses into the scan."""
+    from json_schema_modern_spark.operators.text import encoding_quality
+
+    return encoding_quality(_read(spark, sf_dir, "documents"))
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1576,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_violations": _q_flagship,
         "validation_metrics": _q_validation_metrics,
         "text_quality": _q_text_quality,
+        "text_encoding": _q_text_encoding,
         "text_langid": _q_text_langid,
         "text_langid_ngram": _q_text_langid_ngram,
         "text_winnow_shared": _q_text_winnow,
@@ -2246,6 +2256,29 @@ FROM cum GROUP BY 1, 2, 3
     )
     o["minhash_bands"] = _minhash_oracle()
     o["text_quality"] = _quality_oracle()
+    # encoding screen: same four regex classes, counted with
+    # regexp_extract_all (RE2) vs Spark regexp_count (Java regex) —
+    # classes are BMP-safe so the engines agree
+    from json_schema_modern_spark.operators.text import (
+        ENC_CONTROL, ENC_MOJIBAKE, ENC_NON_ASCII, ENC_REPLACEMENT,
+    )
+    _enc_cnt = {
+        "n_replacement": ENC_REPLACEMENT, "n_control": ENC_CONTROL,
+        "n_non_ascii": ENC_NON_ASCII, "n_mojibake": ENC_MOJIBAKE,
+    }
+    _enc_exprs = ",\n       ".join(
+        f"CAST(coalesce(len(regexp_extract_all(text, '{pat}')), 0) AS BIGINT)"
+        f" AS {name}" for name, pat in _enc_cnt.items())
+    _enc_ok = " + ".join(
+        f"coalesce(len(regexp_extract_all(text, '{_enc_cnt[n]}')), 0)"
+        for n in ("n_replacement", "n_control", "n_mojibake"))
+    o["text_encoding"] = f"""
+SELECT doc_id,
+       CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+       {_enc_exprs},
+       ({_enc_ok}) = 0 AS encoding_ok
+FROM documents
+"""
     o["text_langid"] = _langid_oracle()
     o["text_langid_ngram"] = _langid_ngram_oracle()
     o["text_winnow_shared"] = _winnow_oracle(dup_docs)

@@ -294,3 +294,38 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         n_distinct.alias("n_distinct"),
         dup.alias("dup_frac"),
     )
+
+
+# encoding-quality regexes (shared with the DuckDB oracle: RE2 and Java
+# regex agree on these classes for BMP text)
+ENC_REPLACEMENT = "�"
+ENC_CONTROL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"   # control chars minus \t\n\r
+ENC_NON_ASCII = r"[^\x09\x0A\x0D\x20-\x7E]"
+ENC_MOJIBAKE = "Ã.|â€."   # classic UTF-8-read-as-Latin-1 artifacts
+
+
+def encoding_quality(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_replacement, n_control, n_non_ascii, n_mojibake,
+    encoding_ok) — cheap encoding-health screen: U+FFFD replacement chars
+    (a decoder already gave up), raw control characters (binary spill),
+    non-ASCII density, and the classic UTF-8-decoded-as-Latin-1 mojibake
+    digraphs ("Ã©", "â€™").  `encoding_ok` is the curation-funnel gate:
+    zero replacement/control/mojibake hits.
+
+    100 TB shape: four codegen'd regexp_count Columns, no UDF, no
+    shuffle — a pure map stage that fuses into whichever scan feeds it."""
+    t = F.col(text_col)
+    cnt = lambda pat: F.when(t.isNull(), F.lit(0)) \
+        .otherwise(F.regexp_count(t, F.lit(pat))).cast("long")
+    n_repl, n_ctrl = cnt(ENC_REPLACEMENT), cnt(ENC_CONTROL)
+    n_moji = cnt(ENC_MOJIBAKE)
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.length(t), F.lit(0)).cast("long").alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        cnt(ENC_NON_ASCII).alias("n_non_ascii"),
+        n_moji.alias("n_mojibake"),
+        ((n_repl + n_ctrl + n_moji) == 0).alias("encoding_ok"),
+    )

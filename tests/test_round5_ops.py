@@ -205,3 +205,57 @@ def test_embedding_contamination_matmul_matches_jvm(spark):
                bench.where("vec_id < 102"), 0.8, method="jvm").collect()}
     for k in (1, 2, 3):
         assert jvm[k] == mm[k]
+
+
+def test_encoding_quality(spark):
+    from json_schema_modern_spark.operators.text import encoding_quality
+
+    df = spark.createDataFrame(
+        [("a", "clean ascii text."),
+         ("b", "bad � char and \x01 control"),
+         ("c", "mojibake Ã© and â€™ artifacts"),
+         ("d", "café non-ascii but sane"),
+         ("e", None)],
+        "doc_id string, text string")
+    got = {r.doc_id: r for r in encoding_quality(df).collect()}
+    assert got["a"].encoding_ok and got["a"].n_non_ascii == 0
+    assert got["b"].n_replacement == 1 and got["b"].n_control == 1
+    assert not got["b"].encoding_ok
+    assert got["c"].n_mojibake == 2 and not got["c"].encoding_ok
+    # é is non-ascii but NOT mojibake/control -> ok
+    assert got["d"].n_non_ascii == 1 and got["d"].encoding_ok
+    assert got["e"].n_chars == 0 and got["e"].encoding_ok
+
+
+def test_encoding_quality_oracle_agrees_on_nonascii(spark):
+    """sf parquet text is pure ASCII, so the driver parity can't catch a
+    divergent mojibake/control pattern between Java regex (Spark) and RE2
+    (DuckDB) — pin cross-engine agreement on text that actually hits every
+    class."""
+    import duckdb
+
+    from json_schema_modern_spark.operators.text import (
+        ENC_CONTROL, ENC_MOJIBAKE, ENC_NON_ASCII, ENC_REPLACEMENT,
+        encoding_quality,
+    )
+
+    rows = [("a", "clean ascii text."),
+            ("b", "bad \N{REPLACEMENT CHARACTER} char and \x01 control"),
+            ("c", "mojibake Ã© and â€™ artifacts"),
+            ("d", "café non-ascii but sane"),
+            ("e", None)]
+    sp = {r.doc_id: r for r in encoding_quality(
+        spark.createDataFrame(rows, "doc_id string, text string")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for col, pat in (("n_replacement", ENC_REPLACEMENT),
+                     ("n_control", ENC_CONTROL),
+                     ("n_non_ascii", ENC_NON_ASCII),
+                     ("n_mojibake", ENC_MOJIBAKE)):
+        duck = dict(con.execute(
+            "SELECT doc_id, coalesce(len(regexp_extract_all(text, ?)), 0) "
+            "FROM documents", [pat]).fetchall())
+        for doc_id, want in duck.items():
+            assert sp[doc_id][col] == want, (col, doc_id)
