@@ -921,6 +921,15 @@ def _q_text_encoding(spark, sf_dir):
     return encoding_quality(_read(spark, sf_dir, "documents"))
 
 
+def _q_gopher_rules(spark, sf_dir):
+    """Full Gopher quality-rule battery (Rae et al. 2021 Table A1): seven
+    per-rule booleans + the combined gate, every rule a codegen'd Column
+    over split/filter/regexp — no UDF, no shuffle, fuses into the scan."""
+    from json_schema_modern_spark.operators.text import gopher_rules
+
+    return gopher_rules(_read(spark, sf_dir, "documents"), min_words=20)
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1586,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_metrics": _q_validation_metrics,
         "text_quality": _q_text_quality,
         "text_encoding": _q_text_encoding,
+        "text_gopher_rules": _q_gopher_rules,
         "text_langid": _q_text_langid,
         "text_langid_ngram": _q_text_langid_ngram,
         "text_winnow_shared": _q_text_winnow,
@@ -2278,6 +2288,54 @@ SELECT doc_id,
        {_enc_exprs},
        ({_enc_ok}) = 0 AS encoding_ok
 FROM documents
+"""
+    # Gopher rule battery: same tokenizer as the quality oracle
+    # (lower-then-split, long-green), list_filter per rule; min_words=20
+    # matches the query's sf-sized override of the paper's 50
+    o["text_gopher_rules"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+                     w -> length(w) > 0) AS wf,
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     l -> length(trim(l)) > 0) AS lines,
+         coalesce(len(regexp_extract_all(text, '#')), 0)
+           + coalesce(len(regexp_extract_all(text, '\.\.\.')), 0) AS n_sym
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(wf) AS n_words,
+         coalesce(list_sum(list_transform(wf, w -> length(w))), 0) * 1.0
+           / greatest(len(wf), 1) AS avg_wl,
+         n_sym * 1.0 / greatest(len(wf), 1) AS symbol_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) * 1.0
+           / greatest(len(lines), 1) AS bullet_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) * 1.0
+           / greatest(len(lines), 1) AS ellipsis_frac,
+         len(list_filter(wf, w -> regexp_matches(w, '[a-z]'))) * 1.0
+           / greatest(len(wf), 1) AS alpha_frac,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(wf, s))) AS stop_hits
+  FROM base)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(round(avg_wl, 6) AS DOUBLE) AS avg_word_len,
+       CAST(round(symbol_ratio, 6) AS DOUBLE) AS symbol_ratio,
+       CAST(round(bullet_frac, 6) AS DOUBLE) AS bullet_frac,
+       CAST(round(ellipsis_frac, 6) AS DOUBLE) AS ellipsis_frac,
+       CAST(round(alpha_frac, 6) AS DOUBLE) AS alpha_frac,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       n_words >= 20 AND n_words <= 100000 AS rule_word_count,
+       avg_wl >= 3.0 AND avg_wl <= 10.0 AS rule_avg_word_len,
+       symbol_ratio <= 0.1 AS rule_symbol_ratio,
+       bullet_frac <= 0.9 AS rule_bullets,
+       ellipsis_frac <= 0.3 AS rule_ellipsis,
+       alpha_frac >= 0.8 AS rule_alpha_words,
+       stop_hits >= 2 AS rule_stopwords,
+       (n_words >= 20 AND n_words <= 100000) AND (avg_wl >= 3.0 AND avg_wl <= 10.0)
+         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+         AND alpha_frac >= 0.8 AND stop_hits >= 2 AS gopher_pass
+FROM m
 """
     o["text_langid"] = _langid_oracle()
     o["text_langid_ngram"] = _langid_ngram_oracle()

@@ -329,3 +329,91 @@ def encoding_quality(df: DataFrame, text_col: str = "text",
         n_moji.alias("n_mojibake"),
         ((n_repl + n_ctrl + n_moji) == 0).alias("encoding_ok"),
     )
+
+
+
+# the eight Gopher "stop words" (Rae et al. 2021, Table A1 — the presence
+# filter, distinct from the density STOPWORDS list used by quality_features)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLET_RE = r"^\s*[-*•]"          # line starts with a bullet
+GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"   # line ends with an ellipsis
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_avg_wl: float = 3.0, max_avg_wl: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """(id, n_words, avg_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, stop_hits, rule_* booleans, gopher_pass) —
+    the full Gopher document-quality rule battery (Rae et al. 2021,
+    Table A1), the de-facto standard pre-filter for web-scale LLM corpora:
+
+      1. word count in [min_words, max_words]
+      2. mean word length in [min_avg_wl, max_avg_wl]
+      3. symbol-to-word ratio ('#' and '...') <= max_symbol_ratio
+      4. fraction of lines starting with a bullet <= max_bullet_frac
+      5. fraction of lines ending with an ellipsis <= max_ellipsis_frac
+      6. fraction of words containing an alphabetic char >= min_alpha_frac
+      7. at least min_stop_hits of the eight Gopher stop words present
+
+    Reference analogue: per-document keyword battery -> one pass/fail plus
+    per-rule detail, like the validator's per-keyword error rows
+    (JSON::Schema::Modern::Result pass/fail + error list).
+
+    100 TB shape: every rule is a codegen'd Column over split/filter/
+    regexp — no UDF, no shuffle, fuses into the scan; the boolean gate
+    feeds curation_funnel as a pushable predicate."""
+    t = F.col(text_col)
+    wf = F.filter(words(t), lambda x: F.length(x) > 0)
+    n_words = F.coalesce(F.size(wf), F.lit(0))
+    nw1 = F.greatest(n_words, F.lit(1))
+    avg_wl = F.aggregate(wf, F.lit(0).cast("long"),
+                         lambda a, x: a + F.length(x).cast("long")) / nw1
+    avg_wl = F.coalesce(avg_wl, F.lit(0.0))
+    cnt = lambda pat: F.coalesce(F.regexp_count(t, F.lit(pat)), F.lit(0))
+    symbol_ratio = (cnt("#") + cnt(r"\.\.\.")) / nw1
+    lines = F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines1 = F.greatest(F.coalesce(F.size(lines), F.lit(0)), F.lit(1))
+    bullet_frac = F.coalesce(
+        F.size(F.filter(lines, lambda l: l.rlike(GOPHER_BULLET_RE))),
+        F.lit(0)) / n_lines1
+    ellipsis_frac = F.coalesce(
+        F.size(F.filter(lines, lambda l: l.rlike(GOPHER_ELLIPSIS_RE))),
+        F.lit(0)) / n_lines1
+    # words are lowercased by words(); alphabetic test is [a-z]
+    alpha_frac = F.coalesce(
+        F.size(F.filter(wf, lambda x: x.rlike("[a-z]"))), F.lit(0)) / nw1
+    stop_hits = F.coalesce(F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(wf, s))), F.lit(0))
+
+    r = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_avg_word_len": (avg_wl >= min_avg_wl) & (avg_wl <= max_avg_wl),
+        "rule_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "rule_bullets": bullet_frac <= max_bullet_frac,
+        "rule_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "rule_alpha_words": alpha_frac >= min_alpha_frac,
+        "rule_stopwords": stop_hits >= min_stop_hits,
+    }
+    gate = None
+    for c in r.values():
+        gate = c if gate is None else (gate & c)
+    rnd = lambda c: F.round(c, 6).cast("double")
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        rnd(avg_wl).alias("avg_word_len"),
+        rnd(symbol_ratio).alias("symbol_ratio"),
+        rnd(bullet_frac).alias("bullet_frac"),
+        rnd(ellipsis_frac).alias("ellipsis_frac"),
+        rnd(alpha_frac).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        *[c.alias(n) for n, c in r.items()],
+        gate.alias("gopher_pass"),
+    )

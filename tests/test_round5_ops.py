@@ -259,3 +259,60 @@ def test_encoding_quality_oracle_agrees_on_nonascii(spark):
             "FROM documents", [pat]).fetchall())
         for doc_id, want in duck.items():
             assert sp[doc_id][col] == want, (col, doc_id)
+
+
+def test_gopher_rules(spark):
+    from json_schema_modern_spark.operators.text import gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "it went to have a rest with all of that energy spent " * 3)
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    ellipsis = "\n".join("the thing of and that have with be to..." for _ in range(10))
+    symbols = "# " * 60 + "the of and be to have with that"
+    df = spark.createDataFrame(
+        [("good", good), ("short", "tiny doc"), ("bullets", bullets),
+         ("ellipsis", ellipsis), ("symbols", symbols), ("nul", None)],
+        "doc_id string, text string")
+    got = {r.doc_id: r for r in gopher_rules(df, min_words=20).collect()}
+
+    g = got["good"]
+    assert g.gopher_pass and g.rule_word_count and g.rule_stopwords
+    assert got["short"].rule_word_count is False
+    assert not got["short"].gopher_pass
+    b = got["bullets"]
+    assert b.bullet_frac == 1.0 and b.rule_bullets is False
+    e = got["ellipsis"]
+    assert e.ellipsis_frac == 1.0 and e.rule_ellipsis is False
+    s = got["symbols"]
+    assert s.symbol_ratio > 0.1 and s.rule_symbol_ratio is False
+    n = got["nul"]
+    assert n.n_words == 0 and n.gopher_pass is False
+
+
+def test_gopher_rules_oracle_agrees_on_adversarial(spark):
+    """sf text has no bullets/ellipsis/symbol spam, so the driver parity
+    exercises only the happy path — replay the full oracle SQL on rows
+    that trip every rule and compare engine-by-engine."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from json_schema_modern_spark.operators.text import gopher_rules
+
+    rows = [("good", "the quick brown fox and that have with be to " * 5),
+            ("bullets", "\n".join(f"- item {i}" for i in range(10))),
+            ("ellipsis", "\n".join("of and that..." for _ in range(8))),
+            ("symbols", "# " * 40 + "the of and be to have with that"),
+            ("nul", None)]
+    sp = {r.doc_id: r.asDict() for r in gopher_rules(
+        spark.createDataFrame(rows, "doc_id string, text string"),
+        min_words=20).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    cur = con.execute(E.oracle_sql()["text_gopher_rules"])
+    cols = [d[0] for d in cur.description]
+    for rec in cur.fetchall():
+        d = dict(zip(cols, rec))
+        for c in cols:
+            assert sp[d["doc_id"]][c] == d[c], (d["doc_id"], c)
