@@ -930,6 +930,18 @@ def _q_gopher_rules(spark, sf_dir):
     return gopher_rules(_read(spark, sf_dir, "documents"), min_words=20)
 
 
+def _q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning rules (Raffel et al. 2020 §2.2): terminal
+    punctuation / min words / javascript line filters + lorem-ipsum and
+    curly-brace document gates — one split+filter+array_join per row,
+    codegen'd, no explode.  min_line_words=3 sized for the sf corpus's
+    short synthetic sentences."""
+    from json_schema_modern_spark.operators.text import c4_clean
+
+    return c4_clean(_read(spark, sf_dir, "documents"),
+                    min_line_words=3, min_kept_lines=1)
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1596,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_encoding": _q_text_encoding,
         "text_gopher_rules": _q_gopher_rules,
+        "text_c4_clean": _q_c4_clean,
         "text_langid": _q_text_langid,
         "text_langid_ngram": _q_text_langid_ngram,
         "text_winnow_shared": _q_text_winnow,
@@ -2288,6 +2301,32 @@ SELECT doc_id,
        {_enc_exprs},
        ({_enc_ok}) = 0 AS encoding_ok
 FROM documents
+"""
+    # C4 line cleaning: list_filter mirrors the higher-order Column
+    # filter; min_line_words=3 / min_kept_lines=1 match the query
+    o["text_c4_clean"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(string_split(coalesce(text, ''), chr(10)),
+                        l -> trim(l)) AS lines,
+         contains(lower(coalesce(text, '')), 'lorem ipsum') AS has_lorem,
+         contains(lower(coalesce(text, '')), '{') AS has_brace
+  FROM documents),
+k AS (
+  SELECT doc_id, has_lorem, has_brace,
+         len(list_filter(lines, l -> length(l) > 0)) AS n_lines,
+         list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+           AND len(list_filter(string_split_regex(l, '\s+'),
+                               w -> length(w) > 0)) >= 3
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM base)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       has_lorem, has_brace,
+       (NOT has_lorem AND NOT has_brace AND len(kept) >= 1) AS doc_keep,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM k
 """
     # Gopher rule battery: same tokenizer as the quality oracle
     # (lower-then-split, long-green), list_filter per rule; min_words=20

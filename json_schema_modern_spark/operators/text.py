@@ -417,3 +417,48 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         *[c.alias(n) for n, c in r.items()],
         gate.alias("gopher_pass"),
     )
+
+
+C4_TERMINAL_RE = '[.!?"]$'   # line must end in terminal punctuation
+
+
+def c4_clean(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", min_line_words: int = 5,
+             min_kept_lines: int = 3) -> DataFrame:
+    """(id, n_lines, n_kept_lines, has_lorem, has_brace, doc_keep,
+    clean_text) — the C4 line-level cleaning rules (Raffel et al. 2020,
+    §2.2): keep only lines that end in terminal punctuation, carry at
+    least `min_line_words` words, and don't mention "javascript"; drop
+    the whole document if it contains "lorem ipsum" or a curly brace
+    (code spill) or retains fewer than `min_kept_lines` lines.
+
+    Reference analogue: a per-document applicator whose child predicate
+    runs per line — contains/minContains over split(text), like the
+    validator's `items`+`contains` over an array instance.
+
+    100 TB shape: one split + higher-order filter + array_join per row,
+    all codegen'd Columns — no UDF, no shuffle, no explode (the line
+    array never leaves the row)."""
+    t = F.col(text_col)
+    lines = F.transform(F.split(t, "\n"), F.trim)
+    keep = lambda l: (
+        l.rlike(C4_TERMINAL_RE)
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda w: F.length(w) > 0))
+           >= min_line_words)
+        & ~F.lower(l).contains("javascript"))
+    kept = F.filter(lines, keep)
+    n_kept = F.coalesce(F.size(kept), F.lit(0))
+    lt = F.lower(t)
+    has_lorem = F.coalesce(lt.contains("lorem ipsum"), F.lit(False))
+    has_brace = F.coalesce(lt.contains("{"), F.lit(False))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.size(F.filter(lines, lambda l: F.length(l) > 0)),
+                   F.lit(0)).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (~has_lorem & ~has_brace & (n_kept >= min_kept_lines))
+            .alias("doc_keep"),
+        F.coalesce(F.array_join(kept, "\n"), F.lit("")).alias("clean_text"),
+    )

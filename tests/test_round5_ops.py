@@ -316,3 +316,58 @@ def test_gopher_rules_oracle_agrees_on_adversarial(spark):
         d = dict(zip(cols, rec))
         for c in cols:
             assert sp[d["doc_id"]][c] == d[c], (d["doc_id"], c)
+
+
+def test_c4_clean(spark):
+    from json_schema_modern_spark.operators.text import c4_clean
+
+    doc = ("This line ends properly and is long enough.\n"
+           "no terminal punctuation here\n"
+           "Too short.\n"
+           "Enable javascript to view this page please now.\n"
+           "Another good sentence stays in the output!\n")
+    df = spark.createDataFrame(
+        [("a", doc),
+         ("b", "Contains lorem ipsum filler here ok.\nGood line here too."),
+         ("c", "code spill { int x = 0; } more words here."),
+         ("d", "One good retained sentence right here today.\n"),
+         ("e", None)],
+        "doc_id string, text string")
+    got = {r.doc_id: r for r in
+           c4_clean(df, min_line_words=5, min_kept_lines=1).collect()}
+
+    a = got["a"]
+    assert a.n_kept_lines == 2 and a.doc_keep
+    assert a.clean_text == (
+        "This line ends properly and is long enough.\n"
+        "Another good sentence stays in the output!")
+    assert got["b"].has_lorem and not got["b"].doc_keep
+    assert got["c"].has_brace and not got["c"].doc_keep
+    assert got["d"].doc_keep and got["d"].n_kept_lines == 1
+    e = got["e"]
+    assert e.n_lines == 0 and not e.doc_keep and e.clean_text == ""
+
+
+def test_c4_clean_oracle_agrees_on_adversarial(spark):
+    import duckdb
+
+    import __spark_entry__ as E
+    from json_schema_modern_spark.operators.text import c4_clean
+
+    rows = [("a", "Good line ok.\nbad line\nEnable javascript now here.\n"),
+            ("b", "lorem ipsum but Fine line here.\n"),
+            ("c", "brace { doc but Fine line here.\n"),
+            ("d", 'Quoted line "\nShort.\n'),
+            ("e", None)]
+    sp = {r.doc_id: r.asDict() for r in c4_clean(
+        spark.createDataFrame(rows, "doc_id string, text string"),
+        min_line_words=3, min_kept_lines=1).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    cur = con.execute(E.oracle_sql()["text_c4_clean"])
+    cols = [d[0] for d in cur.description]
+    for rec in cur.fetchall():
+        d = dict(zip(cols, rec))
+        for c in cols:
+            assert sp[d["doc_id"]][c] == d[c], (d["doc_id"], c)
