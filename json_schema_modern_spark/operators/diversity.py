@@ -257,7 +257,9 @@ def vocab_growth(
 
     first = (
         df.select(F.pmod(F.col(id_col), F.lit(int(n_shards))).alias("_shard"),
-                  F.explode(tokens_col).alias("_tok"))
+                  # within-row dedup before the explode: min(shard) per
+                  # token is unchanged, the explode emits ~2x fewer rows
+                  F.explode(F.array_distinct(tokens_col)).alias("_tok"))
         .groupBy("_tok")
         .agg(F.min("_shard").alias("shard"))
         .groupBy("shard")
