@@ -942,6 +942,24 @@ def _q_c4_clean(spark, sf_dir):
                     min_line_words=3, min_kept_lines=1)
 
 
+def _q_chunk_sequences(spark, sf_dir):
+    """Context-window chunking (seq_len=32, stride=24 overlap, tails <4
+    tokens dropped): per-row sequence-of-starts + slice + posexplode,
+    all JVM-side, no UDF, no shuffle.  Parity signature = chunk md5 +
+    first/last token so the driver compare never hashes raw arrays."""
+    from json_schema_modern_spark.operators.packing import chunk_sequences
+
+    c = chunk_sequences(_doc_tokens(_read(spark, sf_dir, "documents")),
+                        seq_len=32, stride=24, min_tail=4)
+    return c.select(
+        "doc_id", "chunk_idx", "n_chunk_tok",
+        F.element_at("chunk_tokens", 1).cast("long").alias("first_tok"),
+        F.element_at("chunk_tokens", -1).cast("long").alias("last_tok"),
+        F.md5(F.concat_ws(",", F.transform(
+            "chunk_tokens", lambda x: x.cast("string")))).alias("chunk_md5"),
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1609,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_encoding": _q_text_encoding,
         "text_gopher_rules": _q_gopher_rules,
         "text_c4_clean": _q_c4_clean,
+        "token_chunks": _q_chunk_sequences,
         "text_langid": _q_text_langid,
         "text_langid_ngram": _q_text_langid_ngram,
         "text_winnow_shared": _q_text_winnow,
@@ -2467,6 +2486,25 @@ FROM m
         "'[^a-z0-9]+'), w -> w <> ''), "
         "w -> CAST(length(w) * 32 + (ascii(w) % 32) AS INT))"
     )
+    # context-window chunking: unnest(range(0, n, stride)) replays the
+    # start sequence; chunk_idx = start/stride, not an engine ordinal
+    o["token_chunks"] = f"""
+WITH d AS (SELECT doc_id, {_tok_expr} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, len(toks), 24)) AS start
+  FROM d WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+         toks[start + 1 : least(start + 32, n)] AS chunk
+  FROM s WHERE n - start >= 4)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tok,
+       CAST(chunk[1] AS BIGINT) AS first_tok,
+       CAST(chunk[-1] AS BIGINT) AS last_tok,
+       md5(array_to_string(chunk, ',')) AS chunk_md5
+FROM c
+"""
     o["token_top_ids"] = (
         f"WITH t AS (SELECT {_tok_expr} AS toks FROM documents), "
         "u AS (SELECT unnest(toks) AS token FROM t) "

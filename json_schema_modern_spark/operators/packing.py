@@ -205,3 +205,49 @@ SELECT g AS {group_col}, o AS {order_col}, s AS {size_col},
        CAST(CASE WHEN s > {capacity} THEN 1 ELSE 0 END AS INT) AS oversize
 FROM rec
 """
+
+
+def chunk_sequences(df: DataFrame, tokens_col: str = "tokens",
+                    id_col: str = "doc_id", seq_len: int = 2048,
+                    stride: int | None = None, min_tail: int = 1,
+                    keep_cols: list[str] | None = None) -> DataFrame:
+    """(id, [keep_cols...,] chunk_idx, chunk_tokens, n_chunk_tok) — split
+    each token sequence into fixed-length context windows: chunk i covers
+    tokens [i*stride, i*stride + seq_len).  `stride` defaults to
+    `seq_len` (disjoint windows); stride < seq_len yields the overlapping
+    windows used for long-document training continuity.  Tail chunks
+    shorter than `min_tail` tokens are dropped; NULL/empty sequences emit
+    no chunks.  The upstream half of `pack_next_fit` — chunk long
+    documents down to <= capacity, then pack the pieces.
+
+    100 TB shape: per-row `sequence` of starts + `slice` + posexplode —
+    all JVM-side, no UDF, no shuffle; output rows ~= total_tokens /
+    stride, the same order as the explode every tokenizer already does.
+    chunk_idx comes from the start offset, not an engine-ordinal, so the
+    output is deterministic under any partitioning."""
+    if stride is None:
+        stride = seq_len
+    if seq_len <= 0 or stride <= 0:
+        raise ValueError(f"seq_len/stride must be positive, got "
+                         f"{seq_len}/{stride}")
+    t = F.col(tokens_col)
+    n = F.coalesce(F.size(t), F.lit(0))
+    starts = F.filter(
+        F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(int(stride))))
+         .otherwise(F.array().cast("array<int>")),
+        lambda st: (n - st) >= min_tail)
+    chunked = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.posexplode(
+            F.transform(starts,
+                        lambda st: F.slice(t, st + 1, seq_len))
+        ).alias("chunk_idx", "chunk_tokens"),
+    )
+    return chunked.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_tokens",
+        F.size("chunk_tokens").cast("long").alias("n_chunk_tok"),
+    )

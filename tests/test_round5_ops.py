@@ -371,3 +371,30 @@ def test_c4_clean_oracle_agrees_on_adversarial(spark):
         d = dict(zip(cols, rec))
         for c in cols:
             assert sp[d["doc_id"]][c] == d[c], (d["doc_id"], c)
+
+
+def test_chunk_sequences(spark):
+    import pytest as _pytest
+
+    from json_schema_modern_spark.operators.packing import chunk_sequences
+
+    df = spark.createDataFrame(
+        [("a", list(range(10))),   # 10 toks: starts 0,4,8 @ stride 4
+         ("b", [1, 2]),            # shorter than min_tail at start 0? n=2>=2
+         ("c", []), ("d", None)],
+        "doc_id string, tokens array<int>")
+    got = chunk_sequences(df, seq_len=6, stride=4, min_tail=2).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    # doc a: start 0 -> [0..5], start 4 -> [4..9], start 8 -> [8,9]
+    assert [by["a"][i].chunk_tokens for i in (0, 1, 2)] == \
+        [[0, 1, 2, 3, 4, 5], [4, 5, 6, 7, 8, 9], [8, 9]]
+    assert by["a"][2].n_chunk_tok == 2
+    assert by["b"][0].chunk_tokens == [1, 2]
+    assert "c" not in by and "d" not in by
+    # min_tail drops the 2-token tail
+    got2 = chunk_sequences(df, seq_len=6, stride=4, min_tail=3).collect()
+    assert sorted(r.chunk_idx for r in got2 if r.doc_id == "a") == [0, 1]
+    with _pytest.raises(ValueError):
+        chunk_sequences(df, seq_len=0)
