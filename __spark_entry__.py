@@ -98,6 +98,22 @@ def _q_validation_metrics(spark, sf_dir):
     )
 
 
+def _q_validation_keyword_rollup(spark, sf_dir):
+    """Violation taxonomy: count of violations per (keyword,
+    keyword_location) over the flagship spec — the aggregate view of the
+    reference's per-result error list (JSON::Schema::Modern::Result
+    errors grouped by keyword).  Violation rows only materialize on
+    failing rows (two-phase plan), so the rollup agg is O(violations),
+    not O(corpus)."""
+    from json_schema_modern_spark import Validator
+
+    res = Validator(FLAGSHIP_SPEC).validate(
+        _read(spark, sf_dir, "documents"), id_cols=["doc_id"])
+    return (res.violations
+            .groupBy("keyword", "keyword_location")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations")))
+
+
 def _q_kw_min_max(spark, sf_dir):
     spec = {"type": "object",
             "properties": {"l_quantity": {"minimum": 5, "maximum": 45}}}
@@ -1623,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- flagship + previously under-verified tail (window) ------------
         "flagship_violations": _q_flagship,
         "validation_metrics": _q_validation_metrics,
+        "validation_keyword_rollup": _q_validation_keyword_rollup,
         "text_quality": _q_text_quality,
         "text_encoding": _q_text_encoding,
         "text_gopher_rules": _q_gopher_rules,
@@ -1870,6 +1887,13 @@ def oracle_sql() -> dict[str, str]:
     o = _simple_range_oracle()
     o["flagship_violations"] = _FLAGSHIP_ORACLE_ABS
     o["streaming_validation"] = _FLAGSHIP_ORACLE
+    # taxonomy rollup over the same seven re-derived violation branches
+    o["validation_keyword_rollup"] = (
+        f"WITH v AS ({_FLAGSHIP_ORACLE_ABS}) "
+        "SELECT keyword, keyword_location, "
+        "CAST(count(*) AS BIGINT) AS n_violations "
+        "FROM v GROUP BY 1, 2"
+    )
     # per-source metrics rollup: per-doc violation count re-derived as a
     # sum of the same seven per-keyword conditions the flagship oracle
     # UNIONs (can't join the violation rows back — required-violations

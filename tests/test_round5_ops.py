@@ -3,6 +3,8 @@ matrix, and per-document duplicate-span coverage."""
 
 import math
 
+from pyspark.sql import functions as F
+
 from json_schema_modern_spark.operators.dedup import duplicate_span_coverage
 from json_schema_modern_spark.operators.drift import chi2_drift, rank_corr_matrix
 
@@ -398,3 +400,25 @@ def test_chunk_sequences(spark):
     assert sorted(r.chunk_idx for r in got2 if r.doc_id == "a") == [0, 1]
     with _pytest.raises(ValueError):
         chunk_sequences(df, seq_len=0)
+
+
+def test_validation_keyword_rollup_multi_keyword(spark):
+    """sf corpora trip only one flagship branch, so the driver row is a
+    1-row rollup — exercise a multi-keyword taxonomy here."""
+    from json_schema_modern_spark import Validator
+
+    spec = {"type": "object",
+            "required": ["a", "b"],
+            "properties": {"a": {"minimum": 0},
+                           "b": {"maxLength": 3}}}
+    df = spark.createDataFrame(
+        [(1, -5, "xx"), (2, 1, "toolong"), (3, -1, "toolong"),
+         (4, None, "ok"), (5, 2, None)],
+        "id int, a int, b string")
+    res = Validator(spec).validate(df, id_cols=["id"])
+    got = {(r.keyword): r.n_violations for r in
+           res.violations.groupBy("keyword")
+              .agg(F.count(F.lit(1)).alias("n_violations")).collect()}
+    assert got["minimum"] == 2
+    assert got["maxLength"] == 2
+    assert got["required"] == 2
