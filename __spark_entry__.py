@@ -976,6 +976,20 @@ def _q_chunk_sequences(spark, sf_dir):
     )
 
 
+def _q_collapse_runs(spark, sf_dir):
+    """Run-collapse repair transform (the fix for what token_run_stats
+    detects): one index-aware higher-order filter per row, JVM-side, no
+    UDF/shuffle/explode.  Parity signature = md5 of the cleaned array."""
+    from json_schema_modern_spark.operators.tokens import collapse_token_runs
+
+    c = collapse_token_runs(_doc_tokens(_read(spark, sf_dir, "documents")))
+    return c.select(
+        "doc_id", "n_tok", "n_removed",
+        F.md5(F.concat_ws(",", F.transform(
+            "tokens_clean", lambda x: x.cast("string")))).alias("clean_md5"),
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1645,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": _q_gopher_rules,
         "text_c4_clean": _q_c4_clean,
         "token_chunks": _q_chunk_sequences,
+        "token_collapse_runs": _q_collapse_runs,
         "text_langid": _q_text_langid,
         "text_langid_ngram": _q_text_langid_ngram,
         "text_winnow_shared": _q_text_winnow,
@@ -2527,6 +2542,20 @@ SELECT doc_id, chunk_idx,
        CAST(chunk[1] AS BIGINT) AS first_tok,
        CAST(chunk[-1] AS BIGINT) AS last_tok,
        md5(array_to_string(chunk, ',')) AS chunk_md5
+FROM c
+"""
+    # run collapse: DuckDB's index-aware list_filter replays the same
+    # keep-iff-differs-from-previous predicate (1-based index)
+    o["token_collapse_runs"] = f"""
+WITH d AS (SELECT doc_id, {_tok_expr} AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             list_filter(toks, (x, i) -> i = 1 OR toks[i - 1] <> x) AS clean
+      FROM d)
+SELECT doc_id,
+       CAST(coalesce(len(clean), 0) AS BIGINT) AS n_tok,
+       CAST(coalesce(len(toks), 0) - coalesce(len(clean), 0) AS BIGINT)
+         AS n_removed,
+       md5(coalesce(array_to_string(clean, ','), '')) AS clean_md5
 FROM c
 """
     o["token_top_ids"] = (

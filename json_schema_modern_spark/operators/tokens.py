@@ -277,3 +277,28 @@ def coverage_topk_curve(
                 .alias("coverage"))
         .orderBy("k")
     )
+
+
+def collapse_token_runs(df: DataFrame, tokens_col: str = "tokens",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(id, tokens_clean, n_tok, n_removed) — collapse every run of
+    consecutive identical token ids down to a single occurrence: the
+    repair transform for the degenerate sequences `token_run_stats`
+    detects (tokenizer loops, stuck-generation spans), applied before
+    packing so loops don't eat context budget.
+
+    100 TB shape: one index-aware higher-order filter per row (keep
+    position i iff i == 0 or tokens[i-1] != tokens[i]) — JVM-side, no
+    UDF, no shuffle, no explode; output order is the input order so the
+    transform composes with chunk/pack without a sort."""
+    t = F.col(tokens_col)
+    clean = F.filter(
+        t, lambda x, i: (i == F.lit(0)) | (F.element_at(t, i) != x))
+    n_in = F.coalesce(F.size(t), F.lit(0))
+    n_out = F.coalesce(F.size(clean), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        clean.alias("tokens_clean"),
+        n_out.cast("long").alias("n_tok"),
+        (n_in - n_out).cast("long").alias("n_removed"),
+    )

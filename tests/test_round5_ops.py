@@ -422,3 +422,15 @@ def test_validation_keyword_rollup_multi_keyword(spark):
     assert got["minimum"] == 2
     assert got["maxLength"] == 2
     assert got["required"] == 2
+
+
+def test_collapse_token_runs(spark):
+    from json_schema_modern_spark.operators.tokens import collapse_token_runs
+
+    df = spark.createDataFrame(
+        [("a", [1, 1, 1, 2, 3, 3, 1]), ("b", [5]), ("c", []), ("d", None)],
+        "doc_id string, tokens array<int>")
+    got = {r.doc_id: r for r in collapse_token_runs(df).collect()}
+    assert got["a"].tokens_clean == [1, 2, 3, 1] and got["a"].n_removed == 3
+    assert got["b"].tokens_clean == [5] and got["b"].n_removed == 0
+    assert got["c"].n_tok == 0 and got["d"].n_tok == 0
