@@ -990,6 +990,24 @@ def _q_collapse_runs(spark, sf_dir):
     )
 
 
+def _q_normalize_text(spark, sf_dir):
+    """Canonical normal form for dedup signatures: control-strip +
+    whitespace-collapse + trim + lower — codegen'd Columns, no UDF."""
+    from json_schema_modern_spark.operators.text import normalize_text
+
+    return normalize_text(_read(spark, sf_dir, "documents"))
+
+
+def _q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality proxy (RedPajama-v2-family signal):
+    Arrow-batched pandas UDF, no shuffle.  DEFLATE has no SQL form, so
+    this entry is rows-only at the driver (documented weaker check);
+    determinism holds at fixed level over byte-exact input."""
+    from json_schema_modern_spark.operators.text import compression_ratio
+
+    return compression_ratio(_read(spark, sf_dir, "documents"))
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1660,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_clean": _q_c4_clean,
         "token_chunks": _q_chunk_sequences,
         "token_collapse_runs": _q_collapse_runs,
+        "text_normalize": _q_normalize_text,
+        "text_compression_ratio": _q_compression_ratio,
         "text_langid": _q_text_langid,
         "text_langid_ngram": _q_text_langid_ngram,
         "text_winnow_shared": _q_text_winnow,
@@ -2385,6 +2405,18 @@ SELECT doc_id,
        (NOT has_lorem AND NOT has_brace AND len(kept) >= 1) AS doc_keep,
        coalesce(array_to_string(kept, chr(10)), '') AS clean_text
 FROM k
+"""
+    # normal form: same control-class strip + whitespace collapse; the
+    # 'g' flag makes DuckDB regexp_replace global like Spark's
+    o["text_normalize"] = r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(regexp_replace(coalesce(text, ''),
+           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+           '\s+', ' ', 'g'))) AS norm_text,
+       CAST(length(lower(trim(regexp_replace(regexp_replace(coalesce(text, ''),
+           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+           '\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm
+FROM documents
 """
     # Gopher rule battery: same tokenizer as the quality oracle
     # (lower-then-split, long-green), list_filter per rule; min_words=20

@@ -462,3 +462,68 @@ def c4_clean(df: DataFrame, text_col: str = "text",
             .alias("doc_keep"),
         F.coalesce(F.array_join(kept, "\n"), F.lit("")).alias("clean_text"),
     )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lowercase: bool = True) -> DataFrame:
+    """(id, norm_text, n_chars_norm) — canonical text normalization
+    applied before hashing/fingerprinting: strip control characters,
+    collapse all whitespace runs to single spaces, trim, optionally
+    lowercase.  Running every dedup signature over the SAME normal form
+    is what makes exact/minhash/simhash keys comparable across sources
+    with different formatting.
+
+    100 TB shape: two regexp_replace + lower + trim Columns — codegen'd,
+    no UDF, no shuffle, fuses into the scan."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    if lowercase:
+        t = F.lower(t)
+    return df.select(
+        F.col(id_col),
+        t.alias("norm_text"),
+        F.length(t).cast("long").alias("n_chars_norm"),
+    )
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6,
+                      min_ratio: float = 0.35) -> DataFrame:
+    """(id, n_bytes, n_compressed, ratio, low_info) — zlib compression
+    ratio as a quality proxy (the RedPajama-v2 / CCNet-family signal):
+    highly repetitive or templated documents compress far below natural
+    prose, so `ratio < min_ratio` flags low-information text that n-gram
+    repetition scores can miss (long-range structure, boilerplate
+    templates).  No SQL oracle exists for DEFLATE, so the driver records
+    the weaker rows-only check for this entry — determinism still holds
+    (fixed zlib level, byte-exact input).
+
+    100 TB shape: one Arrow-batched pandas UDF (compression is inherently
+    per-document byte work — there is no Column-expression form), no
+    shuffle; the UDF returns two longs per row so the exchange-free map
+    stage streams."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_bytes long, n_compressed long")
+    def _zstats(s: pd.Series) -> pd.DataFrame:
+        raw = s.fillna("").map(lambda x: x.encode("utf-8"))
+        return pd.DataFrame({
+            "n_bytes": raw.map(len),
+            "n_compressed": raw.map(
+                lambda b: len(zlib.compress(b, level))),
+        })
+
+    z = df.select(F.col(id_col), _zstats(F.col(text_col)).alias("_z"))
+    nb = F.col("_z.n_bytes")
+    nc = F.col("_z.n_compressed")
+    ratio = F.when(nb > 0, F.round(nc / nb, 6)).otherwise(F.lit(None))
+    return z.select(
+        F.col(id_col),
+        nb.alias("n_bytes"),
+        nc.alias("n_compressed"),
+        ratio.alias("ratio"),
+        F.coalesce(ratio < min_ratio, F.lit(False)).alias("low_info"),
+    )

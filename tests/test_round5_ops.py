@@ -434,3 +434,45 @@ def test_collapse_token_runs(spark):
     assert got["a"].tokens_clean == [1, 2, 3, 1] and got["a"].n_removed == 3
     assert got["b"].tokens_clean == [5] and got["b"].n_removed == 0
     assert got["c"].n_tok == 0 and got["d"].n_tok == 0
+
+
+def test_normalize_text_and_oracle(spark):
+    import duckdb
+
+    import __spark_entry__ as E
+    from json_schema_modern_spark.operators.text import normalize_text
+
+    rows = [("a", "  Hello\t\tWorld \n\n again "),
+            ("b", "ctrl\x01char\x7fhere"),
+            ("c", None)]
+    sp = {r.doc_id: r for r in normalize_text(
+        spark.createDataFrame(rows, "doc_id string, text string")).collect()}
+    assert sp["a"].norm_text == "hello world again"
+    assert sp["b"].norm_text == "ctrlcharhere"
+    assert sp["c"].norm_text == "" and sp["c"].n_chars_norm == 0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for doc_id, norm, n in con.execute(
+            E.oracle_sql()["text_normalize"]).fetchall():
+        assert sp[doc_id].norm_text == norm and sp[doc_id].n_chars_norm == n
+
+
+def test_compression_ratio(spark):
+    from json_schema_modern_spark.operators.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [("rep", "abc " * 500),
+         ("prose", "The weather turned unexpectedly cold last Tuesday "
+                   "evening, and the gulls wheeled inland ahead of it."),
+         ("empty", ""), ("nul", None)],
+        "doc_id string, text string")
+    got = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert got["rep"].low_info and got["rep"].ratio < 0.05
+    assert not got["prose"].low_info and got["prose"].ratio > 0.5
+    assert got["empty"].ratio is None and not got["empty"].low_info
+    assert got["nul"].n_bytes == 0
+    # deterministic across runs (fixed level, byte-exact input)
+    again = {r.doc_id: r.n_compressed for r in compression_ratio(df).collect()}
+    assert all(got[k].n_compressed == v for k, v in again.items())
