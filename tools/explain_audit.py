@@ -427,6 +427,52 @@ def main() -> None:
     check("ppl buckets: no per-group sort window", "Window" not in pb_plan)
     check("ppl buckets: no cross product", no_cross(pb_plan))
 
+    # 23. round-5 map-stage operators: encoding screen, Gopher battery,
+    #     C4 cleaning, normalization must stay pure map stages — no
+    #     Exchange, no Generate, and a scan pruned to (doc_id, text)
+    from json_schema_modern_spark.operators.text import (
+        c4_clean, encoding_quality, gopher_rules, normalize_text,
+    )
+
+    for nm, op in (("encoding screen", encoding_quality),
+                   ("gopher rules", gopher_rules),
+                   ("c4 clean", c4_clean),
+                   ("normalize", normalize_text)):
+        pl = explain_str(op(docs))
+        check(f"{nm}: pure map stage (no Exchange, no Generate)",
+              "Exchange" not in pl and "Generate" not in pl)
+        check(f"{nm}: scan pruned to doc_id,text",
+              "lang" not in pl.split("ReadSchema")[-1][:200]
+              and "n_chars" not in pl.split("ReadSchema")[-1][:200])
+
+    # 24. chunking: the posexplode Generate is the ONLY row-multiplying
+    #     node and there is no shuffle — chunk_idx must not need a sort
+    from json_schema_modern_spark.operators.packing import chunk_sequences
+
+    ch_plan = explain_str(chunk_sequences(toked, seq_len=32, stride=24))
+    check("chunking: explode without shuffle",
+          "Generate" in ch_plan and "Exchange" not in ch_plan
+          and "Sort" not in ch_plan)
+
+    # 25. run collapse: index-aware filter is row-local — no Exchange,
+    #     no Generate
+    from json_schema_modern_spark.operators.tokens import collapse_token_runs
+
+    cr_plan = explain_str(collapse_token_runs(toked))
+    check("run collapse: pure map stage",
+          "Exchange" not in cr_plan and "Generate" not in cr_plan)
+
+    # 26. compression ratio: exactly one Arrow-batched python node, no
+    #     shuffle
+    from json_schema_modern_spark.operators.text import compression_ratio
+
+    cz_plan = explain_str(compression_ratio(docs))
+    # formatted explain prints each node twice (tree + detail); the tree
+    # line is "ArrowEvalPython (n)"
+    check("compression ratio: one Arrow UDF pass, no shuffle",
+          cz_plan.count("ArrowEvalPython (") == 1
+          and "Exchange" not in cz_plan)
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
