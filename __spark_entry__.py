@@ -640,6 +640,15 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_duplicates(_dup_docs(spark, sf_dir))
 
 
+def _q_dedup_rate(spark, sf_dir):
+    """Per-source exact-duplication dashboard: corpus-global duplicate
+    membership rolled up per domain.  Both aggs and the join operate on
+    O(|distinct hashes|) post-agg tables — no data-sized join."""
+    from json_schema_modern_spark.operators.dedup import duplication_rate
+
+    return duplication_rate(_dup_docs(spark, sf_dir))
+
+
 def _q_dedup_jaccard(spark, sf_dir):
     """Two-stage scale path: banded MinHash-LSH candidate generation →
     exact n-gram Jaccard verification on candidates only.  Same oracle as
@@ -1791,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_ppjoin": _q_dedup_ppjoin,
         "dedup_exact": _q_dedup_exact,
+        "dedup_rate_by_source": _q_dedup_rate,
         "minhash_bands": _q_minhash_buckets,
         "split_assign": _q_split_assign,
         "contamination_ngram": _q_contamination,
@@ -2340,6 +2350,19 @@ FROM cum GROUP BY 1, 2, 3
         f"SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
         f"FROM {dup_docs} GROUP BY md5(text) HAVING count(*) > 1"
     )
+    o["dedup_rate_by_source"] = f"""
+WITH per AS (SELECT md5(text) AS h, source, count(*) AS n_hg
+             FROM {dup_docs} GROUP BY 1, 2),
+tot AS (SELECT h, sum(n_hg) AS n_h FROM per GROUP BY 1)
+SELECT source,
+       CAST(sum(n_hg) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique_texts,
+       CAST(sum(CASE WHEN n_h > 1 THEN n_hg ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(round(sum(CASE WHEN n_h > 1 THEN n_hg ELSE 0 END) * 1.0
+                  / sum(n_hg), 6) AS DOUBLE) AS dup_frac
+FROM per JOIN tot USING (h) GROUP BY 1
+"""
     o["dedup_ngram_jaccard"] = _jaccard_oracle(dup_docs)
     o["dedup_jaccard_ppjoin"] = _jaccard_oracle("(SELECT * FROM documents WHERE doc_id % 4 = 1)")
     o["dedup_minhash_lsh"] = _minhash_pairs_oracle(dup_docs)

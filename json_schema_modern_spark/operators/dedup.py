@@ -944,3 +944,31 @@ def span_position_coverage(
             .alias("coverage"),
         )
     )
+
+
+def duplication_rate(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", by: str = "source") -> DataFrame:
+    """(group, n_docs, n_unique_texts, n_dup_docs, dup_frac) — per-group
+    exact-duplication health: a document counts as duplicated when its
+    text hash appears more than once in the WHOLE corpus, so cross-group
+    copies show up in every group holding one — the per-domain dashboard
+    row read before deciding where dedup budget goes.
+
+    100 TB shape: first agg shuffles O(|distinct (hash, group)|) with
+    map-side combine; the global total per hash is a second agg over that
+    ALREADY-AGGREGATED table joined back on hash — both post-agg sides
+    are O(|distinct hashes|), so no data-sized join or window ever runs."""
+    h = F.md5(F.col(text_col)).alias("_h")
+    per = (df.select(h, F.col(by))
+           .groupBy("_h", by)
+           .agg(F.count(F.lit(1)).alias("_n_hg")))
+    tot = per.groupBy("_h").agg(F.sum("_n_hg").alias("_n_h"))
+    return (per.join(tot, "_h")
+            .groupBy(by)
+            .agg(F.sum("_n_hg").cast("long").alias("n_docs"),
+                 F.count(F.lit(1)).cast("long").alias("n_unique_texts"),
+                 F.sum(F.when(F.col("_n_h") > 1, F.col("_n_hg"))
+                       .otherwise(F.lit(0))).cast("long").alias("n_dup_docs"))
+            .select(by, "n_docs", "n_unique_texts", "n_dup_docs",
+                    F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+                     .alias("dup_frac")))

@@ -476,3 +476,21 @@ def test_compression_ratio(spark):
     # deterministic across runs (fixed level, byte-exact input)
     again = {r.doc_id: r.n_compressed for r in compression_ratio(df).collect()}
     assert all(got[k].n_compressed == v for k, v in again.items())
+
+
+def test_duplication_rate(spark):
+    from json_schema_modern_spark.operators.dedup import duplication_rate
+
+    df = spark.createDataFrame(
+        [("1", "AAA", "s1"), ("2", "AAA", "s1"),   # within-group dup
+         ("3", "BBB", "s1"),                        # unique
+         ("4", "CCC", "s2"), ("5", "CCC", "s1"),   # cross-group dup
+         ("6", "DDD", "s2")],
+        "doc_id string, text string, source string")
+    got = {r.source: r for r in duplication_rate(df).collect()}
+    s1 = got["s1"]
+    assert s1.n_docs == 4 and s1.n_unique_texts == 3
+    assert s1.n_dup_docs == 3      # two AAA copies + the CCC copy
+    assert s1.dup_frac == 0.75
+    s2 = got["s2"]
+    assert s2.n_docs == 2 and s2.n_dup_docs == 1 and s2.dup_frac == 0.5
