@@ -1017,6 +1017,19 @@ def _q_compression_ratio(spark, sf_dir):
     return compression_ratio(_read(spark, sf_dir, "documents"))
 
 
+def _q_gate_cube(spark, sf_dir):
+    """Agreement cube of the three web-curation gates (encoding, Gopher,
+    C4) counted in one pass: the three map-stage operators chain through
+    keep_cols so Catalyst collapses them into a single codegen'd
+    projection over one scan — zero joins — then an 8-row-bounded agg."""
+    from json_schema_modern_spark.operators.text import quality_gate_cube
+
+    return quality_gate_cube(
+        _read(spark, sf_dir, "documents"),
+        gopher_kwargs={"min_words": 20},
+        c4_kwargs={"min_line_words": 3, "min_kept_lines": 1})
+
+
 def _q_text_quality(spark, sf_dir):
     from json_schema_modern_spark.operators.text import quality_features
 
@@ -1684,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_encoding": _q_text_encoding,
         "text_gopher_rules": _q_gopher_rules,
+        "text_gate_cube": _q_gate_cube,
         "text_c4_clean": _q_c4_clean,
         "token_chunks": _q_chunk_sequences,
         "token_collapse_runs": _q_collapse_runs,
@@ -2440,6 +2454,55 @@ SELECT doc_id,
            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
            '\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm
 FROM documents
+"""
+    # gate agreement cube: the three gate derivations re-derived in one
+    # CTE (trimmed lines serve both gopher and c4 — the gopher line
+    # regexes tolerate edge whitespace, so trim is observationally
+    # equivalent) and grouped on the three booleans
+    o["text_gate_cube"] = r"""
+WITH b AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                     '\s+'), w -> length(w) > 0) AS wf,
+         list_filter(list_transform(string_split(coalesce(text, ''),
+                     chr(10)), l -> trim(l)), l -> length(l) > 0) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         (coalesce(len(regexp_extract_all(text, '�')), 0)
+          + coalesce(len(regexp_extract_all(text,
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')), 0)
+          + coalesce(len(regexp_extract_all(text, 'Ã.|â€.')), 0)) = 0
+           AS encoding_ok,
+         len(wf) AS n_words,
+         coalesce(list_sum(list_transform(wf, w -> length(w))), 0) * 1.0
+           / greatest(len(wf), 1) AS avg_wl,
+         (coalesce(len(regexp_extract_all(text, '#')), 0)
+          + coalesce(len(regexp_extract_all(text, '\.\.\.')), 0)) * 1.0
+           / greatest(len(wf), 1) AS symbol_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) * 1.0
+           / greatest(len(lines), 1) AS bullet_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) * 1.0
+           / greatest(len(lines), 1) AS ellipsis_frac,
+         len(list_filter(wf, w -> regexp_matches(w, '[a-z]'))) * 1.0
+           / greatest(len(wf), 1) AS alpha_frac,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(wf, s))) AS stop_hits,
+         len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+             AND len(list_filter(string_split_regex(l, '\s+'),
+                                 w -> length(w) > 0)) >= 3
+             AND NOT contains(lower(l), 'javascript'))) AS n_kept,
+         contains(lower(coalesce(text, '')), 'lorem ipsum') AS has_lorem,
+         contains(lower(coalesce(text, '')), '{') AS has_brace
+  FROM b)
+SELECT encoding_ok,
+       (n_words >= 20 AND n_words <= 100000 AND avg_wl >= 3.0
+        AND avg_wl <= 10.0 AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2)
+         AS gopher_pass,
+       (NOT has_lorem AND NOT has_brace AND n_kept >= 1) AS c4_keep,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m GROUP BY 1, 2, 3
 """
     # Gopher rule battery: same tokenizer as the quality oracle
     # (lower-then-split, long-green), list_filter per rule; min_words=20

@@ -305,7 +305,8 @@ ENC_MOJIBAKE = "Ã.|â€."   # classic UTF-8-read-as-Latin-1 artifacts
 
 
 def encoding_quality(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     keep_cols: list[str] | None = None) -> DataFrame:
     """(id, n_chars, n_replacement, n_control, n_non_ascii, n_mojibake,
     encoding_ok) — cheap encoding-health screen: U+FFFD replacement chars
     (a decoder already gave up), raw control characters (binary spill),
@@ -322,6 +323,7 @@ def encoding_quality(df: DataFrame, text_col: str = "text",
     n_moji = cnt(ENC_MOJIBAKE)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         F.coalesce(F.length(t), F.lit(0)).cast("long").alias("n_chars"),
         n_repl.alias("n_replacement"),
         n_ctrl.alias("n_control"),
@@ -347,7 +349,8 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
                  max_bullet_frac: float = 0.9,
                  max_ellipsis_frac: float = 0.3,
                  min_alpha_frac: float = 0.8,
-                 min_stop_hits: int = 2) -> DataFrame:
+                 min_stop_hits: int = 2,
+                 keep_cols: list[str] | None = None) -> DataFrame:
     """(id, n_words, avg_word_len, symbol_ratio, bullet_frac,
     ellipsis_frac, alpha_frac, stop_hits, rule_* booleans, gopher_pass) —
     the full Gopher document-quality rule battery (Rae et al. 2021,
@@ -407,6 +410,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     rnd = lambda c: F.round(c, 6).cast("double")
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         n_words.cast("long").alias("n_words"),
         rnd(avg_wl).alias("avg_word_len"),
         rnd(symbol_ratio).alias("symbol_ratio"),
@@ -424,7 +428,8 @@ C4_TERMINAL_RE = '[.!?"]$'   # line must end in terminal punctuation
 
 def c4_clean(df: DataFrame, text_col: str = "text",
              id_col: str = "doc_id", min_line_words: int = 5,
-             min_kept_lines: int = 3) -> DataFrame:
+             min_kept_lines: int = 3,
+             keep_cols: list[str] | None = None) -> DataFrame:
     """(id, n_lines, n_kept_lines, has_lorem, has_brace, doc_keep,
     clean_text) — the C4 line-level cleaning rules (Raffel et al. 2020,
     §2.2): keep only lines that end in terminal punctuation, carry at
@@ -440,7 +445,9 @@ def c4_clean(df: DataFrame, text_col: str = "text",
     all codegen'd Columns — no UDF, no shuffle, no explode (the line
     array never leaves the row)."""
     t = F.col(text_col)
-    lines = F.transform(F.split(t, "\n"), F.trim)
+    # explicit one-arg lambda: bare F.trim has a (col, trimStr) overload,
+    # so transform would pass the array index as trimStr (no-op trim)
+    lines = F.transform(F.split(t, "\n"), lambda l: F.trim(l))
     keep = lambda l: (
         l.rlike(C4_TERMINAL_RE)
         & (F.size(F.filter(F.split(l, r"\s+"), lambda w: F.length(w) > 0))
@@ -453,6 +460,7 @@ def c4_clean(df: DataFrame, text_col: str = "text",
     has_brace = F.coalesce(lt.contains("{"), F.lit(False))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         F.coalesce(F.size(F.filter(lines, lambda l: F.length(l) > 0)),
                    F.lit(0)).cast("long").alias("n_lines"),
         n_kept.cast("long").alias("n_kept_lines"),
@@ -527,3 +535,29 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
         ratio.alias("ratio"),
         F.coalesce(ratio < min_ratio, F.lit(False)).alias("low_info"),
     )
+
+
+def quality_gate_cube(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      gopher_kwargs: dict | None = None,
+                      c4_kwargs: dict | None = None) -> DataFrame:
+    """(encoding_ok, gopher_pass, c4_keep, n_docs) — the agreement cube of
+    the three standard web-curation gates, counted in ONE pass: which
+    documents every gate rejects, which only one gate catches, and how
+    much of the corpus survives all three — the calibration readout run
+    before wiring gates into the curation funnel.
+
+    100 TB shape: the three gate operators are pure map stages over the
+    same (id, text) scan, so chaining them through `keep_cols` lets
+    Catalyst collapse the projections into a single WholeStageCodegen map
+    — one scan, zero joins — followed by one 8-row-bounded agg."""
+    e = encoding_quality(df, text_col, id_col, keep_cols=[text_col])
+    g = gopher_rules(e, text_col, id_col,
+                     keep_cols=[text_col, "encoding_ok"],
+                     **(gopher_kwargs or {}))
+    c = c4_clean(g, text_col, id_col,
+                 keep_cols=["encoding_ok", "gopher_pass"],
+                 **(c4_kwargs or {}))
+    return (c.groupBy("encoding_ok", "gopher_pass",
+                      F.col("doc_keep").alias("c4_keep"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))

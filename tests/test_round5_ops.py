@@ -360,6 +360,9 @@ def test_c4_clean_oracle_agrees_on_adversarial(spark):
             ("b", "lorem ipsum but Fine line here.\n"),
             ("c", "brace { doc but Fine line here.\n"),
             ("d", 'Quoted line "\nShort.\n'),
+            # trailing-space line: regression for the bare-F.trim overload
+            # bug (transform passed the index as trimStr, no-op trim)
+            ("f", "Kept despite trailing space here. \nnope\n"),
             ("e", None)]
     sp = {r.doc_id: r.asDict() for r in c4_clean(
         spark.createDataFrame(rows, "doc_id string, text string"),
@@ -494,3 +497,42 @@ def test_duplication_rate(spark):
     assert s1.dup_frac == 0.75
     s2 = got["s2"]
     assert s2.n_docs == 2 and s2.n_dup_docs == 1 and s2.dup_frac == 0.5
+
+
+def test_quality_gate_cube(spark):
+    import duckdb
+
+    import __spark_entry__ as E
+    from json_schema_modern_spark.operators.text import quality_gate_cube
+
+    good = ("The quick brown fox jumps over the lazy dog and that was "
+            "all of it, with more to have and to be said today. " * 3)
+    rows = [("all_pass", good),
+            ("enc_fail", good + " bad \N{REPLACEMENT CHARACTER} byte."),
+            ("gopher_fail", "Too short to pass but a fine sentence."),
+            ("c4_fail", good + " lorem ipsum"),
+            ("nul", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    kw = dict(gopher_kwargs={"min_words": 20},
+              c4_kwargs={"min_line_words": 3, "min_kept_lines": 1})
+    cube = quality_gate_cube(df, **kw)
+    got = {(r.encoding_ok, r.gopher_pass, r.c4_keep): r.n_docs
+           for r in cube.collect()}
+    assert got[(True, True, True)] == 1
+    assert got[(False, True, True)] == 1       # enc_fail
+    assert got[(True, False, True)] == 1       # gopher_fail (short)
+    assert got[(True, True, False)] == 1       # c4_fail (lorem)
+    assert got[(True, False, False)] == 1      # nul: no words, no lines
+    # zero joins / zero extra scans: one Scan, no Exchange besides the agg
+    # (AQE prints final + initial sections — inspect the final one only)
+    plan = cube._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ") <= 1 and "Join" not in final
+
+    # cross-engine parity on the same adversarial rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = {(bool(e), bool(g), bool(c)): n for e, g, c, n in
+            con.execute(E.oracle_sql()["text_gate_cube"]).fetchall()}
+    assert duck == got
