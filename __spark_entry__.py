@@ -649,6 +649,17 @@ def _q_dedup_rate(spark, sf_dir):
     return duplication_rate(_dup_docs(spark, sf_dir))
 
 
+def _q_minhash_sim_hist(spark, sf_dir):
+    """Threshold-calibration histogram: MinHash Jaccard-estimator mass
+    over the banded-LSH candidate pairs, n_bins-row bounded agg; buckets
+    are exact k/32 fractions so the histogram is engine-portable."""
+    from json_schema_modern_spark.operators.dedup import (
+        minhash_pair_similarity_hist,
+    )
+
+    return minhash_pair_similarity_hist(_dup_docs(spark, sf_dir))
+
+
 def _q_dedup_jaccard(spark, sf_dir):
     """Two-stage scale path: banded MinHash-LSH candidate generation →
     exact n-gram Jaccard verification on candidates only.  Same oracle as
@@ -1815,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_ppjoin": _q_dedup_ppjoin,
         "dedup_exact": _q_dedup_exact,
         "dedup_rate_by_source": _q_dedup_rate,
+        "dedup_minhash_sim_hist": _q_minhash_sim_hist,
         "minhash_bands": _q_minhash_buckets,
         "split_assign": _q_split_assign,
         "contamination_ngram": _q_contamination,
@@ -2380,6 +2392,7 @@ FROM per JOIN tot USING (h) GROUP BY 1
     o["dedup_ngram_jaccard"] = _jaccard_oracle(dup_docs)
     o["dedup_jaccard_ppjoin"] = _jaccard_oracle("(SELECT * FROM documents WHERE doc_id % 4 = 1)")
     o["dedup_minhash_lsh"] = _minhash_pairs_oracle(dup_docs)
+    o["dedup_minhash_sim_hist"] = _minhash_sim_hist_oracle(dup_docs)
     o["dedup_simhash"] = _simhash_oracle(dup_docs)
     o["dedup_clusters"] = (
         "WITH pairs AS (SELECT * FROM (" + _minhash_pairs_oracle(dup_docs) + ")), "
@@ -3440,6 +3453,55 @@ SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM bands l JOIN bands r
   ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.k3 = r.k3 AND l.k4 = r.k4
 WHERE l.doc_id < r.doc_id
+"""
+
+
+def _minhash_sim_hist_oracle(dup_docs: str) -> str:
+    """Extend the pair oracle to the Jaccard-estimator histogram: same
+    signature + banded-pair recomputation, then the 32-component match
+    count per pair bucketed at 1/10 granularity (k/32 fractions are
+    binary-exact, so floor() agrees between engines)."""
+    from json_schema_modern_spark.operators.dedup import (
+        MERSENNE_P, _hash_params, poly_digest_sql)
+
+    POLY_SQL = poly_digest_sql("s")
+    a, b = _hash_params(32, 42)
+    sig_cols = ", ".join(
+        f"list_min(list_transform(digests, d -> ({a[i]} * d + {b[i]}) % {MERSENNE_P})) AS s{i+1}"
+        for i in range(32))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, s{4*i+1} AS k1, s{4*i+2} AS k2, "
+        f"s{4*i+3} AS k3, s{4*i+4} AS k4 FROM sigs"
+        for i in range(8))
+    match_sum = " + ".join(
+        f"CASE WHEN l.s{i+1} IS NOT NULL AND l.s{i+1} = r.s{i+1} "
+        f"THEN 1 ELSE 0 END" for i in range(32))
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_zip(words[1:len(words)-1], words[2:len(words)]),
+           x -> concat(x[1], ' ', x[2]))) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM {dup_docs})),
+dig AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {POLY_SQL}) AS digests
+  FROM sh),
+sigs AS (SELECT doc_id, {sig_cols} FROM dig),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.k3 = r.k3 AND l.k4 = r.k4
+  WHERE l.doc_id < r.doc_id),
+bk AS (
+  SELECT least(CAST(floor((({match_sum}) / 32.0) * 10) AS INT), 9) AS bucket
+  FROM pairs p JOIN sigs l ON p.id_a = l.doc_id
+               JOIN sigs r ON p.id_b = r.doc_id)
+SELECT bucket,
+       CAST(round(bucket / 10.0, 6) AS DOUBLE) AS est_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM bk GROUP BY 1
 """
 
 

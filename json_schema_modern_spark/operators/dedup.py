@@ -972,3 +972,41 @@ def duplication_rate(df: DataFrame, text_col: str = "text",
             .select(by, "n_docs", "n_unique_texts", "n_dup_docs",
                     F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
                      .alias("dup_frac")))
+
+
+def minhash_pair_similarity_hist(df: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 num_hashes: int = 32, bands: int = 8,
+                                 shingle_n: int = 2, seed: int = 42,
+                                 n_bins: int = 10) -> DataFrame:
+    """(bucket, est_lo, n_pairs) — histogram of the MinHash Jaccard
+    estimator (signature match-fraction) over the LSH candidate pairs:
+    the threshold-calibration readout run before picking a dedup cutoff.
+    A mass of candidates just under the intended threshold means the
+    band/row setting is recalling pairs the verifier will discard
+    (wasted verify compute); mass at 1.0 is exact-dup volume.
+
+    100 TB shape: candidates come from the banded path (never all
+    pairs); signatures re-join to the pair list via two hash joins on id
+    (pairs << corpus after LSH), and the match count is one zip_with
+    fold per pair — the histogram agg is n_bins-row bounded.  Estimator
+    buckets are exact in binary (k/num_hashes with power-of-two
+    num_hashes), so the histogram is engine-portable."""
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
+    sigged = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    pairs = _lsh_pairs_from_signatures(sigged, num_hashes, bands)
+    a = sigged.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"))
+    b = sigged.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"))
+    matches = F.size(F.filter(
+        F.zip_with("_sa", "_sb", lambda x, y: x.eqNullSafe(y) & x.isNotNull()),
+        lambda m: m))
+    est = matches / F.lit(float(num_hashes))
+    bucket = F.least(F.floor(est * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .select("bucket",
+                    F.round(F.col("bucket") / F.lit(float(n_bins)), 6)
+                     .alias("est_lo"),
+                    "n_pairs"))

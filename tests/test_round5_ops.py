@@ -536,3 +536,26 @@ def test_quality_gate_cube(spark):
     duck = {(bool(e), bool(g), bool(c)): n for e, g, c, n in
             con.execute(E.oracle_sql()["text_gate_cube"]).fetchall()}
     assert duck == got
+
+
+def test_minhash_pair_similarity_hist(spark):
+    from json_schema_modern_spark.operators.dedup import (
+        minhash_pair_similarity_hist,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "fell softly on the quiet northern village all afternoon")
+    near = base.replace("softly", "gently")
+    df = spark.createDataFrame(
+        [("1", base), ("2", base),          # exact dup -> est 1.0
+         ("3", near),                        # near dup of 1/2
+         ("4", "completely unrelated text about spacecraft telemetry "
+               "budgets and the committee meeting next tuesday morning")],
+        "doc_id string, text string")
+    got = {r.bucket: r for r in minhash_pair_similarity_hist(df).collect()}
+    # identical signatures collide in every band, so the exact pair is a
+    # guaranteed candidate and its estimator is exactly 1.0 -> bucket 9;
+    # near-dup recall on such short docs is probabilistic, so assert only
+    # bucket bounds for any extra pairs
+    assert got[9].n_pairs >= 1 and got[9].est_lo == 0.9
+    assert all(0 <= b <= 9 for b in got)
