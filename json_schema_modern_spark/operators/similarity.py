@@ -500,6 +500,7 @@ def ann_recall(
     multiprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_salts: int = 32,
 ) -> DataFrame:
     """(query_id, k, n_hits, recall) — recall@k of the bucket-pruned LSH
     path against the exact brute-force top-k, per query vector: the
@@ -507,25 +508,79 @@ def ann_recall(
     actually find the true neighbors?).  Run this before trusting an LSH
     configuration at scale, the way FAISS reports recall@k per index.
 
-    100 TB shape: a fixed-M diagnostic, not a data-plane operator — each
-    query is one TakeOrderedAndProject scan (the LSH side bucket-pruned),
-    and the M per-query count rows union driver-side; both sides use the
+    100 TB shape: ONE corpus scan computes every query's similarity and
+    the row's LSH bucket together (the per-row arithmetic is shared —
+    vector norm once, M dots), then a salted two-stage top-k per
+    (query, side): partial top-k inside (query, salt) groups bounded by
+    corpus/n_salts rows, merged over M·n_salts·k survivors.  No window
+    over a corpus-sized partition, no M×2 repeated scans (the pre-r5
+    form unioned 16 independent TakeOrdered jobs).  Both sides use the
     same deterministic (sim desc, id asc) tie-break so recall is
-    well-defined.  For very large corpora run it over a sampled slice —
-    recall estimates converge long before the full scan matters."""
-    parts = []
-    for qid, q in enumerate(queries):
-        exact = cosine_topk(df, q, k, vec_col, id_col).select(F.col(id_col))
-        approx = lsh_topk(df, q, k, n_planes, seed, vec_col, id_col,
-                          multiprobe).select(F.col(id_col).alias("_aid"))
-        parts.append(
-            exact.join(approx, exact[id_col] == approx["_aid"], "inner")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-            .select(F.lit(qid).alias("query_id"), F.lit(k).alias("k"),
-                    F.col("n_hits").cast("long").alias("n_hits"),
-                    F.round(F.col("n_hits") / F.lit(float(k)), 6)
-                    .alias("recall")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("query_id")
+    well-defined; scale n_salts with corpus size, or run over a sampled
+    slice — recall estimates converge long before the full scan matters."""
+    import math
+
+    n_q = len(queries)
+    planes = hyperplanes(len(queries[0]), n_planes, seed)
+    # Driver-side probe-bucket set per query (|probe| = n_planes+1, tiny).
+    probe_sets = []
+    for q in queries:
+        qb = 0
+        for i, p in enumerate(planes):
+            if sum(a * b for a, b in zip(q, p)) >= 0:
+                qb |= 1 << i
+        pr = {qb}
+        if multiprobe >= 1:
+            pr |= {qb ^ (1 << i) for i in range(n_planes)}
+        probe_sets.append(sorted(pr))
+    probe_lit = F.array(*[
+        F.array(*[F.lit(int(b)).cast("long") for b in pr]) for pr in probe_sets
+    ])
+
+    nrm = norm(F.col(vec_col))
+    sims = F.array(*[
+        F.round(dot(F.col(vec_col), q)
+                / (nrm * F.lit(math.sqrt(sum(x * x for x in q)))), 6)
+        for q in queries
+    ])
+    ex = (
+        df.select(F.col(id_col).alias("_id"), sims.alias("_sims"),
+                  lsh_bucket_ids(F.col(vec_col), planes).alias("_bucket"))
+        .select("_id", "_bucket", F.posexplode("_sims").alias("_qid", "_sim"))
+        .withColumn("_probe_ok", F.array_contains(
+            F.element_at(probe_lit, F.col("_qid") + 1), F.col("_bucket")))
+    )
+
+    def _topk_ids(src: DataFrame) -> DataFrame:
+        """Two-stage distributed per-query top-k (sim desc, id asc)."""
+        part = (
+            src.withColumn("_salt", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_salts)))
+            .groupBy("_qid", "_salt")
+            .agg(F.slice(F.array_sort(F.collect_list(
+                F.struct((-F.col("_sim")).alias("ns"), F.col("_id").alias("i")))),
+                1, k).alias("_part"))
+        )
+        return (
+            part.groupBy("_qid")
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_part"))), 1, k)
+                 .alias("_top"))
+            .select("_qid", F.explode("_top").alias("_s"))
+            .select("_qid", F.col("_s.i").alias("_id"))
+        )
+
+    exact = _topk_ids(ex)
+    approx = (_topk_ids(ex.where(F.col("_probe_ok")))
+              .select(F.col("_qid").alias("_aqid"), F.col("_id").alias("_aid")))
+    # Left join so a query with zero LSH hits still emits a row (exact
+    # always carries k rows per query).
+    return (
+        exact.join(approx, (exact["_qid"] == approx["_aqid"])
+                   & (exact["_id"] == approx["_aid"]), "left")
+        .groupBy("_qid")
+        .agg(F.count(F.col("_aid")).alias("_n_hits"))
+        .select(F.col("_qid").cast("int").alias("query_id"),
+                F.lit(k).alias("k"),
+                F.col("_n_hits").cast("long").alias("n_hits"),
+                F.round(F.col("_n_hits") / F.lit(float(k)), 6).alias("recall"))
+        .orderBy("query_id")
+    )
