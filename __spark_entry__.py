@@ -730,6 +730,26 @@ def _q_dedup_clusters(spark, sf_dir):
     return resolve_duplicate_clusters(pairs)
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware survivor per near-dup cluster: connected components
+    over MinHash-LSH pairs, then keep the HIGHEST-quality_score member
+    (ties → lowest doc_id) instead of min-id — the keep rule real
+    curation uses when copies differ in upstream cleaning.  Oracle: the
+    same recursive-CTE components joined to the same SQL quality score,
+    arg-max via a (score DESC, id ASC) window."""
+    from json_schema_modern_spark.operators.dedup import (
+        keep_best_in_clusters, minhash_lsh_candidates,
+        resolve_duplicate_clusters,
+    )
+    from json_schema_modern_spark.operators.text import quality_features
+
+    pairs = minhash_lsh_candidates(_dup_docs(spark, sf_dir), num_hashes=32, bands=8)
+    clusters = resolve_duplicate_clusters(pairs)
+    scored = quality_features(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score")
+    return keep_best_in_clusters(clusters, scored)
+
+
 def _q_dedup_tokens_minhash(spark, sf_dir):
     """MinHash-LSH in TOKENIZER space: near-dup candidate pairs over the
     derived token sequences (the north rule's actual input unit), shingled
@@ -1747,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
         "dedup_segments": _q_dedup_segments,
         "dedup_tokens_minhash": _q_dedup_tokens_minhash,
         "dedup_prefix_containment": _q_dedup_prefix,
@@ -2404,6 +2425,23 @@ FROM per JOIN tot USING (h) GROUP BY 1
         "  UNION SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.src) "
         "  SELECT src, min(m) AS cluster_id FROM r GROUP BY src) "
         "SELECT src AS doc_id, cluster_id, src = cluster_id AS is_survivor FROM reach"
+    )
+    o["dedup_keep_best"] = (
+        "WITH pairs AS (SELECT * FROM (" + _minhash_pairs_oracle(dup_docs) + ")), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "          UNION SELECT id_b, id_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT src FROM edges), "
+        "reach AS (WITH RECURSIVE r(src, m) AS ("
+        "  SELECT src, src FROM nodes "
+        "  UNION SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.src) "
+        "  SELECT src, min(m) AS cluster_id FROM r GROUP BY src), "
+        "q AS (SELECT doc_id, quality_score FROM (" + _quality_oracle() + ")) "
+        "SELECT cluster_id, n_docs, doc_id AS keep_id, quality_score AS keep_score "
+        "FROM (SELECT r.cluster_id, r.src AS doc_id, q.quality_score, "
+        "             CAST(count(*) OVER (PARTITION BY r.cluster_id) AS BIGINT) AS n_docs, "
+        "             row_number() OVER (PARTITION BY r.cluster_id "
+        "                 ORDER BY q.quality_score DESC, r.src ASC) AS rn "
+        "      FROM reach r JOIN q ON q.doc_id = r.src) WHERE rn = 1"
     )
     o["minhash_bands"] = _minhash_oracle()
     o["text_quality"] = _quality_oracle()

@@ -631,6 +631,44 @@ def resolve_duplicate_clusters(
     )
 
 
+def keep_best_in_clusters(
+    clusters: DataFrame,
+    scored: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """(cluster_id, n_docs, keep_id, keep_score) — quality-aware survivor
+    selection per duplicate cluster: keep the HIGHEST-scoring member
+    (ties → lowest id) instead of the min-id convention.  This is the
+    keep rule production dedup actually wants when near-dup copies differ
+    in upstream cleaning (one copy lost its boilerplate, another kept it):
+    resolve_duplicate_clusters says who is duplicated, this says which
+    copy survives.
+
+    100 TB shape: one hash join on the doc id (both sides are
+    |dup-docs|-sized and spread by id hash — no skew key) and ONE
+    map-side-combined agg on cluster_id: max(struct(score, -id)) is an
+    associative partial max, so the shuffle carries one struct per
+    (partition, cluster), never the member list.  No window over a
+    corpus-sized partition.  Pass `scored` pre-rounded (e.g. round 6) if
+    an external engine must reproduce the argmax comparison bit-for-bit.
+    """
+    j = clusters.select(cluster_col, id_col).join(
+        scored.select(id_col, score_col), id_col)
+    best = F.max(F.struct(
+        F.col(score_col).alias("s"),
+        (-F.col(id_col)).cast("long").alias("ni")))
+    return (
+        j.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"), best.alias("_b"))
+        .select(F.col(cluster_col),
+                F.col("n_docs"),
+                (-F.col("_b.ni")).cast("long").alias("keep_id"),
+                F.col("_b.s").alias("keep_score"))
+    )
+
+
 def simhash64(text: Column, seed: int = 42) -> Column:
     """62-bit SimHash over word digests: per bit, sign of Σ±1 votes.
 

@@ -27,3 +27,21 @@ def test_survivor_is_min_id_per_cluster(spark):
     assert set(rows) == {3, 7, 9, 12}
     assert all(c == 3 for c, _ in rows.values())
     assert [n for n, (_, s) in rows.items() if s] == [3]
+
+
+def test_keep_best_picks_highest_score_then_lowest_id(spark):
+    from json_schema_modern_spark.operators.dedup import keep_best_in_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "id_a bigint, id_b bigint")
+    clusters = resolve_duplicate_clusters(pairs)
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1)],
+        "doc_id bigint, quality_score double")
+    rows = {r.cluster_id: r for r in
+            keep_best_in_clusters(clusters, scored).collect()}
+    # cluster 1: 2 and 3 tie at 0.9 -> lowest id (2) wins, not min-id (1)
+    assert rows[1].keep_id == 2 and rows[1].keep_score == 0.9
+    assert rows[1].n_docs == 3
+    # cluster 10: tie at 0.1 -> lowest id
+    assert rows[10].keep_id == 10 and rows[10].n_docs == 2
