@@ -114,6 +114,52 @@ def _q_validation_keyword_rollup(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_violations")))
 
 
+def _q_constraint_mining(spark, sf_dir):
+    """Constraint mining (the reverse of the reference's evaluate): ONE
+    map-side-combined agg pass profiles every column — nulls, native-order
+    min/max, distinct, codepoint lengths — and a second bounded pass
+    harvests enum candidates ONLY for columns the first pass proved
+    low-cardinality (source has 20 distinct > max_enum=8, so its
+    collect_set never runs — the gate the oracle replays with a CASE).
+    exact_distinct=True here for the oracle; production default is the
+    HLL++ sketch.  Oracle: per-column DuckDB aggregates UNION ALL'd."""
+    from json_schema_modern_spark.operators.profiling import column_profile
+
+    prof = column_profile(
+        _read(spark, sf_dir, "documents"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+        max_enum=8, exact_distinct=True)
+    # lengths as strings with NULL -> '': a nullable int column round-trips
+    # through pandas as float64 ('2.0') on the oracle side
+    return prof.select(
+        "column", "inferred_type", "n_rows", "null_count", "min", "max",
+        "distinct_count",
+        F.coalesce(F.col("min_length").cast("string"), F.lit("")).alias("min_length"),
+        F.coalesce(F.col("max_length").cast("string"), F.lit("")).alias("max_length"),
+        F.coalesce(F.array_join("enum_vals", ","), F.lit("")).alias("enum_csv"))
+
+
+def _q_mined_violations(spark, sf_dir):
+    """Sample-profile → screen: mine a schema (lang enum, n_chars
+    minimum/maximum) from the trusted 5% split (doc_id%20==0), then
+    validate the other 95% against it through the SAME compiled plan an
+    authored schema gets — violation rows carry the standard keyword /
+    instance-location shape.  The mined bounds are a (columns)-sized
+    driver value, never row data.  Oracle: DuckDB re-mines the bounds in
+    a CTE and replays the three keyword conditions with the engine's
+    error strings (bound embedded via CAST ... AS VARCHAR)."""
+    from json_schema_modern_spark import Validator
+    from json_schema_modern_spark.operators.profiling import mined_schema
+
+    df = _read(spark, sf_dir, "documents")
+    spec = mined_schema(df.where(F.col("doc_id") % 20 == 0),
+                        columns=["lang", "n_chars"],
+                        max_enum=8, exact_distinct=True)
+    res = Validator(spec).validate(
+        df.where(F.col("doc_id") % 20 != 0), id_cols=["doc_id"])
+    return res.violations.select("doc_id", *_VCOLS)
+
+
 def _q_kw_min_max(spark, sf_dir):
     spec = {"type": "object",
             "properties": {"l_quantity": {"minimum": 5, "maximum": 45}}}
@@ -1725,6 +1771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_violations": _q_flagship,
         "validation_metrics": _q_validation_metrics,
         "validation_keyword_rollup": _q_validation_keyword_rollup,
+        "constraint_mining": _q_constraint_mining,
+        "mined_schema_violations": _q_mined_violations,
         "text_quality": _q_text_quality,
         "text_encoding": _q_text_encoding,
         "text_gopher_rules": _q_gopher_rules,
@@ -1986,6 +2034,61 @@ def oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS n_violations "
         "FROM v GROUP BY 1, 2"
     )
+
+    # constraint mining: one profile row per column; the enum CSV replays
+    # the cardinality gate (source: 20 distinct > 8 -> '') with a CASE
+    def _prof_row(c, jtype, minl, enum_case):
+        return (
+            f"SELECT '{c}' AS \"column\", '{jtype}' AS inferred_type, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count, "
+            f"CAST(min({c}) AS VARCHAR) AS min, CAST(max({c}) AS VARCHAR) AS max, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_count, "
+            f"{minl} AS min_length, "
+            f"{minl.replace('min(', 'max(', 1) if 'length' in minl else minl} AS max_length, "
+            f"{enum_case} AS enum_csv FROM documents"
+        )
+
+    def _enum_case(c):
+        return (
+            f"CASE WHEN count(DISTINCT {c}) <= 8 THEN "
+            f"(SELECT string_agg(x, ',' ORDER BY x) FROM "
+            f"(SELECT DISTINCT {c} AS x FROM documents WHERE {c} IS NOT NULL)) "
+            "ELSE '' END"
+        )
+
+    o["constraint_mining"] = " UNION ALL ".join([
+        _prof_row("doc_id", "integer", "''", "''"),
+        _prof_row("lang", "string", "CAST(min(length(lang)) AS VARCHAR)",
+                  _enum_case("lang")),
+        _prof_row("source", "string", "CAST(min(length(source)) AS VARCHAR)",
+                  _enum_case("source")),
+        _prof_row("n_chars", "integer", "''", "''"),
+    ])
+
+    # mined-schema screen: re-mine the 5%-split bounds in a CTE, replay
+    # the three keyword conditions with the engine's error strings
+    o["mined_schema_violations"] = """
+WITH t AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
+           FROM documents WHERE doc_id % 20 = 0),
+langs AS (SELECT DISTINCT lang FROM documents
+          WHERE doc_id % 20 = 0 AND lang IS NOT NULL),
+e AS (SELECT * FROM documents WHERE doc_id % 20 <> 0)
+SELECT doc_id, '/lang' AS instance_location,
+       '/properties/lang/enum' AS keyword_location, 'enum' AS keyword,
+       'value does not match' AS error, lang AS offending_value
+FROM e WHERE lang IS NOT NULL AND lang NOT IN (SELECT lang FROM langs)
+UNION ALL
+SELECT doc_id, '/n_chars', '/properties/n_chars/minimum', 'minimum',
+       'value is less than ' || CAST((SELECT lo FROM t) AS VARCHAR),
+       CAST(n_chars AS VARCHAR)
+FROM e WHERE n_chars IS NOT NULL AND n_chars < (SELECT lo FROM t)
+UNION ALL
+SELECT doc_id, '/n_chars', '/properties/n_chars/maximum', 'maximum',
+       'value is greater than ' || CAST((SELECT hi FROM t) AS VARCHAR),
+       CAST(n_chars AS VARCHAR)
+FROM e WHERE n_chars IS NOT NULL AND n_chars > (SELECT hi FROM t)
+"""
     # per-source metrics rollup: per-doc violation count re-derived as a
     # sum of the same seven per-keyword conditions the flagship oracle
     # UNIONs (can't join the violation rows back — required-violations
