@@ -1125,6 +1125,25 @@ def _q_text_langid_ngram(spark, sf_dir):
     return language_id_ngram(_read(spark, sf_dir, "documents"))
 
 
+def _q_langid_confusion(spark, sf_dir):
+    """Label-vs-prediction confusion matrix: labeled `lang` column against
+    the stopword-heuristic classifier, row-normalized within each label.
+    One map-side-combined groupBy over (lang, pred_lang); the totals join
+    is a |langs|-row broadcast."""
+    from json_schema_modern_spark.operators.text import language_confusion
+
+    return language_confusion(_read(spark, sf_dir, "documents"))
+
+
+def _q_emb_outliers(spark, sf_dir):
+    """Per-label least-prototypical vectors: top-5 farthest from the label
+    centroid (SSL-prototype pruning diagnostic).  Centroid sums are
+    integer-quantized so the result hash is parallelism-independent."""
+    from json_schema_modern_spark.operators.similarity import embedding_outliers
+
+    return embedding_outliers(_read(spark, sf_dir, "embeddings"), top_k=5)
+
+
 def _q_text_winnow(spark, sf_dir):
     """Winnowing fingerprints → prints shared by >1 distinct document
     (rolling-hash document fingerprinting; shared print ⇔ shared ≥k-char
@@ -1856,12 +1875,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "dedup_bloom_new": _q_dedup_bloom_new,
         "curation_funnel": _q_curation_funnel,
-        "shuffle_shards": _q_shuffle_shards,
-        "dsir_weights": _q_dsir_weights,
         "semdedup": _q_semdedup,
         "diversity_ngrams": _q_diversity_ngrams,
+        "langid_confusion": _q_langid_confusion,
+        "emb_outliers": _q_emb_outliers,
         "zipf_slope": _q_zipf_slope,
         # ---- driver correctness window boundary (50 entries above) --------
+        # shuffle_shards / dsir_weights rotated behind the boundary for the
+        # two new round-5 diagnostics (langid_confusion, emb_outliers):
+        # both r4-green and their modules untouched since.
+        "shuffle_shards": _q_shuffle_shards,
+        "dsir_weights": _q_dsir_weights,
         # kw_prefixitems/kw_enum/kw_const/kw_dependent* moved behind the
         # boundary: green r2 driver rows, and this round's only change
         # touching them (big-int literals / dialect gating) is covered by
@@ -2708,6 +2732,8 @@ FROM m
 """
     o["text_langid"] = _langid_oracle()
     o["text_langid_ngram"] = _langid_ngram_oracle()
+    o["langid_confusion"] = _langid_confusion_oracle()
+    o["emb_outliers"] = _emb_outliers_oracle(top_k=5)
     o["text_winnow_shared"] = _winnow_oracle(dup_docs)
     o["redact_pii_counts"] = (
         "WITH t AS (SELECT doc_id, text || ' contact user' || "
@@ -3759,7 +3785,10 @@ FROM (
 """
 
 
-def _langid_oracle() -> str:
+def _stopword_best_sql() -> str:
+    """DuckDB expression for list_max over the per-language stopword-score
+    structs — shared by the langid and confusion oracles (expects a
+    `words` column in scope)."""
     from json_schema_modern_spark.operators.text import STOPWORDS
 
     struct_rows = []
@@ -3769,12 +3798,70 @@ def _langid_oracle() -> str:
             "{'score': len(list_filter(words, w -> list_contains(" + lst + ", w)))*1.0"
             " / greatest(len(words), 1), 'lang': '" + lang + "'}"
         )
-    arr = "[" + ", ".join(struct_rows) + "]"
+    return "list_max([" + ", ".join(struct_rows) + "])"
+
+
+def _langid_oracle() -> str:
     return f"""
 SELECT doc_id, best.lang AS pred_lang, CAST(round(best.score, 6) AS DOUBLE) AS pred_score
 FROM (
-  SELECT doc_id, list_max({arr}) AS best
+  SELECT doc_id, {_stopword_best_sql()} AS best
   FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM documents))
+"""
+
+
+def _langid_confusion_oracle() -> str:
+    """Replay language_confusion: same argmax struct, GROUP BY labeled lang
+    x predicted lang, frac row-normalized within the label."""
+    return f"""
+WITH s AS (
+  SELECT lang, ({_stopword_best_sql()}).lang AS pred_lang
+  FROM (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS words,
+               text FROM documents)
+), g AS (
+  SELECT lang, pred_lang, count(*) AS n_docs FROM s GROUP BY 1, 2
+), t AS (
+  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS tot FROM g GROUP BY 1
+)
+SELECT g.lang, g.pred_lang, g.n_docs,
+       CAST(round(g.n_docs * 1.0 / t.tot, 6) AS DOUBLE) AS frac
+FROM g JOIN t USING (lang)
+"""
+
+
+def _emb_outliers_oracle(top_k: int = 5, quant: int = 1_000_000) -> str:
+    """Replay embedding_outliers: integer-quantized per-(label, position)
+    centroid sums (order-independent, exact), positional squared-distance
+    fold, top_k per label by quantized distance with id tiebreak."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT label, i - 1 AS pos,
+         CAST(floor(v[i] * {quant} + 0.5) AS BIGINT) AS qv
+  FROM (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM e)
+), c AS (
+  SELECT label, pos,
+         CAST(sum(qv) AS DOUBLE) / {float(quant)!r} / count(*) AS c
+  FROM p GROUP BY 1, 2
+), ca AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM c GROUP BY 1
+), d AS (
+  SELECT e.label, e.vec_id,
+         sqrt(list_sum(list_transform(list_zip(e.v, ca.centroid),
+                                      z -> (z[1] - z[2]) * (z[1] - z[2])))) AS d
+  FROM e JOIN ca USING (label)
+), r AS (
+  SELECT label, vec_id, d,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY CAST(floor(d * {quant} + 0.5) AS BIGINT) DESC, vec_id
+         ) AS rank
+  FROM d
+)
+SELECT label, vec_id, CAST(round(d, 6) AS DOUBLE) AS dist,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {top_k}
 """
 
 

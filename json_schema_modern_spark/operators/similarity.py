@@ -584,3 +584,78 @@ def ann_recall(
                 F.round(F.col("_n_hits") / F.lit(float(k)), 6).alias("recall"))
         .orderBy("query_id")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    top_k: int = 5,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """(label, id, dist, rank) — the `top_k` vectors farthest from their
+    label's centroid, by Euclidean distance.
+
+    The prototypicality filter from SSL-prototype pruning (Sorscher et
+    al., 2022 "Beyond neural scaling laws") / DataComp-style curation:
+    within each cluster (here: the labeled class), the examples farthest
+    from the centroid are the least prototypical — candidates for
+    pruning as mislabeled or out-of-distribution, or for UPSAMPLING when
+    the corpus is too easy.  Emits the ranked tail so either policy can
+    consume it.
+
+    Determinism at any parallelism: a float centroid is a cross-row sum,
+    whose value depends on accumulation order.  Elements are quantized
+    to integers (floor(v * quant + 0.5)) BEFORE the sum, so the
+    per-(label, position) aggregate is exact integer arithmetic —
+    order-independent — and the centroid double is derived from it by a
+    fixed expression.  Headroom: |sum| <= n_label_rows * quant * max|v|;
+    with quant=1e6 and unit-ish embeddings, safe to ~10^11 rows per
+    label — raise awareness before lowering quant, not after.
+
+    Scale design (10^12 rows): the centroid pass is posexplode (dim x
+    row inflation, map-local) into a map-side-combined groupBy with at
+    most |labels| * dim groups; the per-label centroid arrays are a
+    |labels|-row broadcast; the distance pass is one scan of per-row
+    positional folds (codegen'd zip_with/aggregate); the final top-k is
+    a window over label partitions — parallel across labels, and
+    rank-prunable by AQE.  No self-join anywhere.
+
+    Reference anchor: JSON-Schema-Modern has no vector ops; this is part
+    of the engine-additions tail (SURVEY.md section 2.8)."""
+    from pyspark.sql import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    qv = F.transform(v, lambda x: F.floor(x * quant + F.lit(0.5)))
+    pos = df.select(F.col(label_col).alias("label"),
+                    F.posexplode(qv).alias("pos", "qv"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg((F.sum("qv").cast("double") / F.lit(float(quant))
+              / F.count(F.lit(1))).alias("c"))
+        .groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c")).alias("_centroid"))
+    )
+    scored = (
+        df.select(F.col(id_col), F.col(label_col).alias("label"), v.alias("_v"))
+        .join(F.broadcast(cent), "label")
+        .select(
+            "label", id_col,
+            F.sqrt(F.aggregate(
+                F.zip_with(F.col("_v"), F.col("_centroid"),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)).alias("_d"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.floor(F.col("_d") * quant + F.lit(0.5)).desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("label", id_col,
+                F.round(F.col("_d"), 6).alias("dist"),
+                F.col("rank").cast("int").alias("rank"))
+    )

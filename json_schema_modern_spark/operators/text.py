@@ -100,12 +100,11 @@ def quality_features(df: DataFrame, text_col: str = "text",
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, pred_lang, pred_score) — stopword-overlap heuristic language ID.
-
-    score_lang = |words ∩ stopwords_lang| / |words|; argmax with a fixed
-    tie order (lexicographic by language code)."""
-    w = words(F.col(text_col))
+def _stopword_best(text: Column) -> Column:
+    """struct(score, lang) of the argmax stopword-overlap language for
+    `text` — the shared scoring expression behind `language_id` and
+    `language_confusion`.  Pure codegen'd Columns."""
+    w = words(text)
     n = F.greatest(F.size(w), F.lit(1))
 
     def sw_filter(lang: str):
@@ -122,11 +121,52 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     # array_max on struct compares field-wise: score first, then lang —
     # ties break to the LAST lang lexicographically; invert lang for
     # deterministic first-wins ordering is overkill: keep struct order
-    best = F.array_max(scored)
+    return F.array_max(scored)
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pred_lang, pred_score) — stopword-overlap heuristic language ID.
+
+    score_lang = |words ∩ stopwords_lang| / |words|; argmax with a fixed
+    tie order (lexicographic by language code)."""
+    best = _stopword_best(F.col(text_col))
     return df.select(
         F.col(id_col),
         best.getField("lang").alias("pred_lang"),
         F.round(best.getField("score"), 6).alias("pred_score"),
+    )
+
+
+def language_confusion(df: DataFrame, text_col: str = "text",
+                       label_col: str = "lang") -> DataFrame:
+    """(lang, pred_lang, n_docs, frac) — confusion matrix of the corpus's
+    labeled language column against the stopword-heuristic prediction.
+
+    The standard label-quality diagnostic for a multilingual training
+    corpus: off-diagonal mass = documents whose declared language the
+    cheap classifier disagrees with (mislabeled ingestion, code-mixed
+    docs, or boilerplate-dominated text).  `frac` is row-normalized
+    within the labeled language, so each lang row sums to 1.
+
+    Scale design (10^12 rows): prediction is per-row codegen'd Column
+    arithmetic (no shuffle); the only exchange is a map-side-combined
+    groupBy over (lang, pred_lang) — at most |langs|^2 groups — and the
+    row-normalizing totals join is a broadcast of a |langs|-row table.
+    Counts are integers, so the output hash is independent of
+    parallelism and input order."""
+    best = _stopword_best(F.col(text_col))
+    cells = (
+        df.select(F.col(label_col).alias("lang"),
+                  best.getField("lang").alias("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("_tot"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang", "pred_lang", "n_docs",
+            F.round(F.col("n_docs") * F.lit(1.0) / F.col("_tot"), 6).alias("frac"),
+        )
     )
 
 

@@ -559,3 +559,73 @@ def test_minhash_pair_similarity_hist(spark):
     # bucket bounds for any extra pairs
     assert got[9].n_pairs >= 1 and got[9].est_lo == 0.9
     assert all(0 <= b <= 9 for b in got)
+
+
+def test_language_confusion_cells_and_row_norm(spark):
+    from json_schema_modern_spark.operators.text import language_confusion
+
+    df = spark.createDataFrame(
+        [
+            # labeled en, clearly en
+            (1, "the cat and the dog of it is that", "en"),
+            (2, "a man of the house is in it for the win", "en"),
+            # labeled es but English stopwords -> off-diagonal cell
+            (3, "the quick brown fox is in the yard", "es"),
+            # labeled es, clearly es
+            (4, "el perro y la casa de que un por con los", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {(r.lang, r.pred_lang): r for r in language_confusion(df).collect()}
+    assert rows[("en", "en")].n_docs == 2
+    assert rows[("es", "en")].n_docs == 1
+    assert rows[("es", "es")].n_docs == 1
+    # row-normalized within the labeled language
+    assert rows[("en", "en")].frac == 1.0
+    assert rows[("es", "en")].frac == 0.5
+    assert rows[("es", "es")].frac == 0.5
+
+
+def test_embedding_outliers_ranking_and_distance(spark):
+    from json_schema_modern_spark.operators.similarity import embedding_outliers
+
+    # label 0: three points at the corners of a line; centroid = (1, 0)
+    # -> id 3 at (4, 0) is farthest (dist 3), then id 1 at (0,0) dist 1.
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [-1.0, 0.0], 0),
+            (3, [4.0, 0.0], 0),
+            (10, [0.0, 1.0], 1),
+            (11, [0.0, 3.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = embedding_outliers(df, top_k=2).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append(r)
+    l0 = sorted(by_label[0], key=lambda r: r.rank)
+    assert [r.vec_id for r in l0] == [3, 2]
+    assert math.isclose(l0[0].dist, 3.0, abs_tol=1e-6)
+    assert math.isclose(l0[1].dist, 2.0, abs_tol=1e-6)
+    # label 1 centroid = (0, 2); both at dist 1, tie broken by vec_id
+    l1 = sorted(by_label[1], key=lambda r: r.rank)
+    assert [r.vec_id for r in l1] == [10, 11]
+    assert math.isclose(l1[0].dist, 1.0, abs_tol=1e-6)
+
+
+def test_embedding_outliers_parallelism_invariant(spark):
+    """The quantized-integer centroid makes the output hash independent of
+    partitioning / accumulation order: 1 partition == 13 partitions."""
+    from json_schema_modern_spark.operators.similarity import embedding_outliers
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    a = sorted(map(tuple, embedding_outliers(df.coalesce(1), top_k=4).collect()))
+    b = sorted(map(tuple, embedding_outliers(df.repartition(13), top_k=4).collect()))
+    assert a == b

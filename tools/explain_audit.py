@@ -473,6 +473,27 @@ def main() -> None:
           cz_plan.count("ArrowEvalPython (") == 1
           and "Exchange" not in cz_plan)
 
+    # 27. embedding outliers: centroid table broadcast back (the only
+    #     join is |labels|-row), no cross product, and the label window
+    #     is the only Window
+    from json_schema_modern_spark.operators.similarity import embedding_outliers
+
+    eo_plan = explain_str(embedding_outliers(emb, top_k=5))
+    check("emb outliers: centroid joined via broadcast",
+          "BroadcastExchange" in eo_plan)
+    check("emb outliers: no cross product", no_cross(eo_plan))
+    check("emb outliers: single top-k window",
+          eo_plan.count("Window\n") <= 2)  # tree + detail print
+
+    # 28. langid confusion: totals joined via broadcast, prediction is
+    #     codegen'd (no python nodes anywhere)
+    from json_schema_modern_spark.operators.text import language_confusion
+
+    lc_plan = explain_str(language_confusion(docs))
+    check("langid confusion: totals broadcast", "BroadcastExchange" in lc_plan)
+    check("langid confusion: no python in the row loop",
+          "EvalPython" not in lc_plan)
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
