@@ -1135,6 +1135,15 @@ def _q_langid_confusion(spark, sf_dir):
     return language_confusion(_read(spark, sf_dir, "documents"))
 
 
+def _q_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document: one data-sized explode+agg
+    shuffle, document frequency reused from the tf aggregate's output,
+    |vocab|-row broadcast idf join, quantized-score ranking."""
+    from json_schema_modern_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), top_k=3)
+
+
 def _q_emb_outliers(spark, sf_dir):
     """Per-label least-prototypical vectors: top-5 farthest from the label
     centroid (SSL-prototype pruning diagnostic).  Centroid sums are
@@ -1874,18 +1883,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": _q_mix_weights,
         "sample_stratified": _q_sample_stratified,
         "dedup_bloom_new": _q_dedup_bloom_new,
-        "curation_funnel": _q_curation_funnel,
+        "text_tfidf_topterms": _q_tfidf_topterms,
         "semdedup": _q_semdedup,
         "diversity_ngrams": _q_diversity_ngrams,
         "langid_confusion": _q_langid_confusion,
         "emb_outliers": _q_emb_outliers,
         "zipf_slope": _q_zipf_slope,
         # ---- driver correctness window boundary (50 entries above) --------
-        # shuffle_shards / dsir_weights rotated behind the boundary for the
-        # two new round-5 diagnostics (langid_confusion, emb_outliers):
-        # both r4-green and their modules untouched since.
+        # shuffle_shards / dsir_weights / curation_funnel rotated behind
+        # the boundary for the three new round-5 diagnostics
+        # (langid_confusion, emb_outliers, text_tfidf_topterms): all
+        # r4-green and their modules untouched since.
         "shuffle_shards": _q_shuffle_shards,
         "dsir_weights": _q_dsir_weights,
+        "curation_funnel": _q_curation_funnel,
         # kw_prefixitems/kw_enum/kw_const/kw_dependent* moved behind the
         # boundary: green r2 driver rows, and this round's only change
         # touching them (big-int literals / dialect gating) is covered by
@@ -2734,6 +2745,7 @@ FROM m
     o["text_langid_ngram"] = _langid_ngram_oracle()
     o["langid_confusion"] = _langid_confusion_oracle()
     o["emb_outliers"] = _emb_outliers_oracle(top_k=5)
+    o["text_tfidf_topterms"] = _tfidf_oracle(top_k=3)
     o["text_winnow_shared"] = _winnow_oracle(dup_docs)
     o["redact_pii_counts"] = (
         "WITH t AS (SELECT doc_id, text || ' contact user' || "
@@ -3826,6 +3838,42 @@ WITH s AS (
 SELECT g.lang, g.pred_lang, g.n_docs,
        CAST(round(g.n_docs * 1.0 / t.tot, 6) AS DOUBLE) AS frac
 FROM g JOIN t USING (lang)
+"""
+
+
+def _tfidf_oracle(top_k: int = 3, quant: int = 1_000_000_000) -> str:
+    """Replay tfidf_top_terms: portable tokenizer (split-then-lower), tf
+    and df as exact integer aggregates, idf = ln((N+1)/(df+1)), top_k per
+    doc by quantized score with term tiebreak."""
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                                    x -> len(x) > 0), x -> lower(x)) AS ws
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(ws) AS term FROM w
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS dfreq FROM tf GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT doc_id) AS nd FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln((n.nd + 1) / (dfq.dfreq + 1)) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+), r AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(floor(score * {quant} + 0.5) AS BIGINT) DESC, term
+         ) AS rank
+  FROM s
+)
+SELECT doc_id, term, tf, CAST(round(score, 6) AS DOUBLE) AS score,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {top_k}
 """
 
 

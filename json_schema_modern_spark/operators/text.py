@@ -601,3 +601,69 @@ def quality_gate_cube(df: DataFrame, text_col: str = "text",
     return (c.groupBy("encoding_ok", "gopher_pass",
                       F.col("doc_keep").alias("c4_keep"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """(id, term, tf, score, rank) — the `top_k` TF-IDF keywords per
+    document (idf = ln((N + 1) / (df + 1)), the smoothed textbook form).
+
+    The keyword-extraction primitive behind topic balancing and
+    boilerplate screens: a document whose top terms are navigation
+    chrome ("click", "menu") is template-dominated; per-source rollups
+    of the keyword lists expose topic skew before training.
+
+    Scale design (10^12 rows): the explode→(id, term) aggregate is THE
+    data-sized shuffle (map-side combined, output |doc-term pairs|);
+    document frequency reuses that aggregate's OUTPUT (groupBy(term)
+    over distinct doc-term rows — no second pass over the corpus), and
+    joins back as a |vocab|-row table (broadcast-able to ~100M terms;
+    beyond that it is an AQE-planned shuffle join on the already-
+    aggregated table, still never touching raw text twice).  N is a
+    broadcast singleton.  The final top-k window shuffles the doc-term
+    aggregate once more on id — both exchanges are over post-agg rows,
+    never raw documents.
+
+    Determinism: tf and df are exact integers; idf/score are doubles
+    derived from them by one fixed expression, so they are bitwise
+    reproducible at any parallelism.  The ranking key quantizes score to
+    `quant` (floor(score * quant + 0.5), BIGINT-exact headroom: score
+    <= tf * ln(N) — at tf 10^6 and N 10^12, ~2.8e16 < 2^63/quant bound
+    holds for quant 1e9 only when tf*ln(N) < 9.2e9; lower quant for
+    pathological single-term documents) with a term tiebreak, so engine
+    ulp-noise in ln cannot flip the emitted order.
+
+    Tokenization is `portable_words` (split-then-lowercase, immune to
+    the Unicode special-casing divergence in docs/DEVIATIONS.md)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(portable_words(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col), "term", "tf",
+            (F.col("tf") * F.log((F.col("_n") + F.lit(1))
+                                 / (F.col("_df") + F.lit(1)))).alias("_score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.floor(F.col("_score") * quant + F.lit(0.5)).desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(F.col(id_col), "term", "tf",
+                F.round(F.col("_score"), 6).alias("score"),
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -629,3 +629,43 @@ def test_embedding_outliers_parallelism_invariant(spark):
     a = sorted(map(tuple, embedding_outliers(df.coalesce(1), top_k=4).collect()))
     b = sorted(map(tuple, embedding_outliers(df.repartition(13), top_k=4).collect()))
     assert a == b
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    from json_schema_modern_spark.operators.text import tfidf_top_terms
+
+    # "rare" appears in 1 of 3 docs; "common" in all 3.  N=3:
+    # idf(rare) = ln(4/2) = ln 2, idf(common) = ln(4/4) = 0.
+    df = spark.createDataFrame(
+        [
+            (1, "common rare rare common common"),
+            (2, "common word word"),
+            (3, "common only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.rank): r for r in tfidf_top_terms(df, top_k=2).collect()}
+    top1 = out[(1, 1)]
+    assert top1.term == "rare" and top1.tf == 2
+    assert math.isclose(top1.score, 2 * math.log(2.0), abs_tol=1e-6)
+    # doc 1's "common": tf=3 but idf=0 -> score 0, still emitted at rank 2
+    assert out[(1, 2)].term == "common" and out[(1, 2)].score == 0.0
+    # doc 2: "word" tf=2 idf=ln(2) beats "common"
+    assert out[(2, 1)].term == "word"
+    assert math.isclose(out[(2, 1)].score, 2 * math.log(2.0), abs_tol=1e-6)
+
+
+def test_tfidf_tie_break_and_topk_bound(spark):
+    from json_schema_modern_spark.operators.text import tfidf_top_terms
+
+    # two singleton terms with identical tf/df -> identical score; tie
+    # must break lexicographically by term
+    df = spark.createDataFrame(
+        [(1, "zebra apple"), (2, "filler filler")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r for r in tfidf_top_terms(df, top_k=5).collect() if r.doc_id == 1),
+        key=lambda r: r.rank,
+    )
+    assert [r.term for r in rows] == ["apple", "zebra"]

@@ -494,6 +494,17 @@ def main() -> None:
     check("langid confusion: no python in the row loop",
           "EvalPython" not in lc_plan)
 
+    # 29. tfidf top terms: idf joined via broadcast HASH join (|vocab|
+    #     rows), the only nested-loop is the broadcast N singleton, no
+    #     cartesian product
+    from json_schema_modern_spark.operators.text import tfidf_top_terms
+
+    ti_plan = explain_str(tfidf_top_terms(docs, top_k=3))
+    check("tfidf: idf join is broadcast hash", "BroadcastHashJoin" in ti_plan)
+    check("tfidf: no cartesian product", "CartesianProduct" not in ti_plan)
+    check("tfidf: nested-loop only for the N singleton",
+          ti_plan.count("BroadcastNestedLoopJoin\n") <= 2)  # tree + detail
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
