@@ -1135,6 +1135,21 @@ def _q_langid_confusion(spark, sf_dir):
     return language_confusion(_read(spark, sf_dir, "documents"))
 
 
+def _q_token_contamination(spark, sf_dir):
+    """Token-space decontamination over the north-rule table shape:
+    distinct 8-token-window overlap of each training sequence with a
+    broadcast benchmark gram set (benchmark = doc_id % 10 == 0).  The
+    corpus side never shuffles raw token arrays — only gram hits."""
+    from json_schema_modern_spark.operators.contamination import (
+        token_ngram_contamination,
+    )
+
+    toked = _doc_tokens(_read(spark, sf_dir, "documents"))
+    bench = toked.where(F.col("doc_id") % 10 == 0)
+    train = toked.where(F.col("doc_id") % 10 != 0)
+    return token_ngram_contamination(train, bench, k=8)
+
+
 def _q_tfidf_topterms(spark, sf_dir):
     """Top-3 TF-IDF keywords per document: one data-sized explode+agg
     shuffle, document frequency reused from the tf aggregate's output,
@@ -1881,7 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "pack_salted": _q_pack_salted,
         "mix_weights": _q_mix_weights,
-        "sample_stratified": _q_sample_stratified,
+        "token_contamination": _q_token_contamination,
         "dedup_bloom_new": _q_dedup_bloom_new,
         "text_tfidf_topterms": _q_tfidf_topterms,
         "semdedup": _q_semdedup,
@@ -1890,13 +1905,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_outliers": _q_emb_outliers,
         "zipf_slope": _q_zipf_slope,
         # ---- driver correctness window boundary (50 entries above) --------
-        # shuffle_shards / dsir_weights / curation_funnel rotated behind
-        # the boundary for the three new round-5 diagnostics
-        # (langid_confusion, emb_outliers, text_tfidf_topterms): all
-        # r4-green and their modules untouched since.
+        # shuffle_shards / dsir_weights / curation_funnel /
+        # sample_stratified rotated behind the boundary for the four new
+        # round-5 diagnostics (langid_confusion, emb_outliers,
+        # text_tfidf_topterms, token_contamination): all r4-green and
+        # their modules untouched since.
         "shuffle_shards": _q_shuffle_shards,
         "dsir_weights": _q_dsir_weights,
         "curation_funnel": _q_curation_funnel,
+        "sample_stratified": _q_sample_stratified,
         # kw_prefixitems/kw_enum/kw_const/kw_dependent* moved behind the
         # boundary: green r2 driver rows, and this round's only change
         # touching them (big-int literals / dialect gating) is covered by
@@ -2835,6 +2852,33 @@ FROM m
         "'[^a-z0-9]+'), w -> w <> ''), "
         "w -> CAST(length(w) * 32 + (ascii(w) % 32) AS INT))"
     )
+    # token-space decontamination: the raw 8-token window array IS the
+    # join key (both engines hash lists natively); window MULTIPLICITY
+    # (Lee et al.-style contaminated-window fraction — no per-doc
+    # distinct); benchmark gram set = distinct windows of doc_id % 10 == 0
+    o["token_contamination"] = f"""
+WITH d AS (SELECT doc_id, {_tok_expr} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8 THEN list_transform(
+                range(0, len(toks) - 7), i -> toks[i + 1 : i + 8])
+              ELSE []::INT[][] END AS gs,
+         greatest(len(toks) - 7, 0) AS total
+  FROM d
+), e AS (
+  SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 10 <> 0
+), b AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 0
+), h AS (
+  SELECT e.doc_id, count(*) AS c FROM e JOIN b USING (gram) GROUP BY 1
+)
+SELECT g.doc_id, CAST(g.total AS INT) AS total_ngrams,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+       CAST(round(coalesce(h.c, 0) / greatest(g.total, 1), 6)
+            AS DOUBLE) AS contamination_rate
+FROM g LEFT JOIN h USING (doc_id)
+WHERE g.doc_id % 10 <> 0
+"""
     # context-window chunking: unnest(range(0, n, stride)) replays the
     # start sequence; chunk_idx = start/stride, not an engine ordinal
     o["token_chunks"] = f"""

@@ -205,3 +205,88 @@ def _embedding_max_sim_matmul(
 
     return train.select(F.col(id_col), F.col(vec_col)) \
                 .mapInPandas(gen, schema=out_schema)
+
+
+def token_kgrams(tokens: Column, k: int = 8) -> Column:
+    """The k-token sliding windows of an array<int> column, as raw
+    array<int> values (with multiplicity) — the token-space analogue of
+    `word_ngrams`.
+
+    The window array itself is the join/group key: both Spark and DuckDB
+    hash-join and hash-aggregate on array values natively, so no string
+    building or digest is needed (an md5('-'-joined) key form spent 3x
+    the operator's runtime on per-window string assembly, and a
+    within-row array_distinct over the nested arrays is O(n^2) pairwise
+    equality in Spark — callers that need set semantics should distinct
+    AFTER the explode, where it is hash-based)."""
+    n = F.size(tokens)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.slice(tokens, i + 1, F.lit(k)),
+    )
+    # CASE WHEN evaluates per-row lazily, so the descending-sequence
+    # hazard of n < k never runs
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<array<int>>"))
+
+
+def token_ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    broadcast: bool = True,
+) -> DataFrame:
+    """(id, total_ngrams, contaminated_ngrams, contamination_rate) per
+    training sequence: of its n-k+1 sliding k-token windows, how many
+    (with multiplicity — the Lee et al.-style contaminated-window
+    fraction) appear anywhere in the benchmark's token sequences.
+
+    The token-space complement of `ngram_contamination`: decontamination
+    over the north-rule token table (doc_id, tokens:array<int>) needs no
+    text at all — benchmark leakage is detected on exactly what the
+    model trains on, invariant to whitespace/casing differences that the
+    word-level check can miss.  k=8 tokens mirrors the conventional
+    13-gram/8-gram decontamination range (GPT-3 appendix C uses 13
+    words; 8 sub-word tokens is the stricter end).  Window multiplicity
+    (not per-doc distinct) is deliberate: the rate then reads as "what
+    fraction of the document's token stream is benchmark material", and
+    the plan avoids a per-row nested-array distinct that Spark executes
+    as O(n^2) pairwise equality.
+
+    Scale design (10^12 rows): the benchmark gram set is distinct-
+    aggregated and BROADCAST (benchmarks are ~10^5-10^7 sequences — the
+    gram table is small); the training side is one explode + broadcast
+    hash join + map-side-combined groupBy(id) — the corpus never
+    shuffles its raw token arrays, only the gram hits (explain-audited
+    for the word version; same plan shape here)."""
+    bench_grams = benchmark.select(
+        F.explode(token_kgrams(F.col(tokens_col), k)).alias("gram")
+    ).distinct()
+    if broadcast:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (
+        train.select(F.col(id_col),
+                     F.explode(token_kgrams(F.col(tokens_col), k)).alias("gram"))
+        .join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+    )
+    # total = n - k + 1 windows, computed arithmetically — no need to
+    # materialize the window arrays a second time for their count
+    n_tok = F.coalesce(F.size(F.col(tokens_col)), F.lit(0))
+    total = train.select(
+        F.col(id_col),
+        F.greatest(n_tok - (k - 1), F.lit(0)).alias("total_ngrams"))
+    return (
+        total.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("total_ngrams"),
+            F.coalesce(F.col("contaminated_ngrams"), F.lit(0)).alias("contaminated_ngrams"),
+            F.round(
+                F.coalesce(F.col("contaminated_ngrams"), F.lit(0))
+                / F.greatest(F.col("total_ngrams"), F.lit(1)), 6
+            ).alias("contamination_rate"),
+        )
+    )

@@ -88,3 +88,41 @@ def test_segmented_stats(spark):
     assert (out["a"].n_rows, out["a"].null_count) == (3, 1)
     assert (out["a"].min, out["a"].max, out["a"].mean) == (1.0, 3.0, 2.0)
     assert (out["b"].n_rows, out["b"].mean) == (1, 10.0)
+
+
+def test_token_ngram_contamination_exact_window_hits(spark):
+    from json_schema_modern_spark.operators.contamination import (
+        token_ngram_contamination,
+    )
+
+    # k=3: train doc 1 shares the window [5,6,7] with the benchmark;
+    # doc 2's repeated window hits twice (multiplicity semantics);
+    # doc 3 is shorter than k (zero windows).
+    train = spark.createDataFrame(
+        [
+            (1, [4, 5, 6, 7, 8]),       # windows: 456 567 678 -> 567 hits once
+            (2, [9, 9, 9, 9]),          # windows: 999 x2 -> both hit
+            (3, [1, 2]),                # < k -> 0 windows
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [5, 6, 7, 9, 9, 9])], "doc_id long, tokens array<int>")
+    out = {r.doc_id: r for r in
+           token_ngram_contamination(train, bench, k=3).collect()}
+    assert out[1].total_ngrams == 3 and out[1].contaminated_ngrams == 1
+    assert abs(out[1].contamination_rate - 1 / 3) < 1e-6
+    assert out[2].total_ngrams == 2 and out[2].contaminated_ngrams == 2
+    assert out[2].contamination_rate == 1.0
+    assert out[3].total_ngrams == 0 and out[3].contaminated_ngrams == 0
+    assert out[3].contamination_rate == 0.0
+
+
+def test_token_kgrams_multiplicity_and_short_input(spark):
+    from json_schema_modern_spark.operators.contamination import token_kgrams
+
+    df = spark.createDataFrame(
+        [([1, 2, 1, 2, 1],), ([1],), (None,)], "tokens array<int>")
+    rows = df.select(F.size(token_kgrams(F.col("tokens"), 2)).alias("n")).collect()
+    # windows of [1,2,1,2,1]: (1,2),(2,1),(1,2),(2,1) -> 4 with multiplicity
+    assert [r.n for r in rows] == [4, 0, 0]

@@ -505,6 +505,20 @@ def main() -> None:
     check("tfidf: nested-loop only for the N singleton",
           ti_plan.count("BroadcastNestedLoopJoin\n") <= 2)  # tree + detail
 
+    # 30. token contamination: benchmark gram set broadcast, training
+    #     side never cross-joined, no python nodes
+    from json_schema_modern_spark.operators.contamination import (
+        token_ngram_contamination,
+    )
+
+    tc_plan = explain_str(token_ngram_contamination(
+        toked.where("doc_id % 10 != 0"), toked.where("doc_id % 10 = 0"), k=8))
+    check("token contamination: benchmark grams broadcast",
+          "BroadcastExchange" in tc_plan)
+    check("token contamination: no cross product", no_cross(tc_plan))
+    check("token contamination: no python in the row loop",
+          "EvalPython" not in tc_plan)
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
