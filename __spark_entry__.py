@@ -1159,6 +1159,17 @@ def _q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(_read(spark, sf_dir, "documents"), top_k=3)
 
 
+def _q_emb_centroid_dist(spark, sf_dir):
+    """Pairwise Euclidean distance between per-label embedding centroids
+    (embedding-space source-similarity matrix).  One centroid pass over
+    the corpus; the pair join runs over the |labels|-row broadcast."""
+    from json_schema_modern_spark.operators.similarity import (
+        centroid_distance_matrix,
+    )
+
+    return centroid_distance_matrix(_read(spark, sf_dir, "embeddings"))
+
+
 def _q_emb_outliers(spark, sf_dir):
     """Per-label least-prototypical vectors: top-5 farthest from the label
     centroid (SSL-prototype pruning diagnostic).  Centroid sums are
@@ -1897,7 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_salted": _q_pack_salted,
         "mix_weights": _q_mix_weights,
         "token_contamination": _q_token_contamination,
-        "dedup_bloom_new": _q_dedup_bloom_new,
+        "emb_centroid_dist": _q_emb_centroid_dist,
         "text_tfidf_topterms": _q_tfidf_topterms,
         "semdedup": _q_semdedup,
         "diversity_ngrams": _q_diversity_ngrams,
@@ -1906,14 +1917,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": _q_zipf_slope,
         # ---- driver correctness window boundary (50 entries above) --------
         # shuffle_shards / dsir_weights / curation_funnel /
-        # sample_stratified rotated behind the boundary for the four new
-        # round-5 diagnostics (langid_confusion, emb_outliers,
-        # text_tfidf_topterms, token_contamination): all r4-green and
-        # their modules untouched since.
+        # sample_stratified / dedup_bloom_new rotated behind the boundary
+        # for the five new round-5 diagnostics (langid_confusion,
+        # emb_outliers, text_tfidf_topterms, token_contamination,
+        # emb_centroid_dist): all r4-green and their modules untouched
+        # since (bloom.py untouched; similarity.py additions are covered
+        # by the new in-window queries).
         "shuffle_shards": _q_shuffle_shards,
         "dsir_weights": _q_dsir_weights,
         "curation_funnel": _q_curation_funnel,
         "sample_stratified": _q_sample_stratified,
+        "dedup_bloom_new": _q_dedup_bloom_new,
         # kw_prefixitems/kw_enum/kw_const/kw_dependent* moved behind the
         # boundary: green r2 driver rows, and this round's only change
         # touching them (big-int literals / dialect gating) is covered by
@@ -2762,6 +2776,7 @@ FROM m
     o["text_langid_ngram"] = _langid_ngram_oracle()
     o["langid_confusion"] = _langid_confusion_oracle()
     o["emb_outliers"] = _emb_outliers_oracle(top_k=5)
+    o["emb_centroid_dist"] = _emb_centroid_dist_oracle()
     o["text_tfidf_topterms"] = _tfidf_oracle(top_k=3)
     o["text_winnow_shared"] = _winnow_oracle(dup_docs)
     o["redact_pii_counts"] = (
@@ -3918,6 +3933,31 @@ WITH w AS (
 SELECT doc_id, term, tf, CAST(round(score, 6) AS DOUBLE) AS score,
        CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {top_k}
+"""
+
+
+def _emb_centroid_dist_oracle(quant: int = 1_000_000) -> str:
+    """Replay centroid_distance_matrix: the same integer-quantized
+    centroids, pairwise label_a < label_b, positional fold."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT label, i - 1 AS pos,
+         CAST(floor(v[i] * {quant} + 0.5) AS BIGINT) AS qv
+  FROM (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM e)
+), c AS (
+  SELECT label, pos,
+         CAST(sum(qv) AS DOUBLE) / {float(quant)!r} / count(*) AS c
+  FROM p GROUP BY 1, 2
+), ca AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM c GROUP BY 1
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(round(sqrt(list_sum(list_transform(
+              list_zip(a.centroid, b.centroid),
+              z -> (z[1] - z[2]) * (z[1] - z[2])))), 6) AS DOUBLE) AS dist
+FROM ca a JOIN ca b ON a.label < b.label
 """
 
 

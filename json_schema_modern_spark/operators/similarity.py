@@ -586,6 +586,75 @@ def ann_recall(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """(label, _centroid: array<double>) — per-label mean vector with
+    order-independent accumulation: elements are quantized to integers
+    (floor(v * quant + 0.5)) BEFORE the cross-row sum, so the
+    per-(label, position) aggregate is exact integer arithmetic and the
+    derived double is bitwise reproducible at any parallelism.
+
+    Scale shape: posexplode (dim x inflation, map-local) into a
+    map-side-combined groupBy with |labels| * dim groups, then a
+    dim-bounded collect_list per label.  The result is a |labels|-row
+    table meant for broadcast."""
+    v = F.col(vec_col).cast("array<double>")
+    qv = F.transform(v, lambda x: F.floor(x * quant + F.lit(0.5)))
+    pos = df.select(F.col(label_col).alias("label"),
+                    F.posexplode(qv).alias("pos", "qv"))
+    return (
+        pos.groupBy("label", "pos")
+        .agg((F.sum("qv").cast("double") / F.lit(float(quant))
+              / F.count(F.lit(1))).alias("c"))
+        .groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c")).alias("_centroid"))
+    )
+
+
+def centroid_distance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """(label_a, label_b, dist) for label_a < label_b — Euclidean
+    distance between per-label embedding centroids.
+
+    The embedding-space analogue of the text-side JSD / rank-correlation
+    source matrices: how far apart domains sit in representation space —
+    the signal behind mixture design (nearby sources are redundant;
+    far-apart ones add coverage) and for spotting an ingestion bug that
+    collapses two sources onto one distribution (dist ~ 0).
+
+    Scale design (10^12 rows): everything data-sized is the one
+    centroid pass (`label_centroids`, map-side-combined integer sums);
+    the pairwise join runs over the |labels|-row centroid table —
+    broadcast, |labels|^2/2 output rows, corpus never self-joined.
+    Centroids are quantized-exact, so the matrix hash is independent of
+    parallelism."""
+    cent = label_centroids(df, vec_col, label_col, quant)
+    a = cent.select(F.col("label").alias("label_a"),
+                    F.col("_centroid").alias("_ca"))
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("_centroid").alias("_cb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b",
+            F.round(F.sqrt(F.aggregate(
+                F.zip_with(F.col("_ca"), F.col("_cb"),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x)), 6).alias("dist"),
+        )
+    )
+
+
 def embedding_outliers(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -627,18 +696,7 @@ def embedding_outliers(
     from pyspark.sql import Window
 
     v = F.col(vec_col).cast("array<double>")
-    qv = F.transform(v, lambda x: F.floor(x * quant + F.lit(0.5)))
-    pos = df.select(F.col(label_col).alias("label"),
-                    F.posexplode(qv).alias("pos", "qv"))
-    cent = (
-        pos.groupBy("label", "pos")
-        .agg((F.sum("qv").cast("double") / F.lit(float(quant))
-              / F.count(F.lit(1))).alias("c"))
-        .groupBy("label")
-        .agg(F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))),
-            lambda s: s.getField("c")).alias("_centroid"))
-    )
+    cent = label_centroids(df, vec_col, label_col, quant)
     scored = (
         df.select(F.col(id_col), F.col(label_col).alias("label"), v.alias("_v"))
         .join(F.broadcast(cent), "label")

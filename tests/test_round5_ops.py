@@ -669,3 +669,25 @@ def test_tfidf_tie_break_and_topk_bound(spark):
         key=lambda r: r.rank,
     )
     assert [r.term for r in rows] == ["apple", "zebra"]
+
+
+def test_centroid_distance_matrix_hand_computed(spark):
+    from json_schema_modern_spark.operators.similarity import (
+        centroid_distance_matrix,
+    )
+
+    # label 0 centroid (0,0); label 1 centroid (3,4) -> dist 5
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0], 0), (2, [-1.0, -1.0], 0),
+            (3, [2.0, 4.0], 1), (4, [4.0, 4.0], 1),
+            (5, [0.0, 6.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r.label_a, r.label_b): r.dist
+           for r in centroid_distance_matrix(df).collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert math.isclose(out[(0, 1)], 5.0, abs_tol=1e-6)
+    assert math.isclose(out[(0, 2)], 6.0, abs_tol=1e-6)
+    assert math.isclose(out[(1, 2)], math.sqrt(9 + 4), abs_tol=1e-6)

@@ -485,6 +485,18 @@ def main() -> None:
     check("emb outliers: single top-k window",
           eo_plan.count("Window\n") <= 2)  # tree + detail print
 
+    # 27b. centroid distance matrix: the pairwise join must run over the
+    #      |labels|-row centroid table (broadcast), never the corpus
+    from json_schema_modern_spark.operators.similarity import (
+        centroid_distance_matrix,
+    )
+
+    cd_plan = explain_str(centroid_distance_matrix(emb))
+    check("centroid matrix: pair join broadcast (labels-row table)",
+          "BroadcastExchange" in cd_plan and "CartesianProduct" not in cd_plan)
+    check("centroid matrix: corpus aggregated before any join (HashAggregate precedes join input)",
+          "HashAggregate" in cd_plan)
+
     # 28. langid confusion: totals joined via broadcast, prediction is
     #     codegen'd (no python nodes anywhere)
     from json_schema_modern_spark.operators.text import language_confusion
