@@ -279,6 +279,113 @@ def coverage_topk_curve(
     )
 
 
+def _gram_exprs(tokens_col: str, n: int, base: int) -> tuple:
+    """(grams, width): JVM-side Column of all base-`base` packed n-gram
+    keys per row, and the per-row gram count.  gram(i) folds n consecutive
+    ids into one long — replicable in SQL as t[i]*base^(n-1) + ... + t[i+n-1]."""
+    t = F.col(tokens_col)
+    width = F.when(t.isNull(), F.lit(0)).otherwise(
+        F.greatest(F.size(t) - (n - 1), F.lit(0)))
+
+    def gram_at(i):
+        expr = None
+        for j in range(n):
+            term = F.element_at(t, i + j + 1).cast("long")
+            expr = term if expr is None else expr * F.lit(base) + term
+        return expr
+
+    grams = F.transform(
+        F.slice(F.coalesce(t, F.array().cast("array<int>")), F.lit(1), width),
+        lambda _, i: gram_at(i))
+    return grams, width
+
+
+def heavy_hitter_grams(
+    df: DataFrame,
+    denom: int,
+    n: int = 2,
+    tokens_col: str = "tokens",
+    capacity: int | None = None,
+    compress_at: int | None = None,
+    base: int = 65536,
+) -> DataFrame:
+    """(gram, cnt, frac) — every token n-gram whose EXACT occurrence count
+    is >= total_grams / denom, via a two-pass Misra-Gries mergeable-summary
+    sketch: the bounded-shuffle alternative to `token_frequencies` when the
+    key space is n-grams rather than a fixed vocabulary (at 10^12 sequences
+    the distinct-bigram space is ~|vocab|^2 — an exact groupBy shuffles
+    O(|distinct grams| x partitions) partial states, while this pass
+    shuffles at most `capacity` summary rows per partition, then exact
+    counts ONLY the candidate set).
+
+    Guarantee (Misra-Gries / mergeable summaries, Agarwal et al. 2012):
+    each partition keeps an MG summary of capacity `capacity`
+    (default 2*denom); every compression subtracts the (capacity+1)-th
+    largest weight from all entries, so a key's total undercount is
+    <= N_p/(capacity+1) per partition and <= N/(capacity+1) < N/denom
+    after the union — any gram with true count >= N/denom therefore
+    survives to the candidate set, and the exact verification pass
+    (broadcast semi-join on candidates -> groupBy) makes the final counts
+    exact with zero false positives/negatives.  The sketch pass is
+    Arrow-batched numpy (no per-row Python); memory per task is bounded by
+    `compress_at` (default 16*capacity) live keys.
+    """
+    import pandas as pd
+
+    if denom < 2:
+        raise ValueError("denom must be >= 2 (threshold = total/denom)")
+    cap = capacity if capacity is not None else 2 * denom
+    if cap < denom:
+        raise ValueError(
+            f"capacity={cap} < denom={denom}: the MG undercount bound "
+            "N/(capacity+1) must be below the threshold N/denom")
+    squash_at = compress_at if compress_at is not None else 16 * cap
+
+    grams, width = _gram_exprs(tokens_col, n, base)
+    gram_rows = df.select(grams.alias("_grams"))
+
+    def _mg_compress(counts: pd.Series, k: int) -> pd.Series:
+        if len(counts) <= k:
+            return counts
+        kth = counts.nlargest(k + 1).iloc[-1]
+        out = counts - kth
+        return out[out > 0]
+
+    def sketch(batches):
+        import numpy as np
+
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            arrs = [np.asarray(a, dtype="int64")
+                    for a in pdf["_grams"] if a is not None and len(a)]
+            if arrs:
+                vals, cnts = np.unique(np.concatenate(arrs), return_counts=True)
+                acc = acc.add(pd.Series(cnts.astype("int64"), index=vals),
+                              fill_value=0)
+                if len(acc) > squash_at:
+                    acc = _mg_compress(acc, cap)
+        acc = _mg_compress(acc, cap)
+        yield pd.DataFrame({"gram": acc.index.astype("int64"),
+                            "w": acc.values.astype("int64")})
+
+    cands = (
+        gram_rows.mapInPandas(sketch, "gram long, w long")
+        .select("gram").distinct()
+    )
+    total = df.agg(F.sum(width).cast("long").alias("_total"))
+    exact = (
+        df.select(F.explode(grams).alias("gram"))
+        .join(F.broadcast(cands), "gram")
+        .groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * F.lit(denom) >= F.col("_total"))
+        .select("gram", "cnt",
+                F.round(F.col("cnt") / F.col("_total"), 6).alias("frac"))
+    )
+
+
 def collapse_token_runs(df: DataFrame, tokens_col: str = "tokens",
                         id_col: str = "doc_id") -> DataFrame:
     """(id, tokens_clean, n_tok, n_removed) — collapse every run of

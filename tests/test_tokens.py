@@ -117,3 +117,51 @@ def test_coverage_topk_curve(spark):
     assert got[1].coverage == pytest.approx(0.6, abs=1e-6)
     assert got[2].covered == 9
     assert got[10].coverage == pytest.approx(1.0, abs=1e-6)
+
+
+def test_heavy_hitter_grams_exact(spark):
+    from json_schema_modern_spark.operators.tokens import heavy_hitter_grams
+
+    # bigram (1,2) appears 8x, (2,1) 7x, (3,4) 1x, (4,5) 1x -> total 17
+    rows = [("a", [1, 2, 1, 2, 1, 2, 1, 2, 1]),   # (1,2)x4 (2,1)x4
+            ("b", [1, 2, 1, 2, 1, 2, 1, 2]),      # (1,2)x4 (2,1)x3
+            ("c", [3, 4, 5]),                      # (3,4) (4,5)
+            ("d", None), ("e", []), ("f", [9])]    # 0 grams each
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    # threshold total/denom = 17/4 = 4.25 -> heavy iff cnt*4 >= 17 -> cnt >= 5
+    got = {r.gram: r for r in heavy_hitter_grams(df, denom=4).collect()}
+    assert set(got) == {1 * 65536 + 2, 2 * 65536 + 1}
+    assert got[1 * 65536 + 2].cnt == 8
+    assert got[2 * 65536 + 1].cnt == 7
+    assert got[1 * 65536 + 2].frac == pytest.approx(8 / 17, abs=1e-6)
+
+
+def test_heavy_hitter_grams_no_false_negatives_under_compression(spark):
+    from json_schema_modern_spark.operators.tokens import heavy_hitter_grams
+
+    # 40 distinct noise bigrams (1x each) + one heavy bigram (20x), with a
+    # tiny capacity/compress_at so the MG compress path actually runs:
+    # the heavy gram must survive nomination and come back with its EXACT
+    # count (the guarantee the operator documents).
+    rows = [(f"n{i}", [100 + i, 200 + i]) for i in range(40)]
+    rows += [("h", [7, 8] * 21)]  # (7,8)x21, (8,7)x20 interleaved
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = heavy_hitter_grams(df, denom=8, capacity=8, compress_at=10)
+    got = {r.gram: r.cnt for r in out.collect()}
+    # total grams = 40 + 41 = 81; threshold cnt*8 >= 81 -> cnt >= 11
+    assert got == {7 * 65536 + 8: 21, 8 * 65536 + 7: 20}
+
+
+def test_heavy_hitter_grams_trigram_and_guards(spark):
+    from json_schema_modern_spark.operators.tokens import heavy_hitter_grams
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3, 1, 2, 3, 1, 2, 3])],  # (1,2,3)x3 of 7 trigrams
+        "doc_id string, tokens array<int>")
+    got = {r.gram: r.cnt for r in heavy_hitter_grams(df, denom=3, n=3).collect()}
+    key = (1 * 65536 + 2) * 65536 + 3
+    assert got[key] == 3
+    with pytest.raises(ValueError):
+        heavy_hitter_grams(df, denom=1)
+    with pytest.raises(ValueError):
+        heavy_hitter_grams(df, denom=16, capacity=8)
