@@ -531,6 +531,36 @@ def main() -> None:
     check("token contamination: no python in the row loop",
           "EvalPython" not in tc_plan)
 
+    # 31. heavy-hitter grams: ONE MapInPandas sketch stage, candidate set
+    #     broadcast into the exact-verify join, no cross product, and the
+    #     total-gram singleton is the only nested-loop
+    from json_schema_modern_spark.operators.tokens import heavy_hitter_grams
+
+    hh_plan = explain_str(heavy_hitter_grams(toked, denom=500))
+    check("heavy hitters: single MapInPandas sketch stage",
+          hh_plan.count("MapInPandas") <= 2)  # tree node + detail section
+    check("heavy hitters: candidates joined via broadcast hash",
+          "BroadcastHashJoin" in hh_plan)
+    check("heavy hitters: no cartesian product",
+          "CartesianProduct" not in hh_plan)
+    check("heavy hitters: nested-loop only for the total singleton",
+          hh_plan.count("BroadcastNestedLoopJoin\n") <= 2)
+
+    # 32. snapshot-delta validation: the prior-snapshot diff is an ANTI
+    #     join (broadcast at this sf; either strategy is key-partitioned,
+    #     never a cross product) and the constraint pass stays codegen
+    from json_schema_modern_spark.validator import Validator as _V
+
+    prior = docs.where("((doc_id % 10) + 10) % 10 < 7").select("doc_id")
+    delta = docs.join(prior, "doc_id", "left_anti")
+    vd_plan = explain_str(
+        _V(_flagship_spec()).validate(delta, id_cols=["doc_id"]).annotated)
+    check("validate delta: anti join on the snapshot diff",
+          "LeftAnti" in vd_plan)
+    check("validate delta: no cross product", no_cross(vd_plan))
+    check("validate delta: constraint pass stays codegen (no EvalPython)",
+          "EvalPython" not in vd_plan)
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} failures: {FAILURES}")
