@@ -1862,7 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict called out.
     return {
         # -- r5 driver window (first 50): every query with NO prior green
-        #    driver row (the 44 ops added since the r4 window was graded,
+        #    driver row (the 46 ops added since the r4 window was graded,
         #    plus validation/token diagnostics the r1-r4 windows never
         #    sampled), the two new ops (token_heavy_hitters MG sketch,
         #    validate_delta snapshot-delta validation), and the two
