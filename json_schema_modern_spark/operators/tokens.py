@@ -329,6 +329,10 @@ def heavy_hitter_grams(
     exact with zero false positives/negatives.  The sketch pass is
     Arrow-batched numpy (no per-row Python); memory per task is bounded by
     `compress_at` (default 16*capacity) live keys.
+
+    Precondition: token ids must lie in [0, base) (default 65536 —
+    the packed long is unambiguous for n <= 3 at that base; raise `base`
+    to the vocab bound for larger ids, keeping base**n < 2^63).
     """
     import pandas as pd
 
