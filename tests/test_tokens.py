@@ -165,3 +165,38 @@ def test_heavy_hitter_grams_trigram_and_guards(spark):
         heavy_hitter_grams(df, denom=1)
     with pytest.raises(ValueError):
         heavy_hitter_grams(df, denom=16, capacity=8)
+
+
+def test_heavy_hitter_grams_partition_invariant(spark):
+    """The MG nomination pass depends on partition layout; the OUTPUT must
+    not (exact verify makes it partition-invariant).  Drive the same
+    seeded corpus through 1, 3, and 8 partitions and assert identical
+    result sets; cross-check against a driver-side exact count."""
+    import random
+    from collections import Counter
+
+    from json_schema_modern_spark.operators.tokens import heavy_hitter_grams
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        # zipf-ish: small ids dominate so real heavy bigrams exist
+        toks = [min(int(rng.paretovariate(1.1)), 30) for _ in range(rng.randint(0, 40))]
+        rows.append((f"d{i}", toks))
+    exact = Counter()
+    total = 0
+    for _, toks in rows:
+        for a, b in zip(toks, toks[1:]):
+            exact[a * 65536 + b] += 1
+            total += 1
+    denom = 50
+    expected = {g: c for g, c in exact.items() if c * denom >= total}
+    assert expected, "fixture must contain at least one heavy bigram"
+
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    results = []
+    for parts in (1, 3, 8):
+        out = heavy_hitter_grams(
+            df.repartition(parts), denom=denom, capacity=60, compress_at=100)
+        results.append({r.gram: r.cnt for r in out.collect()})
+    assert results[0] == results[1] == results[2] == expected
