@@ -10,7 +10,10 @@ summary on stdout (the `flag`-format analogue, Result.pm:99).
 
 Usage (single JVM or a real cluster — only --master differs):
 
-    spark-submit --py-files jsms.zip -m json_schema_modern_spark.cli \
+    # jsms.zip = the json_schema_modern_spark package; cli.py may be a
+    # copy of this file anywhere — the package resolves from the zip
+    # (pinned end-to-end by tests/test_cli.py::test_cli_via_spark_submit_py_files)
+    spark-submit --master local[8] --py-files jsms.zip cli.py \
         --spec spec.json --table /data/sequences \
         --source-dict /data/source_dict --output /runs/run1 \
         [--snapshot-id <id>] [--resume] [--n-buckets 256] \

@@ -162,3 +162,45 @@ def test_cli_json_col_tier(cli_data, spark, tmp_path_factory):
                   "--json-col", "payload", "--tier", "python",
                   "--id-col", "doc_id", "--flag-only"])
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_cli_via_spark_submit_py_files(cli_data, tmp_path):
+    """The deployment path the north rule names, end-to-end for real:
+    zip the package, copy cli.py OUTSIDE the repo (so the package can
+    resolve ONLY from the --py-files zip), run `spark-submit --py-files
+    jsms.zip cli.py ...` from a scrubbed cwd, assert the exit-code
+    contract and the one-line JSON summary."""
+    import shutil
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not on this machine")
+
+    d, table, spec_path, lib_path = cli_data
+    zip_base = str(tmp_path / "jsms")
+    shutil.make_archive(zip_base, "zip", root_dir=REPO,
+                        base_dir="json_schema_modern_spark")
+    launcher = str(tmp_path / "cli.py")
+    shutil.copy(os.path.join(REPO, "json_schema_modern_spark", "cli.py"),
+                launcher)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_GRAFT_CPUS"] = "2"
+    out_dir = str(tmp_path / "run_submit")
+    r = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.driver.memory=4g",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_base + ".zip", launcher,
+         "--spec", spec_path, "--add-schema", lib_path,
+         "--table", table, "--output", out_dir, "--n-buckets", "2"],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 1, (r.stdout[-2000:], r.stderr[-2000:])
+    payload = json.loads([ln for ln in r.stdout.splitlines()
+                          if ln.startswith("{")][-1])
+    assert payload["valid"] is False and payload["violations"] > 0
+    assert payload["buckets_done"] == 2
+    assert os.path.exists(os.path.join(out_dir, "violations"))
+    assert os.path.exists(os.path.join(out_dir, "lineage"))
