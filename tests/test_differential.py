@@ -12,6 +12,8 @@ column means "property absent" (the engine's data model), so instances for
 pyeval are dicts with null-valued keys dropped.
 """
 
+import os
+
 import pytest
 
 try:
@@ -21,6 +23,15 @@ except ImportError:  # pragma: no cover
     pytest.skip("hypothesis not installed", allow_module_level=True)
 
 from json_schema_modern_spark import Validator
+
+
+def _examples(default: int) -> int:
+    """Fuzz budget: JSMS_FUZZ_EXAMPLES scales every property test for
+    deep assurance runs (e.g. JSMS_FUZZ_EXAMPLES=200 pytest
+    tests/test_differential.py); unset -> the quick suite default."""
+    v = os.environ.get("JSMS_FUZZ_EXAMPLES")
+    return int(v) if v else default
+
 from json_schema_modern_spark.pyeval.evaluator import evaluate
 
 # -- spec grammar -----------------------------------------------------------
@@ -184,7 +195,7 @@ def _instance(r):
     return d
 
 
-@settings(max_examples=25, deadline=None,
+@settings(max_examples=_examples(25), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(spec=root_schema, rows=st.lists(row, min_size=1, max_size=6))
 def test_spark_agrees_with_pyeval(spark_diff, spec, rows):
@@ -205,7 +216,7 @@ legacy_root = st.builds(
 )
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=_examples(12), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(spec=legacy_root, rows=st.lists(row, min_size=1, max_size=4))
 def test_spark_agrees_with_pyeval_legacy_items(spark_diff, spec, rows):
@@ -222,7 +233,7 @@ def spark_diff(spark):
     return spark
 
 
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=_examples(10), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(spec=root_schema, rows=st.lists(row, min_size=1, max_size=5))
 @pytest.mark.parametrize("tier", ["python", "hybrid"])
