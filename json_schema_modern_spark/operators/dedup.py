@@ -743,18 +743,22 @@ def simhash_near_duplicates(
     The whole pipeline after the single Arrow fingerprint pass runs at
     DISTINCT-FINGERPRINT granularity: identical fingerprints collapse
     into groups up front (one groupBy), intra-group pairs are emitted
-    directly as hamming-0 (never expanded through the views), the C(B,3)
-    view explode + bucket collect_list + Hamming filter + cross-view
-    distinct all operate on fingerprints, and a final expansion join maps
+    directly as hamming-0 (never expanded through the views), and the
+    C(B,3) view explode + bucket collect_list + Hamming filter all
+    operate on fingerprints, with a final expansion join mapping
     qualifying fingerprint pairs back to id pairs.  Each unordered doc
     pair lives in exactly one fingerprint pair, so the expansion needs no
-    distinct — the only distinct in the plan runs over fingerprint pairs,
-    orders of magnitude fewer rows than the id-level pairs the previous
-    pipeline deduped (web corpora concentrate on few fingerprints:
-    templated pages, boilerplate, exact dups).  This also removes the old
-    caveat where a flood of identical fingerprints concentrated one
-    bucket: they are one group row here.  Shuffle volume is C(B,3) rows
-    per DISTINCT fingerprint on uniform keys, shuffled once."""
+    distinct — and cross-view pair dedup needs NO shuffle either: a
+    Hamming-≤k pair qualifies in every view whose combo's blocks all
+    match, and which blocks match is a pure function of fa^fb, so each
+    pair is kept only in its first qualifying view ("canonical view"),
+    decided row-locally inside whole-stage codegen via a 2^B-entry
+    matched-block-mask → first-view lookup.  The plan's only exchanges
+    are the fingerprint groupBy and the C(B,3)-view bucket groupBy
+    (packed single-long keys); web corpora concentrate on few
+    fingerprints (templated pages, boilerplate, exact dups), so all of
+    this runs orders of magnitude below id granularity.  Shuffle volume
+    is C(B,3) rows per DISTINCT fingerprint on uniform keys, once."""
     if n_blocks is None:
         n_blocks = max_hamming + 3
     if n_blocks <= max_hamming:
@@ -805,7 +809,13 @@ def simhash_near_duplicates(
         .select("id_a", "id_b", F.lit(0).alias("hamming"))
     )
 
-    # inter-group: Manku banding over the distinct-fingerprint table
+    # inter-group: Manku banding over the distinct-fingerprint table.
+    # The view id and band key are packed into ONE long (key | vi<<key_w)
+    # so the explode shuffle carries (long, long) rows and the bucket
+    # groupBy hashes a single fixed-width key.
+    max_combo_w = max(sum(spec[j][1] for j in combo) for combo in combos)
+    if max_combo_w + max(1, len(combos) - 1).bit_length() > 63:
+        raise ValueError("block-combination key exceeds 63 bits; lower n_blocks")
     views = []
     for vi, combo in enumerate(combos):
         key, shift = None, 0
@@ -816,24 +826,56 @@ def simhash_near_duplicates(
                 part = F.shiftleft(part, shift)
             key = part if key is None else key.bitwiseOR(part)
             shift += w
-        views.append(F.struct(F.lit(vi).alias("blk"), key.alias("key")))
+        views.append(key.bitwiseOR(F.lit(vi << max_combo_w)))
     blocks = groups.select(
-        "_f", F.explode(F.array(*views)).alias("b"),
-    ).select("_f", "b.blk", "b.key")
+        "_f", F.explode(F.array(*views)).alias("bk"),
+    )
     buckets = (
-        blocks.groupBy("blk", "key")
+        blocks.groupBy("bk")
         .agg(F.collect_list("_f").alias("xs"))
         .where(F.size("xs") > 1)
     )
-    fpairs = (
-        buckets.select(F.explode("xs").alias("fa"), F.col("xs").alias("rs"))
-        .select("fa", F.explode("rs").alias("fb"))
+    # Cross-view dedup WITHOUT a shuffle (replaces the old `.distinct()`
+    # exchange over every candidate pair): a Hamming-≤k pair qualifies in
+    # every view whose combo's blocks all match, and which blocks match is
+    # a pure function of fa^fb — so keep the pair only in its FIRST
+    # qualifying view (canonical view).  The matched-block bitmask `mm`
+    # (bit j set iff block j of the xor is zero) indexes a precomputed
+    # 2^B-entry table mapping mm → min{vi : combos[vi] ⊆ mm}; by
+    # pigeonhole a Hamming-≤k pair matches ≥ B-k blocks, so the lookup is
+    # always defined for surviving rows.  Each emitted row is filtered
+    # row-locally (whole-stage codegen), no exchange, no hash table over
+    # the pair stream.
+    xorv = F.col("fa").bitwiseXOR(F.col("fb"))
+    pairs_all = (
+        buckets.select("bk", F.explode("xs").alias("fa"), F.col("xs").alias("rs"))
+        .select("bk", "fa", F.explode("rs").alias("fb"))
         .where(F.col("fa") < F.col("fb"))
-        .select("fa", "fb",
-                F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
+        .select("bk", "fa", "fb",
+                F.bit_count(xorv).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    if n_blocks <= 12:
+        first_view = [-1] * (1 << n_blocks)
+        for mm in range(1 << n_blocks):
+            for vi, combo in enumerate(combos):
+                if all(mm >> j & 1 for j in combo):
+                    first_view[mm] = vi
+                    break
+        mm_col = None
+        for j, (off, w) in enumerate(spec):
+            bit = F.when(
+                F.shiftright(xorv, off).bitwiseAND(F.lit((1 << w) - 1)) == 0,
+                F.lit(1 << j)).otherwise(F.lit(0))
+            mm_col = bit if mm_col is None else mm_col.bitwiseOR(bit)
+        fpairs = (
+            pairs_all
+            .where(F.shiftright("bk", max_combo_w)
+                   == F.element_at(F.lit(first_view), mm_col + 1))
+            .select("fa", "fb", "hamming")
+        )
+    else:  # 2^B canonical-view table too large — shuffle-dedup instead
+        fpairs = pairs_all.select("fa", "fb", "hamming").distinct()
     # expand fingerprint pairs back to id pairs: each unordered doc pair
     # lives in exactly one fingerprint pair, so NO distinct is needed here
     inter = (

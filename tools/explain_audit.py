@@ -169,6 +169,14 @@ def main() -> None:
     # runtime materializes the relation once)
     check("dedup SimHash: single fingerprint UDF pass", n_arrow == 1 or n_inmem >= 1,
           f"tree ArrowEvalPython nodes: {n_arrow}, InMemoryTableScan: {n_inmem}")
+    # cross-view pair dedup is the canonical-view row-local filter, NOT a
+    # distinct: no aggregate may group on the candidate-pair columns
+    # (fa, fb) — that shape would mean a full exchange over every
+    # candidate pair re-appeared.
+    pair_agg = any(
+        "HashAggregate" in ln and "fa#" in ln and "fb#" in ln
+        for ln in sh_plan.splitlines())
+    check("dedup SimHash: no distinct over candidate pairs", not pair_agg)
 
     # 8. ANN: brute-force top-k must be per-partition top-k + merge
     #    (TakeOrderedAndProject), never a global Sort of the corpus; the
