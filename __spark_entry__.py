@@ -1446,6 +1446,18 @@ def _q_token_entropy(spark, sf_dir):
     return token_entropy(_doc_tokens(_read(spark, sf_dir, "documents")))
 
 
+def _q_token_positional_entropy(spark, sf_dir):
+    """Per-(source, position) token entropy over the first 12 positions —
+    templated-sequence-start detection (low entropy / high modal share at
+    early positions = shared headers/boilerplate).  k-bounded posexplode,
+    one shuffle, quantized-BIGINT entropy fold (partition-order exact);
+    oracle replays the slice/unnest and the same quantized sum."""
+    from json_schema_modern_spark.operators.tokens import positional_entropy
+
+    return positional_entropy(
+        _doc_tokens(_read(spark, sf_dir, "documents")), k=12)
+
+
 def _q_token_run_stats(spark, sf_dir):
     """Per-source longest consecutive identical-token run — the
     tokenizer-loop / degenerate-generation detector.  One codegen'd
@@ -1870,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    granularity, drift_psi no-Window fold).  Everything behind the
         #    boundary is green in r1-r4 AND re-checked by the local sf0.01
         #    gate (tools/check_oracle.py) every session. -------------------
+        "token_positional_entropy": _q_token_positional_entropy,
         "validation_metrics": _q_validation_metrics,
         "validation_keyword_rollup": _q_validation_keyword_rollup,
         "constraint_mining": _q_constraint_mining,
@@ -3075,6 +3088,26 @@ SELECT t.doc_id, coalesce(n.n, 0) AS n_tokens,
        coalesce(n.nd, 0) AS n_distinct,
        CAST(round(h.ent, 6) AS DOUBLE) AS entropy
 FROM t LEFT JOIN n USING (doc_id) LEFT JOIN h USING (doc_id)
+"""
+    # positional entropy: replay the k-slice posexplode with a bounded
+    # range-unnest; the entropy term sum is the SAME quantized-BIGINT fold
+    # the engine uses (round(c*log2(c)*1e6) summed as integers), so both
+    # sides are partition/evaluation-order independent by construction
+    o["token_positional_entropy"] = f"""
+WITH d AS (SELECT source, {_tok_expr} AS toks FROM documents),
+e AS (SELECT source, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+      FROM (SELECT source, toks,
+                   unnest(range(1, least(len(toks), 12) + 1)) AS i
+            FROM d WHERE toks IS NOT NULL)),
+c AS (SELECT source, pos, token, count(*) AS c FROM e GROUP BY 1, 2, 3)
+SELECT source, pos,
+       CAST(sum(c) AS BIGINT) AS n_seqs,
+       CAST(count(*) AS BIGINT) AS distinct_tokens,
+       CAST(round(log2(CAST(sum(c) AS BIGINT))
+              - (CAST(sum(CAST(round(c * log2(c) * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+                / CAST(sum(c) AS BIGINT), 4) AS DOUBLE) AS entropy,
+       CAST(round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS DOUBLE) AS top_share
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """
     o["token_oov_stats"] = (
         f"WITH t AS (SELECT source, {_tok_expr} AS toks FROM documents) "

@@ -299,20 +299,30 @@ def _lsh_pairs_from_signatures(sigged: DataFrame, num_hashes: int,
         .select("id_a", "id_b")
     )
 
+    # bucket key: ONE xxhash64 long over (band index, band's r signature
+    # rows) — the band index seeds the hash so bands never share buckets,
+    # the explode shuffle carries (32-char _gk, long) instead of
+    # (_gk, int, 32-char md5), and the bucket groupBy hashes a fixed-width
+    # long.  64-bit collisions merge unrelated buckets → spurious
+    # candidate pairs, which banded LSH produces by design anyway
+    # (expected extra pairs ~ |distinct sigs|²/2^65 per band — hundreds at
+    # 10^11 distinct signatures, noise next to the banding false-positive
+    # rate).  All-null signatures (empty-shingle docs) hash to the bare
+    # band seed, one shared bucket per band — the same grouping the old
+    # concat_ws("") key produced.
     bucket_rows = groups.select(
         "_gk",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.md5(F.concat_ws(",", *[F.element_at("_sig", i * r + j + 1).cast("string") for j in range(r)])).alias("bkey"),
-                )
+                F.xxhash64(
+                    F.lit(i),
+                    *[F.element_at("_sig", i * r + j + 1) for j in range(r)])
                 for i in range(bands)
             ])
-        ).alias("bb"),
-    ).select("_gk", "bb.band", "bb.bkey")
+        ).alias("bk"),
+    )
     buckets = (
-        bucket_rows.groupBy("band", "bkey")
+        bucket_rows.groupBy("bk")
         .agg(F.collect_list("_gk").alias("xs"))
         .where(F.size("xs") > 1)
     )

@@ -136,6 +136,55 @@ def token_entropy(
     )
 
 
+def positional_entropy(
+    df: DataFrame,
+    k: int = 16,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+) -> DataFrame:
+    """(group, pos, n_seqs, distinct_tokens, entropy, top_share) —
+    token-distribution stats at each of the first `k` sequence positions,
+    per group.  Low entropy / high top_share at early positions flags
+    templated sequence starts (shared headers, boilerplate prompts, BOS
+    scaffolding) — the cross-document complement of `token_entropy`'s
+    within-document repetition check.  entropy is Shannon H in bits over
+    the position's token distribution; top_share the modal token's mass.
+
+    100 TB shape: posexplode of a k-slice bounds the explode at k rows
+    per sequence (NOT O(n_tok)); the (group, pos, token) count
+    map-side-combines to ≤ |groups|·k·|vocab-at-pos| states before the
+    only data-sized shuffle.  The entropy sum folds integer-quantized
+    per-token terms — round(c·log2 c · 1e6) summed as BIGINT — so the
+    result is partition-order independent with no collect_list/sort
+    (same convention as the quantized centroid passes); quantization
+    error after the final division is < 1e-6 per term over n ≥ terms,
+    inside the round-4 output precision."""
+    toks = F.col(tokens_col)
+    counts = (
+        df.where(toks.isNotNull())
+        .select(F.col(group_col).alias("grp"),
+                F.posexplode(F.slice(toks, 1, k)).alias("pos", "token"))
+        .groupBy("grp", "pos", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q = F.round(F.col("c") * F.log2("c") * F.lit(1e6)).cast("long")
+    return (
+        counts.groupBy("grp", "pos")
+        .agg(F.sum("c").alias("n_seqs"),
+             F.count(F.lit(1)).alias("distinct_tokens"),
+             F.max("c").alias("_maxc"),
+             F.sum(q).alias("_sq"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("pos").cast("long").alias("pos"),
+            "n_seqs", "distinct_tokens",
+            F.round(F.log2("n_seqs") - (F.col("_sq") / F.lit(1e6)) / F.col("n_seqs"),
+                    4).alias("entropy"),
+            F.round(F.col("_maxc") / F.col("n_seqs"), 6).alias("top_share"))
+        .orderBy(group_col, "pos")
+    )
+
+
 def token_run_stats(
     df: DataFrame,
     tokens_col: str = "tokens",

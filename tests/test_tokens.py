@@ -200,3 +200,44 @@ def test_heavy_hitter_grams_partition_invariant(spark):
             df.repartition(parts), denom=denom, capacity=60, compress_at=100)
         results.append({r.gram: r.cnt for r in out.collect()})
     assert results[0] == results[1] == results[2] == expected
+
+
+def test_positional_entropy_template_detection(spark):
+    from json_schema_modern_spark.operators.tokens import positional_entropy
+
+    # source "tpl": every sequence starts with token 7 (templated header),
+    # position 1 varies uniformly; source "nat": position 0 varies too.
+    rows = [
+        ("t1", "tpl", [7, 1, 5]),
+        ("t2", "tpl", [7, 2]),
+        ("t3", "tpl", [7, 3]),
+        ("t4", "tpl", [7, 4]),
+        ("n1", "nat", [1, 1]),
+        ("n2", "nat", [2, 2]),
+        ("n3", "nat", None),     # null tokens drop out entirely
+        ("n4", "nat", []),       # empty slice contributes no positions
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, tokens array<int>")
+    got = {(r.source, r.pos): r for r in positional_entropy(df, k=2).collect()}
+
+    t0 = got[("tpl", 0)]
+    assert t0.n_seqs == 4 and t0.distinct_tokens == 1
+    assert t0.entropy == 0.0 and t0.top_share == 1.0   # fully templated
+    t1 = got[("tpl", 1)]
+    assert t1.n_seqs == 4 and t1.distinct_tokens == 4
+    assert t1.entropy == 2.0 and t1.top_share == 0.25  # uniform over 4
+    n0 = got[("nat", 0)]
+    assert n0.n_seqs == 2 and n0.distinct_tokens == 2 and n0.entropy == 1.0
+    # k bound: position 2 of t1's 3-token sequence is outside k=2
+    assert ("tpl", 2) not in got and len(got) == 4
+
+
+def test_positional_entropy_partition_invariant(spark):
+    from json_schema_modern_spark.operators.tokens import positional_entropy
+
+    rows = [(f"d{i}", "s", [i % 3, i % 5, i % 7]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, tokens array<int>")
+    one = sorted(map(tuple, positional_entropy(df.coalesce(1), k=3).collect()))
+    many = sorted(map(tuple, positional_entropy(df.repartition(13), k=3).collect()))
+    # quantized-BIGINT entropy fold ⇒ bit-identical across partitionings
+    assert one == many
