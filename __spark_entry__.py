@@ -1458,6 +1458,39 @@ def _q_token_positional_entropy(spark, sf_dir):
         _doc_tokens(_read(spark, sf_dir, "documents")), k=12)
 
 
+def _q_dedup_source_matrix(spark, sf_dir):
+    """Inter-source syndication matrix over the MinHash-LSH candidate
+    pairs: which source pairs share near-duplicate content (diagonal =
+    intra-source duplication).  Two equi-joins against the DISTINCT
+    id→source map + |sources|²-group agg; oracle replays the banded
+    pairs and the same least/greatest fold."""
+    from json_schema_modern_spark.operators.dedup import (
+        cross_source_pair_matrix, minhash_lsh_candidates)
+
+    pairs = minhash_lsh_candidates(
+        _dup_docs(spark, sf_dir), num_hashes=32, bands=8)
+    return cross_source_pair_matrix(
+        pairs, _read(spark, sf_dir, "documents"))
+
+
+def _q_mix_unimax(spark, sf_dir):
+    """UniMax epoch-capped token-budget allocation (Chung et al. 2023)
+    over the derived token table: budget = floor(1.2x total tokens),
+    epoch cap 1.25 — parameters chosen so the water-filling exercises
+    BOTH branches (smallest sources hit the cap, the rest split the
+    remainder equally).  Closed-form prefix-capping over the
+    |sources|-row aggregate; the oracle replays the identical ranked
+    windows in SQL."""
+    from json_schema_modern_spark.operators.mixing import unimax_allocation
+
+    d = _doc_tokens(_read(spark, sf_dir, "documents")).withColumn(
+        "n_tok", F.when(F.col("tokens").isNull(), F.lit(0))
+                  .otherwise(F.size("tokens")))
+    total = d.agg(F.sum("n_tok")).first()[0]
+    return unimax_allocation(
+        d, budget_tokens=int(1.2 * total), max_epochs=1.25)
+
+
 def _q_token_run_stats(spark, sf_dir):
     """Per-source longest consecutive identical-token run — the
     tokenizer-loop / degenerate-generation detector.  One codegen'd
@@ -1883,6 +1916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    boundary is green in r1-r4 AND re-checked by the local sf0.01
         #    gate (tools/check_oracle.py) every session. -------------------
         "token_positional_entropy": _q_token_positional_entropy,
+        "mix_unimax": _q_mix_unimax,
+        "dedup_source_matrix": _q_dedup_source_matrix,
         "validation_metrics": _q_validation_metrics,
         "validation_keyword_rollup": _q_validation_keyword_rollup,
         "constraint_mining": _q_constraint_mining,
@@ -2680,6 +2715,20 @@ FROM per JOIN tot USING (h) GROUP BY 1
         "                 ORDER BY q.quality_score DESC, r.src ASC) AS rn "
         "      FROM reach r JOIN q ON q.doc_id = r.src) WHERE rn = 1"
     )
+    # syndication matrix: replay the banded candidate pairs, then map
+    # both pair sides through the (unique-id) documents view and fold to
+    # the unordered source pair
+    o["dedup_source_matrix"] = (
+        "WITH pairs AS (SELECT * FROM ("
+        + _minhash_pairs_oracle(dup_docs)
+        + ")), m AS (SELECT DISTINCT doc_id, source FROM documents) "
+        "SELECT least(a.source, b.source) AS source_a, "
+        "       greatest(a.source, b.source) AS source_b, "
+        "       CAST(count(*) AS BIGINT) AS n_pairs "
+        "FROM pairs p JOIN m a ON p.id_a = a.doc_id "
+        "JOIN m b ON p.id_b = b.doc_id "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
     o["minhash_bands"] = _minhash_oracle()
     o["text_quality"] = _quality_oracle()
     # encoding screen: same four regex classes, counted with
@@ -3108,6 +3157,42 @@ SELECT source, pos,
                 / CAST(sum(c) AS BIGINT), 4) AS DOUBLE) AS entropy,
        CAST(round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS DOUBLE) AS top_share
 FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # UniMax: replay the closed-form water-filling with the same ranked
+    # windows — BIGINT caps/prefix-sums so rank order and the capped test
+    # are bit-identical; the only doubles are the two final divisions
+    # over identical integer operands
+    o["mix_unimax"] = f"""
+WITH t AS (SELECT source, coalesce(len({_tok_expr}), 0) AS nt FROM documents),
+per AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM t GROUP BY 1 HAVING sum(nt) > 0),
+b AS (SELECT CAST(floor(1.2 * sum(n_tokens)) AS BIGINT) AS budget FROM per),
+r AS (SELECT source, n_tokens,
+             CAST(round(n_tokens * 1.25) AS BIGINT) AS cap_tokens FROM per),
+w AS (SELECT *,
+             row_number() OVER (ORDER BY cap_tokens, source) AS i,
+             coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cum_prev,
+             count(*) OVER () AS s
+      FROM r),
+c AS (SELECT w.*, b.budget,
+             cap_tokens <= (budget - cum_prev) / (s - i + 1) AS capped
+      FROM w, b),
+a AS (SELECT *,
+             sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+             CAST(sum(CASE WHEN capped THEN cap_tokens ELSE 0 END)
+                  OVER () AS BIGINT) AS capsum
+      FROM c)
+SELECT source, n_tokens, cap_tokens,
+       CAST(round(CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+                       ELSE (budget - capsum) / (s - k) END, 6) AS DOUBLE)
+         AS alloc_tokens,
+       CAST(round(CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+                       ELSE (budget - capsum) / (s - k) END
+                  / n_tokens, 6) AS DOUBLE) AS epochs,
+       capped
+FROM a ORDER BY source
 """
     o["token_oov_stats"] = (
         f"WITH t AS (SELECT source, {_tok_expr} AS toks FROM documents) "

@@ -679,6 +679,46 @@ def keep_best_in_clusters(
     )
 
 
+def cross_source_pair_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_pairs) — how near-duplicate pairs distribute
+    across source pairs: the inter-source syndication matrix (how much of
+    source A is republished in source B — mirrors/wire-copy/scraped-wiki
+    content), the diagnostic curation reports break dedup down by.
+    Unordered: source_a <= source_b; the diagonal counts intra-source
+    duplication.
+
+    `pairs` is any (id_a, id_b) frame — minhash/simhash candidates or
+    verified pairs.  The id→source map is projected to two columns and
+    DISTINCT'd (callers may pass a doc table with repeated ids, e.g. an
+    ingest union), so the joins cannot multiply pair rows.
+
+    100 TB shape: two hash equi-joins of the pair table against the
+    2-column id→source map (sort-merge at corpus scale — the map is
+    data-sized, never collected), then a |sources|²-group map-side-
+    combined aggregate.  No data-sized state beyond the joins the pair
+    table already implies."""
+    m = docs.select(F.col(id_col), F.col(source_col)).distinct()
+    j = (
+        pairs
+        .join(m.select(F.col(id_col).alias("id_a"),
+                       F.col(source_col).alias("_sa")), "id_a")
+        .join(m.select(F.col(id_col).alias("id_b"),
+                       F.col(source_col).alias("_sb")), "id_b")
+        .select(F.least("_sa", "_sb").alias("source_a"),
+                F.greatest("_sa", "_sb").alias("source_b"))
+    )
+    return (
+        j.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 def simhash64(text: Column, seed: int = 42) -> Column:
     """62-bit SimHash over word digests: per bit, sign of Σ±1 votes.
 

@@ -151,3 +151,73 @@ def temperature_weights(
         F.round(target, 6).alias("target_share"),
         F.round(target / F.col("share"), 6).alias("weight"),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+    source_col: str = "source",
+    size_col: str = "n_tok",
+) -> DataFrame:
+    """(source, n_tokens, cap_tokens, alloc_tokens, epochs, capped) —
+    UniMax epoch-capped budget allocation (Chung et al., "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023): distribute a total training-token budget as
+    uniformly as possible across sources, except no source may be
+    repeated beyond `max_epochs` passes over its data.
+
+    Closed-form water-filling instead of the paper's iterative loop:
+    sort sources by cap c_s = round(max_epochs * n_s) ascending; source
+    at rank i is capped iff c_i <= (B - Σ_{j<i} c_j) / (S - i + 1)
+    (caps ascending ⇒ the capped set is a prefix), and every uncapped
+    source receives the equal share (B - Σ_capped c) / (S - K).
+
+    All sums are over BIGINT caps, so ranks, prefix sums and the capped
+    test reproduce bit-for-bit in any engine; the only doubles are the
+    two final divisions (identical integer operands both sides).  If the
+    budget exceeds Σ c_s every source is capped and `alloc` = its cap.
+
+    100 TB shape: one map-side-combined |sources|-row aggregate; the
+    water-filling windows run over that |sources|-row table on a single
+    task (intentionally — |sources| is tens-to-thousands), never over
+    data-sized input."""
+    from pyspark.sql import Window
+
+    per = (df.groupBy(source_col)
+             .agg(F.sum(F.col(size_col).cast("long")).alias("n_tokens"))
+             .where(F.col("n_tokens") > 0)
+             .withColumn("cap_tokens",
+                         F.round(F.col("n_tokens") * F.lit(float(max_epochs)))
+                          .cast("long")))
+    w = Window.orderBy("cap_tokens", source_col)
+    ranked = (
+        per.withColumn("_i", F.row_number().over(w))
+           .withColumn("_cum_prev", F.coalesce(
+               F.sum("cap_tokens").over(
+                   w.rowsBetween(Window.unboundedPreceding, -1)),
+               F.lit(0).cast("long")))
+    )
+    s_tot = per.agg(F.count(F.lit(1)).alias("_s"))
+    b = F.lit(int(budget_tokens))
+    j = (ranked.crossJoin(F.broadcast(s_tot))
+               .withColumn("capped",
+                           F.col("cap_tokens")
+                           <= (b - F.col("_cum_prev"))
+                           / (F.col("_s") - F.col("_i") + 1)))
+    aggd = j.agg(
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("_k"),
+        F.sum(F.when(F.col("capped"), F.col("cap_tokens"))
+               .otherwise(F.lit(0))).cast("long").alias("_capsum"))
+    out = j.crossJoin(F.broadcast(aggd))
+    rem_share = (b - F.col("_capsum")) / (F.col("_s") - F.col("_k"))
+    alloc = F.when(F.col("capped"), F.col("cap_tokens").cast("double")) \
+             .otherwise(rem_share)
+    return out.select(
+        source_col,
+        "n_tokens",
+        "cap_tokens",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        "capped",
+    ).orderBy(source_col)

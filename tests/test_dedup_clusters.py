@@ -45,3 +45,19 @@ def test_keep_best_picks_highest_score_then_lowest_id(spark):
     assert rows[1].n_docs == 3
     # cluster 10: tie at 0.1 -> lowest id
     assert rows[10].keep_id == 10 and rows[10].n_docs == 2
+
+
+def test_cross_source_pair_matrix(spark):
+    from json_schema_modern_spark.operators.dedup import cross_source_pair_matrix
+
+    pairs = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2"), ("a1", "a2"), ("b1", "b2")],
+        "id_a string, id_b string")
+    # docs table carries a REPEATED id (ingest-union shape) — the distinct
+    # id->source projection must keep the joins from multiplying pairs
+    docs = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B"), ("a1", "A")],
+        "doc_id string, source string")
+    got = {(r.source_a, r.source_b): r.n_pairs
+           for r in cross_source_pair_matrix(pairs, docs).collect()}
+    assert got == {("A", "B"): 2, ("A", "A"): 1, ("B", "B"): 1}

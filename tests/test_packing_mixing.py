@@ -281,3 +281,38 @@ def test_pack_salted_matches_per_substream_serial(spark):
                   for r in pack_next_fit(sub, capacity=128).collect()}
         for r in rs:
             assert serial[r.doc_id] == ((r.bin_id - salt) // 4, r.bin_offset)
+
+
+def test_unimax_hand_case(spark):
+    from json_schema_modern_spark.operators.mixing import unimax_allocation
+
+    # caps at 2 epochs: A=20, B=200, C=2000; budget 600 water-fills:
+    # A capped (20 <= 600/3), B capped (200 <= 580/2), C takes the
+    # remaining 380 — 0.38 epochs.
+    rows = ([("a", "A", 10)] + [(f"b{i}", "B", 50) for i in range(2)]
+            + [(f"c{i}", "C", 200) for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    got = {r.source: r for r in unimax_allocation(
+        df, budget_tokens=600, max_epochs=2.0).collect()}
+    assert got["A"].capped and got["A"].alloc_tokens == 20.0
+    assert got["A"].epochs == 2.0
+    assert got["B"].capped and got["B"].alloc_tokens == 200.0
+    assert not got["C"].capped and got["C"].alloc_tokens == 380.0
+    assert got["C"].epochs == 0.38
+    # allocations exhaust the budget exactly when any source is uncapped
+    assert sum(r.alloc_tokens for r in got.values()) == 600.0
+
+
+def test_unimax_budget_exceeds_all_caps(spark):
+    from json_schema_modern_spark.operators.mixing import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("a", "A", 10), ("b", "B", 100)],
+        "doc_id string, source string, n_tok int")
+    got = {r.source: r for r in unimax_allocation(
+        df, budget_tokens=10_000, max_epochs=2.0).collect()}
+    # every source capped at max_epochs; no division-by-zero on the
+    # empty uncapped set
+    assert all(r.capped for r in got.values())
+    assert got["A"].alloc_tokens == 20.0 and got["B"].alloc_tokens == 200.0
+    assert got["A"].epochs == 2.0 and got["B"].epochs == 2.0
