@@ -1458,6 +1458,46 @@ def _q_token_positional_entropy(spark, sf_dir):
         _doc_tokens(_read(spark, sf_dir, "documents")), k=12)
 
 
+FLAGSHIP_SPEC_V2 = {
+    # proposed revision of FLAGSHIP_SPEC: text tightened (minLength
+    # 60->80), n_chars tightened (maximum 600->500), lang LOOSENED (enum
+    # dropped) — chosen so the transition matrix can populate all four
+    # (ok_old, ok_new) cells
+    "$id": "https://example.org/specs/documents-v2",
+    "type": "object",
+    "required": ["doc_id", "text", "lang", "source", "n_chars"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 80},
+        "lang": {"type": "string"},
+        "source": {"type": "string", "pattern": "^src[0-9]+$"},
+        "n_chars": {"type": "integer", "minimum": 1, "maximum": 500},
+    },
+}
+
+
+def _q_validate_transition(spark, sf_dir):
+    """Schema-evolution impact analysis — the pre-deployment gate for a
+    constraint rollout: validate the corpus under the CURRENT spec and a
+    PROPOSED revision in ONE scan (both validity predicates are codegen'd
+    Column expressions over the same rows — no second pass, no shuffle
+    beyond the |sources|x4-group agg) and report the per-source
+    transition matrix: rows that stay valid, newly break, stay broken,
+    or get fixed.  At 10^12 rows this answers "what fraction of the
+    corpus does the new schema reject?" for the cost of one pass."""
+    from json_schema_modern_spark import Validator
+
+    df = _read(spark, sf_dir, "documents")
+    ok_old = Validator(FLAGSHIP_SPEC).valid_col(df)
+    ok_new = Validator(FLAGSHIP_SPEC_V2).valid_col(df)
+    return (
+        df.select("source", ok_old.alias("ok_old"), ok_new.alias("ok_new"))
+        .groupBy("source", "ok_old", "ok_new")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy("source", "ok_old", "ok_new")
+    )
+
+
 def _q_dedup_source_matrix(spark, sf_dir):
     """Inter-source syndication matrix over the MinHash-LSH candidate
     pairs: which source pairs share near-duplicate content (diagonal =
@@ -1918,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_positional_entropy": _q_token_positional_entropy,
         "mix_unimax": _q_mix_unimax,
         "dedup_source_matrix": _q_dedup_source_matrix,
+        "validate_transition": _q_validate_transition,
         "validation_metrics": _q_validation_metrics,
         "validation_keyword_rollup": _q_validation_keyword_rollup,
         "constraint_mining": _q_constraint_mining,
@@ -2715,6 +2756,26 @@ FROM per JOIN tot USING (h) GROUP BY 1
         "                 ORDER BY q.quality_score DESC, r.src ASC) AS rn "
         "      FROM reach r JOIN q ON q.doc_id = r.src) WHERE rn = 1"
     )
+    # schema-evolution transition matrix: re-derive BOTH validity
+    # predicates from the specs' keyword semantics (the same seven
+    # branches the flagship oracle enumerates, plus the v2 revisions:
+    # minLength 80, n_chars <= 500, lang enum dropped)
+    _req = ("doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL "
+            "AND source IS NOT NULL AND n_chars IS NOT NULL")
+    _base = ("doc_id >= 0 AND regexp_matches(source, '^src[0-9]+') "
+             "AND n_chars >= 1")
+    o["validate_transition"] = f"""
+WITH v AS (
+  SELECT source,
+         ({_req} AND {_base} AND length(text) >= 60
+          AND lang IN ('en','es','fr','de','zh')
+          AND n_chars <= 600) AS ok_old,
+         ({_req} AND {_base} AND length(text) >= 80
+          AND n_chars <= 500) AS ok_new
+  FROM documents)
+SELECT source, ok_old, ok_new, CAST(count(*) AS BIGINT) AS n_rows
+FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
     # syndication matrix: replay the banded candidate pairs, then map
     # both pair sides through the (unique-id) documents view and fold to
     # the unordered source pair

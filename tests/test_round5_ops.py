@@ -691,3 +691,42 @@ def test_centroid_distance_matrix_hand_computed(spark):
     assert math.isclose(out[(0, 1)], 5.0, abs_tol=1e-6)
     assert math.isclose(out[(0, 2)], 6.0, abs_tol=1e-6)
     assert math.isclose(out[(1, 2)], math.sqrt(9 + 4), abs_tol=1e-6)
+
+
+def test_validate_transition_one_scan_and_cells(spark):
+    """Schema-evolution transition matrix: both specs' validity columns
+    evaluate in ONE pass over one scan, and the four (ok_old, ok_new)
+    cells land where the keyword changes say they must."""
+    from pyspark.sql import functions as F
+
+    from json_schema_modern_spark import Validator
+
+    import __spark_entry__ as E
+
+    rows = [
+        # stays valid under both
+        (1, "x" * 100, "en", "src1", 100),
+        # newly broken: text length in [60, 80) passes v1, fails v2
+        (2, "x" * 70, "en", "src1", 100),
+        # newly broken: n_chars in (500, 600] passes v1, fails v2
+        (3, "x" * 100, "en", "src1", 550),
+        # fixed: lang outside the v1 enum, fine once the enum is dropped
+        (4, "x" * 100, "xx", "src1", 100),
+        # stays broken: bad source pattern under both
+        (5, "x" * 100, "en", "bad", 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int")
+    out = (df.select("source",
+                     Validator(E.FLAGSHIP_SPEC).valid_col(df).alias("ok_old"),
+                     Validator(E.FLAGSHIP_SPEC_V2).valid_col(df).alias("ok_new"))
+             .groupBy("source", "ok_old", "ok_new")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    got = {(r.source, r.ok_old, r.ok_new): r.n_rows for r in out.collect()}
+    assert got[("src1", True, True)] == 1
+    assert got[("src1", True, False)] == 2    # newly broken
+    assert got[("src1", False, True)] == 1    # fixed
+    assert got[("bad", False, False)] == 1    # stays broken
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ") <= 1 and "Join" not in final
