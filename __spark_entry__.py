@@ -1513,6 +1513,18 @@ def _q_dedup_source_matrix(spark, sf_dir):
         pairs, _read(spark, sf_dir, "documents"))
 
 
+def _q_mix_soft_sample(spark, sf_dir):
+    """Score-proportional soft sampling over the quality-scored corpus:
+    keep probability = quality_score, decided by the deterministic
+    md5-bucket draw (idempotent under resume).  Pure per-row map, no
+    shuffle; the oracle replays scorer, bucket, and integer threshold."""
+    from json_schema_modern_spark.operators.mixing import soft_quality_sample
+    from json_schema_modern_spark.operators.text import quality_features
+
+    q = quality_features(_read(spark, sf_dir, "documents"))
+    return soft_quality_sample(q, strength=1.0)
+
+
 def _q_mix_unimax(spark, sf_dir):
     """UniMax epoch-capped token-budget allocation (Chung et al. 2023)
     over the derived token table: budget = floor(1.2x total tokens),
@@ -1959,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_unimax": _q_mix_unimax,
         "dedup_source_matrix": _q_dedup_source_matrix,
         "validate_transition": _q_validate_transition,
+        "mix_soft_sample": _q_mix_soft_sample,
         "validation_metrics": _q_validation_metrics,
         "validation_keyword_rollup": _q_validation_keyword_rollup,
         "constraint_mining": _q_constraint_mining,
@@ -2996,6 +3009,21 @@ FROM m
         "SELECT md5(seg) AS seg_hash, count(*) AS n_occurrences, "
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
         "FROM s GROUP BY 1 HAVING count(*) >= 2"
+    )
+    # soft quality sample: same scorer CTE, same md5 bucket, and the
+    # integer keep threshold floor(round(score,6)*10000) — both engines
+    # compute the identical double product from the identically-rounded
+    # score, so the boundary cannot flip
+    o["mix_soft_sample"] = (
+        "WITH q AS (SELECT doc_id, quality_score FROM ("
+        + _quality_oracle() + ")), "
+        "s AS (SELECT doc_id, CAST(round(quality_score, 6) AS DOUBLE) AS score, "
+        "CAST(concat('0x', substr(md5('softq-v1' || CAST(doc_id AS VARCHAR)), "
+        "1, 8)) AS BIGINT) % 10000 AS bucket, "
+        "CAST(floor(round(quality_score, 6) * 10000) AS BIGINT) AS threshold "
+        "FROM q) "
+        "SELECT doc_id, score, bucket, threshold, bucket < threshold AS keep "
+        "FROM s"
     )
     o["split_assign"] = (
         "WITH b AS (SELECT CAST(concat('0x', substr(md5('split-v1' || "

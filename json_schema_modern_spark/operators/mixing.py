@@ -221,3 +221,44 @@ def unimax_allocation(
         F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
         "capped",
     ).orderBy(source_col)
+
+
+def soft_quality_sample(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    strength: float = 1.0,
+    seed: str = "softq-v1",
+) -> DataFrame:
+    """(id, score, bucket, threshold, keep) — score-proportional soft
+    sampling: each row is kept with probability clamp(score, 0, 1)^
+    `strength`, decided by a DETERMINISTIC md5-bucket draw (not rand()),
+    so the sample is idempotent under resume and identical on
+    re-ingestion.  The soft alternative to a hard quality cutoff
+    (cf. the quality-filter ablations of the DCLM / FineWeb line of
+    work): borderline documents survive in proportion to their score
+    instead of dying at an arbitrary threshold, which preserves
+    distributional coverage in the tail.  strength > 1 sharpens toward
+    a hard filter; strength < 1 flattens toward keep-everything.
+
+    keep ⇔ bucket < floor(round(p, 6) * buckets): integer comparison
+    against an integer threshold, the same engine-exactness discipline
+    as `mixture_thresholds` — with 6-decimal scores and the default
+    10^4 buckets the product is exact in double, so the boundary cannot
+    flip between engines (ulp-sensitive pow() results are rounded
+    before the multiply).
+
+    100 TB shape: pure per-row map — no shuffle, no aggregate, nothing
+    collected; composes with any upstream scorer by column name."""
+    p = F.pow(F.greatest(F.lit(0.0), F.least(F.lit(1.0),
+                                             F.col(score_col))),
+              F.lit(float(strength)))
+    thr = F.floor(F.round(p, 6) * F.lit(BUCKETS)).cast("long")
+    b = split_bucket(F.col(id_col), seed=seed, buckets=BUCKETS)
+    return df.select(
+        F.col(id_col),
+        F.round(F.col(score_col), 6).alias("score"),
+        b.alias("bucket"),
+        thr.alias("threshold"),
+        (b < thr).alias("keep"),
+    )

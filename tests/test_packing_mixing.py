@@ -316,3 +316,37 @@ def test_unimax_budget_exceeds_all_caps(spark):
     assert all(r.capped for r in got.values())
     assert got["A"].alloc_tokens == 20.0 and got["B"].alloc_tokens == 200.0
     assert got["A"].epochs == 2.0 and got["B"].epochs == 2.0
+
+
+def test_soft_quality_sample_deterministic_and_proportional(spark):
+    from json_schema_modern_spark.operators.mixing import soft_quality_sample
+
+    rows = [(i, min(1.0, i / 100.0)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, quality_score double")
+    a = {r.doc_id: r for r in soft_quality_sample(df).collect()}
+    b = {r.doc_id: r for r in
+         soft_quality_sample(df.repartition(7)).collect()}
+    # deterministic: identical keep set under any partitioning
+    assert {k: v.keep for k, v in a.items()} == {k: v.keep for k, v in b.items()}
+    # boundary semantics: score 0 keeps nothing, score 1 keeps always
+    assert not a[0].keep and a[100].keep and a[150].keep
+    assert all(r.threshold == 10_000 for r in a.values() if r.score == 1.0)
+    # proportional in aggregate: high-score half keeps far more than low
+    lo = sum(a[i].keep for i in range(50))
+    hi = sum(a[i].keep for i in range(50, 100))
+    assert hi > lo
+
+
+def test_soft_quality_sample_strength_sharpens(spark):
+    from json_schema_modern_spark.operators.mixing import soft_quality_sample
+
+    df = spark.createDataFrame(
+        [(i, 0.5) for i in range(500)], "doc_id int, quality_score double")
+    flat = soft_quality_sample(df, strength=1.0)
+    sharp = soft_quality_sample(df, strength=3.0)
+    # p = 0.5 -> threshold 5000; p = 0.125 -> threshold 1250
+    assert flat.head().threshold == 5_000
+    assert sharp.head().threshold == 1_250
+    n_flat = flat.where("keep").count()
+    n_sharp = sharp.where("keep").count()
+    assert n_sharp < n_flat
