@@ -1513,6 +1513,17 @@ def _q_dedup_source_matrix(spark, sf_dir):
         pairs, _read(spark, sf_dir, "documents"))
 
 
+def _q_events_retention(spark, sf_dir):
+    """Cohort-retention matrix over events: users cohorted by first
+    active epoch-day, cell (c, k) = distinct users active on day c+k,
+    normalized by cohort size.  One user-keyed exchange feeds both the
+    distinct and the min-day agg (co-partitioned join); oracle replays
+    the epoch-day bucketing."""
+    from json_schema_modern_spark.operators.sessions import retention_matrix
+
+    return retention_matrix(_read(spark, sf_dir, "events"))
+
+
 def _q_mix_soft_sample(spark, sf_dir):
     """Score-proportional soft sampling over the quality-scored corpus:
     keep probability = quality_score, decided by the deterministic
@@ -1972,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_source_matrix": _q_dedup_source_matrix,
         "validate_transition": _q_validate_transition,
         "mix_soft_sample": _q_mix_soft_sample,
+        "events_retention": _q_events_retention,
         "validation_metrics": _q_validation_metrics,
         "validation_keyword_rollup": _q_validation_keyword_rollup,
         "constraint_mining": _q_constraint_mining,
@@ -3054,6 +3066,20 @@ FROM m
         "CASE WHEN len(grams) > 0 THEN CAST(round(1.0 - "
         "len(list_distinct(grams)) * 1.0 / len(grams), 6) AS DOUBLE) "
         "ELSE CAST(0.0 AS DOUBLE) END AS dup_frac FROM g"
+    )
+    # cohort retention: same timezone-free epoch-day bucketing as the
+    # windowed counts (floor(epoch)/86400), distinct (user, day) spine
+    o["events_retention"] = (
+        "WITH act AS (SELECT DISTINCT user_id AS u, "
+        "CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d FROM events), "
+        "f AS (SELECT u, min(d) AS cohort_day FROM act GROUP BY 1), "
+        "cells AS (SELECT cohort_day, d - cohort_day AS day_offset, "
+        "count(*) AS n_users FROM act JOIN f USING (u) GROUP BY 1, 2), "
+        "s AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1) "
+        "SELECT cohort_day, day_offset, CAST(n_users AS BIGINT) AS n_users, "
+        "CAST(cohort_size AS BIGINT) AS cohort_size, "
+        "CAST(round(n_users * 1.0 / cohort_size, 6) AS DOUBLE) AS retention "
+        "FROM cells JOIN s USING (cohort_day) ORDER BY 1, 2"
     )
     o["events_sessionize"] = (
         "WITH s AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL "

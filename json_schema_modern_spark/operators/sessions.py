@@ -71,3 +71,46 @@ def session_stats(
         .withColumn("duration_s", F.col("end_epoch") - F.col("start_epoch"))
         .orderBy(user_col, "session_idx")
     )
+
+
+def retention_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_day, day_offset, n_users, cohort_size, retention) — the
+    classic cohort-retention matrix: users are cohorted by their FIRST
+    active epoch-day; cell (c, k) counts distinct cohort-c users active
+    on day c+k; retention = n_users / cohort_size.  Days are integer
+    epoch-days (floor(epoch/86400)) so the bucketing is timezone-free
+    and engine-portable — same convention as the windowed event counts.
+
+    100 TB shape: ONE data-sized exchange — groupBy(user) with a
+    map-side-combined collect_set(day) partial (the per-user active-day
+    set is bounded by the observation window, not the event count), from
+    which cohort (= array_min) and every (cohort, offset) cell derive
+    row-locally; a naive distinct + min-day groupBy + cohort join costs
+    three exchanges on two different keys.  The two downstream
+    aggregates run over |users| rows, and the cohort-size join is a
+    broadcast of the |cohorts|-row table."""
+    day = F.floor(_epoch_s(F.col(ts_col)) / 86400).cast("long")
+    per_user = (
+        df.select(F.col(user_col).alias("_u"), day.alias("_d"))
+        .groupBy("_u").agg(F.collect_set("_d").alias("_ds"))
+        .select(F.array_min("_ds").alias("cohort_day"), "_ds")
+    )
+    cells = (
+        per_user.select("cohort_day", F.explode("_ds").alias("_d"))
+        .select("cohort_day", (F.col("_d") - F.col("cohort_day")).alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))   # one row per (user, day)
+    )
+    sizes = per_user.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        cells.join(F.broadcast(sizes), "cohort_day")
+        .select("cohort_day", "day_offset", "n_users", "cohort_size",
+                F.round(F.col("n_users") / F.col("cohort_size"), 6)
+                 .alias("retention"))
+        .orderBy("cohort_day", "day_offset")
+    )

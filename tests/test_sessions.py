@@ -70,3 +70,38 @@ def test_repetition_trigram(spark):
     # trigrams: abc bca cab abc bca cab abc → 7 grams, 3 distinct
     assert (r.n_grams, r.n_distinct) == (7, 3)
     assert r.dup_frac == round(1 - 3 / 7, 6)
+
+
+def test_retention_matrix_hand_case(spark):
+    from json_schema_modern_spark.operators.sessions import retention_matrix
+
+    D = 86400
+    def ts(day, h=0):
+        import datetime
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day, hours=h)
+    # cohort day 0: users a, b (a returns day 1 and 2 — twice on day 2,
+    # which must not double-count; b never returns).
+    # cohort day 1: user c, returns day 2.
+    rows = [
+        (1, ts(0), "a", "click", 1.0),
+        (2, ts(1), "a", "click", 1.0),
+        (3, ts(2, 1), "a", "click", 1.0),
+        (4, ts(2, 5), "a", "click", 1.0),
+        (5, ts(0), "b", "click", 1.0),
+        (6, ts(1), "c", "click", 1.0),
+        (7, ts(2), "c", "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, ts timestamp, user_id string, event_type string, value double")
+    got = {(r.cohort_day, r.day_offset): r for r in retention_matrix(df).collect()}
+    assert got[(0, 0)].n_users == 2 and got[(0, 0)].retention == 1.0
+    assert got[(0, 1)].n_users == 1 and got[(0, 1)].retention == 0.5
+    assert got[(0, 2)].n_users == 1                     # a's two day-2 events count once
+    assert got[(1, 0)].n_users == 1 and got[(1, 1)].n_users == 1
+    assert all(r.cohort_size == (2 if r.cohort_day == 0 else 1)
+               for r in got.values())
+    # plan shape: ONE data-sized exchange (the user groupBy) feeds both
+    # branches — no join on the user key, no distinct exchange
+    plan = retention_matrix(df)._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
