@@ -1275,6 +1275,32 @@ def _q_pack_salted(spark, sf_dir):
     return pack_next_fit(docs, capacity=256, n_salts=4)
 
 
+def _q_pack_stats(spark, sf_dir):
+    """Packing-efficiency dashboard over the next-fit assignment:
+    (source, n_docs, n_bins, n_oversize, total_tokens, fill_frac) —
+    fill_frac = packed tokens / (bins x capacity) is the padding-waste
+    a training run actually pays; oversize docs (> capacity) counted
+    separately since their bins legitimately exceed 1.0 fill.  Pure
+    rollup over the pack output: integer sums + one final division."""
+    from json_schema_modern_spark.operators.packing import pack_next_fit
+
+    docs = _doc_tokens(_read(spark, sf_dir, "documents")) \
+        .withColumn("n_tok", F.when(F.col("tokens").isNull(), F.lit(0))
+                    .otherwise(F.size("tokens")).cast("long"))
+    packed = pack_next_fit(docs, capacity=256)
+    return (
+        packed.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.countDistinct("bin_id").cast("long").alias("n_bins"),
+             F.sum("oversize").cast("long").alias("n_oversize"),
+             F.sum("n_tok").cast("long").alias("total_tokens"))
+        .select("source", "n_docs", "n_bins", "n_oversize", "total_tokens",
+                F.round(F.col("total_tokens") / (F.col("n_bins") * 256), 6)
+                 .alias("fill_frac"))
+        .orderBy("source")
+    )
+
+
 def _q_mix_weights(spark, sf_dir):
     """Domain-mixture rebalancing thresholds (uniform token-share
     target, downsample-only) — integer-exact keep thresholds so the
@@ -1511,6 +1537,29 @@ def _q_dedup_source_matrix(spark, sf_dir):
         _dup_docs(spark, sf_dir), num_hashes=32, bands=8)
     return cross_source_pair_matrix(
         pairs, _read(spark, sf_dir, "documents"))
+
+
+def _q_dedup_cluster_hist(spark, sf_dir):
+    """Duplicate-cluster size histogram: how many near-dup clusters have
+    2, 3, ... members — the dedup diagnostic that distinguishes a corpus
+    of pairwise dups from one dominated by giant boilerplate clusters
+    (the two need different dedup budgets).  Rides the connected-
+    component resolution; the histogram is two tiny aggs over the
+    O(|duplicated docs|) cluster table."""
+    from json_schema_modern_spark.operators.dedup import (
+        minhash_lsh_candidates, resolve_duplicate_clusters)
+
+    pairs = minhash_lsh_candidates(
+        _dup_docs(spark, sf_dir), num_hashes=32, bands=8)
+    clusters = resolve_duplicate_clusters(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .groupBy(F.col("_sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"),
+             F.sum("_sz").cast("long").alias("n_docs"))
+        .orderBy("cluster_size")
+    )
 
 
 def _q_events_retention(spark, sf_dir):
@@ -1984,6 +2033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_transition": _q_validate_transition,
         "mix_soft_sample": _q_mix_soft_sample,
         "events_retention": _q_events_retention,
+        "dedup_cluster_hist": _q_dedup_cluster_hist,
+        "pack_stats": _q_pack_stats,
         "validation_metrics": _q_validation_metrics,
         "validation_keyword_rollup": _q_validation_keyword_rollup,
         "constraint_mining": _q_constraint_mining,
@@ -2763,6 +2814,20 @@ FROM per JOIN tot USING (h) GROUP BY 1
         "  UNION SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.src) "
         "  SELECT src, min(m) AS cluster_id FROM r GROUP BY src) "
         "SELECT src AS doc_id, cluster_id, src = cluster_id AS is_survivor FROM reach"
+    )
+    # cluster-size histogram over the same recursive-CTE components
+    o["dedup_cluster_hist"] = (
+        "WITH pairs AS (SELECT * FROM (" + _minhash_pairs_oracle(dup_docs) + ")), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "          UNION SELECT id_b, id_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT src FROM edges), "
+        "reach AS (WITH RECURSIVE r(src, m) AS ("
+        "  SELECT src, src FROM nodes "
+        "  UNION SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.src) "
+        "  SELECT src, min(m) AS cluster_id FROM r GROUP BY src), "
+        "sz AS (SELECT cluster_id, count(*) AS s FROM reach GROUP BY 1) "
+        "SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, "
+        "CAST(sum(s) AS BIGINT) AS n_docs FROM sz GROUP BY 1 ORDER BY 1"
     )
     o["dedup_keep_best"] = (
         "WITH pairs AS (SELECT * FROM (" + _minhash_pairs_oracle(dup_docs) + ")), "
@@ -3688,6 +3753,18 @@ FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
                   " AS n_tok FROM documents)")
     o["pack_sequences"] = pack_next_fit_oracle_sql(_ntok_docs, capacity=256)
     o["pack_salted"] = pack_next_fit_oracle_sql(_ntok_docs, capacity=256, n_salts=4)
+    # packing-efficiency rollup over the same recursive-CTE pack replay
+    o["pack_stats"] = (
+        "WITH p AS (SELECT * FROM ("
+        + pack_next_fit_oracle_sql(_ntok_docs, capacity=256)
+        + ")) SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins, "
+        "CAST(sum(oversize) AS BIGINT) AS n_oversize, "
+        "CAST(sum(n_tok) AS BIGINT) AS total_tokens, "
+        "CAST(round(sum(n_tok) * 1.0 / (count(DISTINCT bin_id) * 256), 6) "
+        "AS DOUBLE) AS fill_frac "
+        "FROM p GROUP BY 1 ORDER BY 1"
+    )
     o["mix_weights"] = mixture_thresholds_oracle_sql(
         _ntok_docs, "n_tok")
     # temperature mixture weights: α=0.5 over the derived-token table;
