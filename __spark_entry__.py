@@ -1539,6 +1539,21 @@ def _q_dedup_source_matrix(spark, sf_dir):
         pairs, _read(spark, sf_dir, "documents"))
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_stats_corr(spark, sf_dir):
+    """Pearson correlation matrix over lineitem's numeric measures in
+    ONE map-side-combined pass — quantized-integer moment sums in
+    DECIMAL(38,0) so the result is partition-order exact; the oracle
+    replays the identical HUGEINT sums and the identically-associated
+    double formula."""
+    from json_schema_modern_spark.operators.stats import correlation_matrix
+
+    return correlation_matrix(
+        _read(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
 def _q_dedup_cluster_hist(spark, sf_dir):
     """Duplicate-cluster size histogram: how many near-dup clusters have
     2, 3, ... members — the dedup diagnostic that distinguishes a corpus
@@ -2035,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "dedup_cluster_hist": _q_dedup_cluster_hist,
         "pack_stats": _q_pack_stats,
+        "stats_corr": _q_stats_corr,
         "validation_metrics": _q_validation_metrics,
         "validation_keyword_rollup": _q_validation_keyword_rollup,
         "constraint_mining": _q_constraint_mining,
@@ -2690,6 +2706,29 @@ FROM per GROUP BY 1
         "'got number, not integer' AS error FROM part "
         "WHERE p_retailprice IS NOT NULL AND p_retailprice <> floor(p_retailprice)"
     )
+    # correlation matrix: HUGEINT moment sums over the same round(x*100)
+    # quantization, then the identically-associated double closed form —
+    # operands are exact integers on both sides, so the doubles agree
+    def _corr_pair_sql(a, b):
+        return (
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(round((CAST(count(*) AS DOUBLE) * CAST(sum(qa * qb) AS DOUBLE) "
+            " - CAST(sum(qa) AS DOUBLE) * CAST(sum(qb) AS DOUBLE)) "
+            "/ nullif(sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(qa * qa) AS DOUBLE) "
+            " - CAST(sum(qa) AS DOUBLE) * CAST(sum(qa) AS DOUBLE)) "
+            "* (CAST(count(*) AS DOUBLE) * CAST(sum(qb * qb) AS DOUBLE) "
+            " - CAST(sum(qb) AS DOUBLE) * CAST(sum(qb) AS DOUBLE))), 0), 6) "
+            "AS DOUBLE) AS corr "
+            f"FROM (SELECT CAST(round({a} * 100) AS HUGEINT) AS qa, "
+            f"CAST(round({b} * 100) AS HUGEINT) AS qb FROM lineitem "
+            f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL)"
+        )
+
+    o["stats_corr"] = " UNION ALL ".join(
+        _corr_pair_sql(a, b)
+        for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+    ) + " ORDER BY col_x, col_y"
     o["stats_lineitem"] = (
         # CAST sums to BIGINT: DuckDB sum(int) yields HUGEINT, which lands in
         # pandas as float64 ("0.0" vs Spark's "0") and breaks the value hash.
