@@ -1613,9 +1613,7 @@ def _q_mix_unimax(spark, sf_dir):
     d = _doc_tokens(_read(spark, sf_dir, "documents")).withColumn(
         "n_tok", F.when(F.col("tokens").isNull(), F.lit(0))
                   .otherwise(F.size("tokens")))
-    total = d.agg(F.sum("n_tok")).first()[0]
-    return unimax_allocation(
-        d, budget_tokens=int(1.2 * total), max_epochs=1.25)
+    return unimax_allocation(d, budget_frac=1.2, max_epochs=1.25)
 
 
 def _q_token_run_stats(spark, sf_dir):
@@ -2232,7 +2230,7 @@ _FLAGSHIP_ORACLE = " UNION ALL ".join([
               "lang IS NOT NULL AND lang NOT IN ('en','es','fr','de','zh')"),
     _viol_row("doc_id", "'/source'", "/properties/source/pattern", "pattern",
               "'pattern does not match'", "source", "documents",
-              "source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+')"),
+              "source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')"),
     _viol_row("doc_id", "'/n_chars'", "/properties/n_chars/minimum", "minimum",
               "'value is less than 1'", "CAST(n_chars AS VARCHAR)", "documents",
               "n_chars IS NOT NULL AND n_chars < 1"),
@@ -2385,7 +2383,7 @@ WITH per AS (SELECT source,
     (CASE WHEN doc_id IS NOT NULL AND doc_id < 0 THEN 1 ELSE 0 END
    + CASE WHEN text IS NOT NULL AND length(text) < 60 THEN 1 ELSE 0 END
    + CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','es','fr','de','zh') THEN 1 ELSE 0 END
-   + CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+') THEN 1 ELSE 0 END
+   + CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END
    + CASE WHEN n_chars IS NOT NULL AND n_chars < 1 THEN 1 ELSE 0 END
    + CASE WHEN n_chars IS NOT NULL AND n_chars > 600 THEN 1 ELSE 0 END
    + CASE WHEN doc_id IS NULL OR text IS NULL OR lang IS NULL
@@ -2410,7 +2408,7 @@ per AS (SELECT source,
     (CASE WHEN doc_id IS NOT NULL AND doc_id < 0 THEN 1 ELSE 0 END
    + CASE WHEN text IS NOT NULL AND length(text) < 60 THEN 1 ELSE 0 END
    + CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','es','fr','de','zh') THEN 1 ELSE 0 END
-   + CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+') THEN 1 ELSE 0 END
+   + CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END
    + CASE WHEN n_chars IS NOT NULL AND n_chars < 1 THEN 1 ELSE 0 END
    + CASE WHEN n_chars IS NOT NULL AND n_chars > 600 THEN 1 ELSE 0 END
    + CASE WHEN doc_id IS NULL OR text IS NULL OR lang IS NULL
@@ -2901,7 +2899,7 @@ FROM per JOIN tot USING (h) GROUP BY 1
     # minLength 80, n_chars <= 500, lang enum dropped)
     _req = ("doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL "
             "AND source IS NOT NULL AND n_chars IS NOT NULL")
-    _base = ("doc_id >= 0 AND regexp_matches(source, '^src[0-9]+') "
+    _base = ("doc_id >= 0 AND regexp_matches(source, '^src[0-9]+$') "
              "AND n_chars >= 1")
     o["validate_transition"] = f"""
 WITH v AS (
@@ -2921,7 +2919,8 @@ FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     o["dedup_source_matrix"] = (
         "WITH pairs AS (SELECT * FROM ("
         + _minhash_pairs_oracle(dup_docs)
-        + ")), m AS (SELECT DISTINCT doc_id, source FROM documents) "
+        + ")), m AS (SELECT doc_id, min(source) AS source "
+        "FROM documents GROUP BY 1) "
         "SELECT least(a.source, b.source) AS source_a, "
         "       greatest(a.source, b.source) AS source_b, "
         "       CAST(count(*) AS BIGINT) AS n_pairs "
@@ -3146,7 +3145,8 @@ FROM m
         "s AS (SELECT doc_id, CAST(round(quality_score, 6) AS DOUBLE) AS score, "
         "CAST(concat('0x', substr(md5('softq-v1' || CAST(doc_id AS VARCHAR)), "
         "1, 8)) AS BIGINT) % 10000 AS bucket, "
-        "CAST(floor(round(quality_score, 6) * 10000) AS BIGINT) AS threshold "
+        "CAST(floor(round(coalesce(quality_score, 0), 6) * 10000) AS BIGINT) "
+        "AS threshold "
         "FROM q) "
         "SELECT doc_id, score, bucket, threshold, bucket < threshold AS keep "
         "FROM s"
@@ -3397,7 +3397,7 @@ per AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
         FROM t GROUP BY 1 HAVING sum(nt) > 0),
 b AS (SELECT CAST(floor(1.2 * sum(n_tokens)) AS BIGINT) AS budget FROM per),
 r AS (SELECT source, n_tokens,
-             CAST(round(n_tokens * 1.25) AS BIGINT) AS cap_tokens FROM per),
+             CAST(floor(n_tokens * 1.25) AS BIGINT) AS cap_tokens FROM per),
 w AS (SELECT *,
              row_number() OVER (ORDER BY cap_tokens, source) AS i,
              coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, source

@@ -693,16 +693,20 @@ def cross_source_pair_matrix(
     duplication.
 
     `pairs` is any (id_a, id_b) frame — minhash/simhash candidates or
-    verified pairs.  The id→source map is projected to two columns and
-    DISTINCT'd (callers may pass a doc table with repeated ids, e.g. an
-    ingest union), so the joins cannot multiply pair rows.
+    verified pairs.  The id→source map is aggregated to ONE row per id
+    (min(source) — deterministic), so the joins cannot multiply pair
+    rows even when a doc table carries repeated ids with CONFLICTING
+    sources (an ingest union where the same id was re-ingested under
+    another source): a plain DISTINCT would keep both mappings and
+    double-count every pair touching that id.
 
     100 TB shape: two hash equi-joins of the pair table against the
     2-column id→source map (sort-merge at corpus scale — the map is
     data-sized, never collected), then a |sources|²-group map-side-
     combined aggregate.  No data-sized state beyond the joins the pair
     table already implies."""
-    m = docs.select(F.col(id_col), F.col(source_col)).distinct()
+    m = (docs.select(F.col(id_col), F.col(source_col))
+             .groupBy(id_col).agg(F.min(source_col).alias(source_col)))
     j = (
         pairs
         .join(m.select(F.col(id_col).alias("id_a"),

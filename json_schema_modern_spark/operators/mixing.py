@@ -155,10 +155,11 @@ def temperature_weights(
 
 def unimax_allocation(
     df: DataFrame,
-    budget_tokens: int,
+    budget_tokens: int | None = None,
     max_epochs: float = 4.0,
     source_col: str = "source",
     size_col: str = "n_tok",
+    budget_frac: float | None = None,
 ) -> DataFrame:
     """(source, n_tokens, cap_tokens, alloc_tokens, epochs, capped) —
     UniMax epoch-capped budget allocation (Chung et al., "UniMax: Fairer
@@ -168,7 +169,9 @@ def unimax_allocation(
     repeated beyond `max_epochs` passes over its data.
 
     Closed-form water-filling instead of the paper's iterative loop:
-    sort sources by cap c_s = round(max_epochs * n_s) ascending; source
+    sort sources by cap c_s = floor(max_epochs * n_s) ascending (floor,
+    not round — rounding up would let a capped source exceed the stated
+    max_epochs bound by up to half a token); source
     at rank i is capped iff c_i <= (B - Σ_{j<i} c_j) / (S - i + 1)
     (caps ascending ⇒ the capped set is a prefix), and every uncapped
     source receives the equal share (B - Σ_capped c) / (S - K).
@@ -178,17 +181,26 @@ def unimax_allocation(
     two final divisions (identical integer operands both sides).  If the
     budget exceeds Σ c_s every source is capped and `alloc` = its cap.
 
+    The budget is either an absolute `budget_tokens` int, or
+    `budget_frac` — a fraction of the corpus's total tokens, resolved
+    INSIDE the plan (floor(frac · Σn) folded into the same broadcast
+    1-row aggregate the source count rides) so no driver-side action or
+    extra scan is needed and an empty input yields an empty result
+    instead of a driver error.
+
     100 TB shape: one map-side-combined |sources|-row aggregate; the
     water-filling windows run over that |sources|-row table on a single
     task (intentionally — |sources| is tens-to-thousands), never over
     data-sized input."""
     from pyspark.sql import Window
 
+    if (budget_tokens is None) == (budget_frac is None):
+        raise ValueError("pass exactly one of budget_tokens / budget_frac")
     per = (df.groupBy(source_col)
              .agg(F.sum(F.col(size_col).cast("long")).alias("n_tokens"))
              .where(F.col("n_tokens") > 0)
              .withColumn("cap_tokens",
-                         F.round(F.col("n_tokens") * F.lit(float(max_epochs)))
+                         F.floor(F.col("n_tokens") * F.lit(float(max_epochs)))
                           .cast("long")))
     w = Window.orderBy("cap_tokens", source_col)
     ranked = (
@@ -198,8 +210,15 @@ def unimax_allocation(
                    w.rowsBetween(Window.unboundedPreceding, -1)),
                F.lit(0).cast("long")))
     )
-    s_tot = per.agg(F.count(F.lit(1)).alias("_s"))
-    b = F.lit(int(budget_tokens))
+    if budget_frac is not None:
+        s_tot = per.agg(
+            F.count(F.lit(1)).alias("_s"),
+            F.floor(F.lit(float(budget_frac)) * F.sum("n_tokens"))
+             .cast("long").alias("_b"))
+        b = F.col("_b")
+    else:
+        s_tot = per.agg(F.count(F.lit(1)).alias("_s"))
+        b = F.lit(int(budget_tokens))
     j = (ranked.crossJoin(F.broadcast(s_tot))
                .withColumn("capped",
                            F.col("cap_tokens")
@@ -248,11 +267,19 @@ def soft_quality_sample(
     flip between engines (ulp-sensitive pow() results are rounded
     before the multiply).
 
+    A NULL score means "unscored" and keeps NOTHING (threshold 0):
+    Spark's least/greatest skip NULLs, so a bare clamp would silently
+    resolve a NULL score to 1.0 and keep every unscored row — the
+    opposite of safe sampling semantics.
+
     100 TB shape: pure per-row map — no shuffle, no aggregate, nothing
     collected; composes with any upstream scorer by column name."""
-    p = F.pow(F.greatest(F.lit(0.0), F.least(F.lit(1.0),
+    p = F.when(
+        F.col(score_col).isNull(), F.lit(0.0)
+    ).otherwise(
+        F.pow(F.greatest(F.lit(0.0), F.least(F.lit(1.0),
                                              F.col(score_col))),
-              F.lit(float(strength)))
+              F.lit(float(strength))))
     thr = F.floor(F.round(p, 6) * F.lit(BUCKETS)).cast("long")
     b = split_bucket(F.col(id_col), seed=seed, buckets=BUCKETS)
     return df.select(

@@ -196,7 +196,19 @@ def correlation_matrix(
     # full expression trees into the aggregate functions instead pushes
     # the generated update method past the JIT/codegen size limits and
     # the whole pass falls back to interpreted (measured 4-6x slower).
-    qcols = {c: F.round(F.col(c) * scale).cast("long") for c in cols}
+    # int64 product safety: |q| must stay <= 3e9 so q*q <= 9e18 < 2^63-1.
+    # Exceeding it would WRAP SILENTLY under non-ANSI arithmetic and
+    # poison the sums — fail loudly instead (assert_true folded into the
+    # value via coalesce so Catalyst cannot prune the check away).
+    q_lim = 3_000_000_000
+    def _q(c):
+        q = F.round(F.col(c) * scale).cast("long")
+        guard = F.assert_true(
+            q.isNull() | (F.abs(q) <= F.lit(q_lim)),
+            F.lit(f"correlation_matrix: |{c}*{scale}| exceeds {q_lim}; "
+                  "lower `scale` to keep int64 products exact"))
+        return q + F.coalesce(guard.cast("long"), F.lit(0))
+    qcols = {c: _q(c) for c in cols}
     proj = []
     for a, b in pairs:
         both = F.col(a).isNotNull() & F.col(b).isNotNull()

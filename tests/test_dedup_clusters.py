@@ -53,10 +53,14 @@ def test_cross_source_pair_matrix(spark):
     pairs = spark.createDataFrame(
         [("a1", "b1"), ("a2", "b2"), ("a1", "a2"), ("b1", "b2")],
         "id_a string, id_b string")
-    # docs table carries a REPEATED id (ingest-union shape) — the distinct
-    # id->source projection must keep the joins from multiplying pairs
+    # docs table carries a REPEATED id (ingest-union shape) AND a
+    # CONFLICTING re-ingested mapping (a2 under two sources) — the
+    # min(source)-per-id map must keep the joins from multiplying pairs
+    # in both cases (a distinct would keep both of a2's mappings and
+    # double-count every pair touching a2)
     docs = spark.createDataFrame(
-        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B"), ("a1", "A")],
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B"), ("a1", "A"),
+         ("a2", "Z")],
         "doc_id string, source string")
     got = {(r.source_a, r.source_b): r.n_pairs
            for r in cross_source_pair_matrix(pairs, docs).collect()}

@@ -350,3 +350,43 @@ def test_soft_quality_sample_strength_sharpens(spark):
     n_flat = flat.where("keep").count()
     n_sharp = sharp.where("keep").count()
     assert n_sharp < n_flat
+
+
+def test_unimax_floor_cap_and_frac_budget(spark):
+    from json_schema_modern_spark.operators.mixing import unimax_allocation
+
+    import pytest as _pt
+
+    # floor, not round: n=10 at 1.25 epochs caps at 12 tokens (1.2
+    # epochs), never 13 (1.3 > max_epochs)
+    df = spark.createDataFrame(
+        [("a", "A", 10), ("b", "B", 1000)],
+        "doc_id string, source string, n_tok int")
+    got = {r.source: r for r in unimax_allocation(
+        df, budget_tokens=400, max_epochs=1.25).collect()}
+    assert got["A"].cap_tokens == 12 and got["A"].epochs <= 1.25
+    # budget_frac resolves in-plan: 0.5 * 1010 = 505
+    got2 = {r.source: r for r in unimax_allocation(
+        df, budget_frac=0.5, max_epochs=1.25).collect()}
+    assert got2["A"].alloc_tokens + got2["B"].alloc_tokens == 505.0
+    # empty input yields an empty frame, not a driver error
+    empty = spark.createDataFrame(
+        [], "doc_id string, source string, n_tok int")
+    assert unimax_allocation(empty, budget_frac=1.2).count() == 0
+    with _pt.raises(ValueError):
+        unimax_allocation(df)
+    with _pt.raises(ValueError):
+        unimax_allocation(df, budget_tokens=10, budget_frac=0.5)
+
+
+def test_soft_quality_sample_null_score_drops(spark):
+    from json_schema_modern_spark.operators.mixing import soft_quality_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 1.0)], "doc_id int, quality_score double")
+    got = {r.doc_id: r for r in soft_quality_sample(df).collect()}
+    # NULL score = unscored: threshold 0, never kept (a bare
+    # least/greatest clamp would resolve NULL to p=1.0 and keep it)
+    assert got[1].threshold == 0 and got[1].keep is False
+    assert got[1].score is None
+    assert got[2].keep is True

@@ -35,3 +35,19 @@ def test_correlation_matrix_partition_invariant(spark):
             correlation_matrix(df.repartition(11), ["a", "b", "c"]).collect()]
     # DECIMAL(38,0) moment sums => bit-identical under any partitioning
     assert one == many
+
+
+def test_correlation_matrix_overflow_guard(spark):
+    import pytest
+    from json_schema_modern_spark.operators.stats import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(5.0e7, 1.0), (6.0e7, 2.0)], "a double, b double")
+    # |a*100| = 6e9 > 3e9: the int64 product would wrap silently;
+    # the assert_true guard must fail loudly instead
+    with pytest.raises(Exception, match="correlation_matrix"):
+        correlation_matrix(df, ["a", "b"]).collect()
+    # nulls pass through the guard (condition null-safe)
+    df2 = spark.createDataFrame(
+        [(1.0, None), (2.0, 2.0)], "a double, b double")
+    assert correlation_matrix(df2, ["a", "b"]).count() == 1
